@@ -1,0 +1,82 @@
+package graft.algos
+
+import graft.bsp.SuperstepRunner
+import graft.bsp.SuperstepRunner.{RunConfig, Step}
+import graft.graph.TemporalGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Synchronous label propagation with the reference's exact semantics
+ * (raphtory/src/algorithms/community_detection/label_propagation.rs:40-112):
+ *
+ *  - initial label = the node's own id (the reference uses the VID; labels
+ *    only serve as community identities, compared as partitions —
+ *    SURVEY §7.5);
+ *  - each superstep, a node tallies the *previous* superstep's labels of its
+ *    distinct undirected neighbours plus its own previous label with
+ *    weight 1 (label_propagation.rs:60-71) — synchronous, double-buffered;
+ *  - new label = argmax count, ties broken towards the *larger* label
+ *    (`max_by(count).then(label)`, label_propagation.rs:73-79);
+ *  - stop at zero changes or the iteration cap (the reference takes the cap
+ *    as a required parameter; synchronous LPA can 2-cycle, so the cap is
+ *    load-bearing).
+ *
+ * Spark plan per superstep: votes = neighbour-pair join + own-vote union →
+ * `groupBy(node, label).count` (partial agg absorbs hub skew) → one
+ * `row_number` window ordered by (count desc, label desc) picks the winner.
+ */
+object LabelPropagation {
+
+  final case class Config(
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5)
+
+  /** @return (id, label); communities are the label-partition classes. */
+  def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame = {
+    val pairs = g.undirectedPairs.persist()
+    val init = g.nodes.select(col("id"), col("id").as("label"))
+
+    val result = SuperstepRunner.run(
+      spark,
+      init,
+      RunConfig(
+        maxSteps = cfg.maxIter,
+        checkpointDir = cfg.checkpointDir,
+        checkpointEvery = cfg.checkpointEvery,
+        runId = "lpa")) { (state, _) =>
+      val nbrVotes = pairs
+        .join(state.select(col("id"), col("label")), pairs("nbr") === col("id"))
+        .select(pairs("node").as("id"), col("label"))
+      val ownVotes = state.select(col("id"), col("label"))
+      val tally = nbrVotes
+        .union(ownVotes)
+        .groupBy("id", "label")
+        .agg(count(lit(1)).as("votes"))
+
+      val w = Window.partitionBy("id").orderBy(col("votes").desc, col("label").desc)
+      val winner = tally
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("label").as("new_label"))
+
+      val next = state
+        .join(winner, Seq("id"), "left")
+        .select(
+          col("id"),
+          coalesce(col("new_label"), col("label")).as("label"),
+          (coalesce(col("new_label"), col("label")) =!= col("label")).as("changed"))
+
+      Step(
+        next.select("id", "label", "changed"),
+        { materialized =>
+          val changes = materialized.filter(col("changed")).count()
+          (changes == 0, Map("changes" -> changes.toDouble))
+        })
+    }
+    pairs.unpersist(false)
+    result.state.select("id", "label")
+  }
+}

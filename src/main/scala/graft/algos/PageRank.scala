@@ -1,0 +1,112 @@
+package graft.algos
+
+import graft.bsp.SuperstepRunner
+import graft.bsp.SuperstepRunner.{RunConfig, Step}
+import graft.graph.TemporalGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Unweighted PageRank with the reference's exact semantics
+ * (raphtory/src/algorithms/centrality/pagerank.rs:55-179):
+ *
+ *  - n = |V| over the view; initial score 1/n (pagerank.rs:30);
+ *  - out_degree = number of *distinct* out-neighbours (SURVEY §1.1);
+ *  - per superstep: score' = (1−d)/n + d·Σ_{u ∈ distinct in-nbrs} score_u /
+ *    outdeg_u  (pagerank.rs:88-105), then + sink mass
+ *    d/n·Σ_{outdeg=0} score (computed from the *previous* superstep's scores
+ *    and added to every node, pagerank.rs:107-127);
+ *  - convergence: Σ|Δ| ≤ tol·n (L1) or √(ΣΔ²) ≤ tol·n (L2)
+ *    (pagerank.rs:143-156), capped at maxIter supersteps.
+ *
+ * Spark plan per superstep (2 jobs): the CSR out-adjacency `(src, dsts,
+ * out_deg)` — one row per source — is joined with the current rank state,
+ * exploded, and partially aggregated map-side before the `groupBy(dst)`
+ * shuffle (hub in-degree skew is absorbed by partial aggregation); the new
+ * state materializes under one combined aggregate that yields both the
+ * convergence diff and the next superstep's sink mass, so there is exactly
+ * one pass over state per superstep beyond the message join. Adjacency is
+ * computed once, persisted, and reused across supersteps.
+ */
+object PageRank {
+
+  final case class Config(
+      maxIter: Int = 20,
+      tol: Double = 1e-6,
+      damping: Double = 0.85,
+      useL2Norm: Boolean = true,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5)
+
+  /** @return (id, score) per node. */
+  def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame =
+    runWithStats(spark, g, cfg)._1
+
+  /** As [[run]], also returning the number of supersteps executed. */
+  def runWithStats(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): (DataFrame, Int) = {
+    val adj = g.adjacencyOut.persist()
+    val nodes = g.nodes
+
+    // state: (id, score, out_deg); sinks have out_deg = 0.
+    val init = nodes
+      .join(adj.select(col("src").as("id"), col("out_deg")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+    val n = init.count().toDouble
+    val damp = cfg.damping
+    val teleport = (1.0 - damp) / n
+    val init2 = init.withColumn("score", lit(1.0 / n))
+
+    // Carried across supersteps on the driver (recomputed from state on
+    // resume): Σ score over sinks, from the previous superstep.
+    var sinkSum: Option[Double] = None
+
+    val result = SuperstepRunner.run(
+      spark,
+      init2,
+      RunConfig(
+        maxSteps = cfg.maxIter,
+        checkpointDir = cfg.checkpointDir,
+        checkpointEvery = cfg.checkpointEvery,
+        runId = "pagerank")) { (state, _) =>
+      val ss = sinkSum.getOrElse {
+        val r = state.filter(col("out_deg") === 0).agg(sum("score")).first()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+      val sinkContrib = damp / n * ss
+
+      val msgs = adj
+        .join(state.select(col("id"), col("score")), adj("src") === col("id"))
+        .select(explode(col("dsts")).as("id"), (col("score") / col("out_deg")).as("w"))
+        .groupBy("id")
+        .agg(sum("w").as("msum"))
+
+      val next = state
+        .join(msgs, Seq("id"), "left")
+        .select(
+          col("id"),
+          col("out_deg"),
+          (lit(teleport) + lit(damp) * coalesce(col("msum"), lit(0.0)) + lit(sinkContrib))
+            .as("score"),
+          abs(
+            lit(teleport) + lit(damp) * coalesce(col("msum"), lit(0.0)) + lit(sinkContrib) -
+              col("score")).as("diff"))
+
+      Step(
+        next.select("id", "out_deg", "score", "diff"),
+        { materialized =>
+          val row = materialized
+            .agg(
+              sum(if (cfg.useL2Norm) col("diff") * col("diff") else col("diff")).as("d"),
+              sum(when(col("out_deg") === 0, col("score")).otherwise(lit(0.0))).as("sink"))
+            .first()
+          val d = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+          val nextSink = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+          sinkSum = Some(nextSink)
+          val normed = if (cfg.useL2Norm) math.sqrt(d) else d
+          (normed <= cfg.tol * n, Map("diff" -> normed, "sinkSum" -> nextSink))
+        })
+    }
+    adj.unpersist(false)
+    (result.state.select("id", "score"), result.steps)
+  }
+}

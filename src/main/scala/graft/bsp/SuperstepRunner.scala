@@ -1,0 +1,176 @@
+package graft.bsp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.util.Try
+
+/**
+ * Driver-side bulk-synchronous superstep loop — the Spark-native counterpart
+ * of the reference's task framework (`TaskRunner::run`,
+ * raphtory/src/db/task/task_runner.rs:225-373): double-buffered per-node
+ * state becomes "previous state DataFrame → next state DataFrame", morsel
+ * fan-out becomes Spark tasks over partitions, monoidal accumulator merges
+ * become partial aggregation, and `Job::Check` becomes a driver-side
+ * convergence predicate over a tiny aggregate.
+ *
+ * Durability mirrors the reference's WAL/LSN + snapshot story
+ * (db4-storage/src/wal/mod.rs:28, serialise/graph_folder.rs): every committed
+ * superstep writes its state parquet plus an atomically-renamed JSON manifest
+ * carrying the run id, superstep number, row count, per-partition lineage
+ * (rows + order-independent checksum) and metrics; [[resume]] restores the
+ * latest committed superstep so any algorithm restarts mid-iteration.
+ *
+ * Plan-growth control: each superstep's state is persisted and the previous
+ * one unpersisted; every `truncateEvery` steps (or on checkpoint commits)
+ * lineage is truncated so driver planning stays O(1) across hundreds of
+ * iterations.
+ */
+object SuperstepRunner {
+
+  /** One superstep: the next-state plan plus a convergence evaluator that is
+    * allowed to run actions over the (already persisted) next state. The
+    * evaluator returns (converged, metrics). */
+  final case class Step(next: DataFrame, evaluate: DataFrame => (Boolean, Map[String, Double]))
+
+  final case class RunConfig(
+      maxSteps: Int,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5,
+      runId: String = "run")
+
+  final case class RunResult(
+      state: DataFrame,
+      steps: Int,
+      converged: Boolean,
+      metrics: List[Map[String, Double]])
+
+  /**
+   * @param init   initial state (superstep 0); materialized by the runner
+   * @param mkStep (state, superstep) => Step, superstep starting at 1
+   */
+  def run(spark: SparkSession, init: DataFrame, cfg: RunConfig)(
+      mkStep: (DataFrame, Int) => Step): RunResult = {
+
+    val resumed = cfg.checkpointDir.flatMap(d => resume(spark, d))
+    // Every superstep's state is eagerly local-checkpointed: this both
+    // materializes it for the evaluator AND truncates the logical plan to a
+    // LogicalRDD. Iterative plans that reference the previous state more
+    // than once (message join + diff join) would otherwise *double* in size
+    // per superstep — exponential analysis cost and a driver OOM by ~30
+    // supersteps. The extra rewrap through GraftSqlInternals drops the
+    // checkpoint's inherited cost statistics, which otherwise also double in
+    // bit-length per superstep (see GraftSqlInternals docs). Dropped states
+    // are freed by the ContextCleaner once the reference goes out of scope.
+    def truncate(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlInternals
+        .internalCreateDataFrame(spark, ck.queryExecution.toRdd, ck.schema)
+    }
+    var (state, startStep) = resumed match {
+      case Some((df, k)) => (truncate(df), k)
+      case None          => (truncate(init), 0)
+    }
+
+    var step = startStep
+    var converged = false
+    var allMetrics = List.empty[Map[String, Double]]
+
+    while (!converged && step < cfg.maxSteps) {
+      step += 1
+      val t0 = System.nanoTime()
+      val s = mkStep(state, step)
+      val next = truncate(s.next)
+      val (done, metrics) = s.evaluate(next) // runs the per-step actions
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      converged = done
+      allMetrics ::= (metrics + ("wallMs" -> wallMs))
+      if (sys.env.contains("GRAFT_VERBOSE"))
+        System.err.println(
+          f"[superstep] ${cfg.runId} step=$step wallMs=$wallMs%.0f parts=${next.rdd.getNumPartitions} " +
+            metrics.map { case (k, v) => s"$k=$v" }.mkString(" "))
+
+      val shouldCommit = cfg.checkpointDir.isDefined &&
+        (converged || cfg.checkpointEvery > 0 && step % cfg.checkpointEvery == 0)
+
+      state =
+        if (shouldCommit)
+          commit(spark, cfg.checkpointDir.get, cfg.runId, step, next, metrics, wallMs, converged)
+        else next
+    }
+    RunResult(state, step, converged, allMetrics.reverse)
+  }
+
+  /** Write state parquet + manifest for superstep k; returns the re-read
+    * DataFrame (fresh lineage rooted at the committed files). */
+  private def commit(
+      spark: SparkSession,
+      dir: String,
+      runId: String,
+      step: Int,
+      state: DataFrame,
+      metrics: Map[String, Double],
+      wallMs: Double,
+      converged: Boolean): DataFrame = {
+    val stepDir = s"$dir/steps/$step"
+    val dataDir = s"$stepDir/data"
+    state.write.mode("overwrite").parquet(dataDir)
+
+    // Per-partition lineage over the *written files* (stable across resumes):
+    // rows + an order-independent checksum (sum of row hashes).
+    val reread = spark.read.parquet(dataDir)
+    val cols = reread.columns.map(col).toSeq
+    val parts = reread
+      .withColumn("__h", xxhash64(struct(cols: _*)))
+      .groupBy(spark_partition_id().as("p"))
+      .agg(
+        count(lit(1)).as("rows"),
+        // bit_xor: order-independent and overflow-free (ANSI mode rejects
+        // a plain sum of hashes).
+        expr("bit_xor(__h)").as("checksum"))
+      .collect()
+      .map(r => s"""{"p":${r.getInt(0)},"rows":${r.getLong(1)},"checksum":${r.getLong(2)}}""")
+    val rowCount = reread.count()
+
+    val metricsJson = metrics.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val manifest =
+      s"""{"runId":"$runId","superstep":$step,"rows":$rowCount,"wallMs":$wallMs,""" +
+        s""""converged":$converged,"metrics":$metricsJson,""" +
+        s""""partitions":[${parts.mkString(",")}]}"""
+
+    Files.createDirectories(Paths.get(stepDir))
+    val tmp = Paths.get(stepDir, ".manifest.json.tmp")
+    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(stepDir, "manifest.json"), StandardCopyOption.ATOMIC_MOVE)
+    reread
+  }
+
+  /** Latest committed (state, superstep), if any. */
+  def resume(spark: SparkSession, dir: String): Option[(DataFrame, Int)] = {
+    val steps = Paths.get(dir, "steps")
+    if (!Files.isDirectory(steps)) return None
+    val committed = listDir(steps)
+      .flatMap(p => Try(p.getFileName.toString.toInt).toOption)
+      .filter(k => Files.exists(steps.resolve(s"$k/manifest.json")))
+      .sorted(Ordering[Int].reverse)
+    committed.headOption.map { k =>
+      (spark.read.parquet(steps.resolve(s"$k/data").toString), k)
+    }
+  }
+
+  /** Read a committed manifest (for tests / metrics inspection). */
+  def readManifest(dir: String, step: Int): Option[String] = {
+    val p = Paths.get(dir, "steps", step.toString, "manifest.json")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)) else None
+  }
+
+  private def listDir(p: Path): List[Path] = {
+    val s = Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toList
+    } finally s.close()
+  }
+}

@@ -1,0 +1,83 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Builds the link-graph edge table from a transcript table
+ * `(conv_id, turn_idx, role, text, tool, ts)`.
+ *
+ * Two layers of conv_id-scoped links (north rule):
+ *  - `reply`: turn i → next turn of the same conversation, under the stable
+ *    total order `(turn_idx, ts)` — a direct analog of the reference's
+ *    EventTime `(t, secondary)` ordering
+ *    (raphtory-api/src/core/storage/timeindex.rs:28) realized with a single
+ *    `lead()` window per conversation;
+ *  - `tool`: assistant tool-invocation turn → its tool-result turn (the
+ *    immediately following `tool` row carrying the same tool name).
+ *
+ * Output schema mirrors the reference loader contract `ColumnNames { time,
+ * secondary_index, src, dst, layer }`
+ * (raphtory/src/arrow_loader/df_loaders/edges.rs:58-66):
+ * `(src: long, dst: long, ts: long millis, event_id: long, layer: string,
+ * conv_id, src_turn_idx, dst_turn_idx)`; node ids are
+ * `xxhash64(conv_id, turn_idx)` surrogates (GID → id mapping of SURVEY §1.2).
+ *
+ * Scale notes: the only shuffle is the window partitioned by `conv_id` —
+ * the natural, well-distributed partition key (skew comes from long
+ * conversations, bounded by `longConvTurns`, not from hot keys). Everything
+ * downstream consumes the deduped `(src, dst[, layer])` view; the reference
+ * collapses multi-edges the same way
+ * (db4-storage/src/segments/node/segment.rs:56-73).
+ */
+object EdgeBuilder {
+
+  def nodeId(convId: org.apache.spark.sql.Column, turnIdx: org.apache.spark.sql.Column) =
+    xxhash64(convId, turnIdx.cast("long"))
+
+  def edges(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    val t = transcripts
+      .select("conv_id", "turn_idx", "role", "tool", "ts")
+      .withColumn("next_idx", lead("turn_idx", 1).over(w))
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .withColumn("prev_idx", lag("turn_idx", 1).over(w))
+      .withColumn("prev_role", lag("role", 1).over(w))
+      .withColumn("prev_tool", lag("tool", 1).over(w))
+
+    val reply = t
+      .filter(col("next_idx").isNotNull)
+      .select(
+        col("conv_id"),
+        col("turn_idx").as("src_turn_idx"),
+        col("next_idx").as("dst_turn_idx"),
+        (unix_timestamp(col("next_ts")) * 1000).as("ts"),
+        col("next_idx").cast("long").as("event_id"),
+        lit("reply").as("layer"))
+
+    val toolEdges = t
+      .filter(
+        col("role") === "tool" && col("prev_role") === "assistant" &&
+          col("tool").isNotNull && col("prev_tool") === col("tool"))
+      .select(
+        col("conv_id"),
+        col("prev_idx").as("src_turn_idx"),
+        col("turn_idx").as("dst_turn_idx"),
+        (unix_timestamp(col("ts")) * 1000).as("ts"),
+        col("turn_idx").cast("long").as("event_id"),
+        lit("tool").as("layer"))
+
+    reply
+      .unionByName(toolEdges)
+      .withColumn("src", nodeId(col("conv_id"), col("src_turn_idx")))
+      .withColumn("dst", nodeId(col("conv_id"), col("dst_turn_idx")))
+      .select("src", "dst", "ts", "event_id", "layer", "conv_id", "src_turn_idx", "dst_turn_idx")
+  }
+
+  /** Node dimension table: one row per turn with its surrogate id. */
+  def nodes(transcripts: DataFrame): DataFrame =
+    transcripts
+      .withColumn("id", nodeId(col("conv_id"), col("turn_idx")))
+      .select("id", "conv_id", "turn_idx", "role", "tool", "ts")
+}

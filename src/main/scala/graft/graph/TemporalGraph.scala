@@ -1,0 +1,163 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * A temporal property graph as a lazy, composable view over an append-only
+ * edge-events DataFrame — the Spark-native counterpart of the reference's
+ * view stack (WindowedGraph / LayeredGraph / NodeSubgraph under
+ * raphtory/src/db/graph/views/; GraphViewOps,
+ * raphtory/src/db/api/view/graph.rs:74-168).
+ *
+ * The edge table needs columns `src: long, dst: long` and, for temporal /
+ * layer views, `ts: long (epoch millis)`, `event_id: long`, `layer: string`.
+ * Every view is just a narrowed DataFrame, so Catalyst pushes the combined
+ * predicates into the parquet scan — views never copy data.
+ *
+ * Semantics replicated from the reference:
+ *  - multi-edges collapse into one logical edge per (src, dst, layer)
+ *    (db4-storage/src/segments/node/segment.rs:56-73) → [[simpleEdges]];
+ *  - neighbours/degrees count *distinct* neighbours per direction; BOTH is
+ *    the deduplicated union of in and out
+ *    (db4-storage/src/segments/node/entry.rs:204-233) → [[undirectedPairs]],
+ *    [[degrees]];
+ *  - `window(start, end)` is end-exclusive event-semantics filtering
+ *    (raphtory/src/db/api/view/time.rs:116; event_semantics.rs:30).
+ */
+case class TemporalGraph(edges: DataFrame) {
+
+  // ---- temporal algebra (TimeOps, reference time.rs:93-210) ----
+
+  /** Events in [startMs, endMs). */
+  def window(startMs: Long, endMs: Long): TemporalGraph =
+    copy(edges.filter(col("ts") >= startMs && col("ts") < endMs))
+
+  /** Events exactly at t (window [t, t+1)). */
+  def at(t: Long): TemporalGraph = window(t, t + 1)
+
+  /** Events strictly before t (window [-inf, t)). */
+  def before(t: Long): TemporalGraph = copy(edges.filter(col("ts") < t))
+
+  /** Events strictly after t. */
+  def after(t: Long): TemporalGraph = copy(edges.filter(col("ts") > t))
+
+  /** Event-semantics snapshot: everything up to and including t. */
+  def snapshotAt(t: Long): TemporalGraph = copy(edges.filter(col("ts") <= t))
+
+  // ---- layer / subgraph algebra ----
+
+  def layer(names: String*): TemporalGraph =
+    copy(edges.filter(col("layer").isin(names: _*)))
+
+  /** Induced subgraph on a node set: both endpoints must be present. */
+  def subgraph(nodeIds: DataFrame): TemporalGraph = {
+    val ids = nodeIds.select(col(nodeIds.columns.head).as("__sid"))
+    val e1 = edges.join(ids, edges("src") === col("__sid"), "left_semi")
+    val e2 = e1.join(ids, e1("dst") === col("__sid"), "left_semi")
+    copy(e2)
+  }
+
+  /** Drop all edges touching the given nodes (reference exclude_nodes). */
+  def excludeNodes(nodeIds: DataFrame): TemporalGraph = {
+    val ids = nodeIds.select(col(nodeIds.columns.head).as("__sid"))
+    val e1 = edges.join(ids, edges("src") === col("__sid"), "left_anti")
+    val e2 = e1.join(ids, e1("dst") === col("__sid"), "left_anti")
+    copy(e2)
+  }
+
+  def filter(cond: Column): TemporalGraph = copy(edges.filter(cond))
+
+  // ---- graph-level scalars (GraphViewOps, graph.rs:128-145) ----
+
+  def countNodes(): Long = nodes.count()
+  def countEdges(): Long = simpleEdges.count()
+  def countTemporalEdges(): Long = edges.count()
+  def earliestTime(): Option[Long] =
+    Option(edges.agg(min("ts")).first().get(0)).map(_.asInstanceOf[Long])
+  def latestTime(): Option[Long] =
+    Option(edges.agg(max("ts")).first().get(0)).map(_.asInstanceOf[Long])
+
+  // ---- derived relational views (all deduped, algorithm inputs) ----
+
+  /** Distinct node ids appearing as src or dst. */
+  def nodes: DataFrame =
+    edges.select(col("src").as("id")).union(edges.select(col("dst").as("id"))).distinct()
+
+  /** One row per logical directed edge: distinct (src, dst) across layers. */
+  def simpleEdges: DataFrame = edges.select("src", "dst").distinct()
+
+  /**
+   * Distinct undirected neighbour pairs, both orientations, self-loops kept
+   * as a single (v, v) row — matches the reference's BOTH-direction kmerge +
+   * dedup (entry.rs:222-231). One row per (node, neighbour).
+   */
+  def undirectedPairs: DataFrame = {
+    val e = simpleEdges
+    e.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(e.select(col("dst").as("node"), col("src").as("nbr")))
+      .distinct()
+  }
+
+  /** Canonical undirected edge set: src < dst, self-loops dropped. */
+  def canonicalUndirected: DataFrame = {
+    val e = simpleEdges.filter(col("src") =!= col("dst"))
+    e.select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+  }
+
+  /**
+   * Distinct-neighbour degrees per direction (reference degree semantics,
+   * SURVEY §1.1): `(id, out_deg, in_deg, deg)` where `deg` is the size of the
+   * deduplicated BOTH-direction neighbour set. Nodes with no edges in some
+   * direction get 0 via the full outer assembly.
+   */
+  def degrees: DataFrame = {
+    val out = simpleEdges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in = simpleEdges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    val both = undirectedPairs.groupBy(col("node").as("id")).agg(count(lit(1)).as("deg"))
+    both
+      .join(out, Seq("id"), "left")
+      .join(in, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        col("deg"))
+  }
+
+  /**
+   * CSR-style grouped out-adjacency `(src, dsts: array<long>, out_deg)` over
+   * distinct out-neighbours — the Spark answer to the reference's HopExec
+   * adjacency walk (raphtory-cypher/src/hop/execution.rs): one row per
+   * source, so a rank-join touches |V| rows instead of |E| and the fan-out
+   * happens via `explode` after the join.
+   */
+  def adjacencyOut: DataFrame =
+    simpleEdges
+      .groupBy("src")
+      .agg(collect_list("dst").as("dsts"), count(lit(1)).as("out_deg"))
+
+  /** CSR-style grouped BOTH-direction adjacency `(node, nbrs, deg)`. */
+  def adjacencyBoth: DataFrame =
+    undirectedPairs
+      .groupBy("node")
+      .agg(collect_list("nbr").as("nbrs"), count(lit(1)).as("deg"))
+}
+
+object TemporalGraph {
+
+  /** Build from a transcript table via [[EdgeBuilder]]. */
+  def fromTranscripts(transcripts: DataFrame): TemporalGraph =
+    TemporalGraph(EdgeBuilder.edges(transcripts))
+
+  /** Build from in-memory (src, dst, ts) triples — test fixture helper. */
+  def fromTriples(spark: org.apache.spark.sql.SparkSession, triples: Seq[(Long, Long, Long)]): TemporalGraph = {
+    import spark.implicits._
+    TemporalGraph(
+      triples
+        .toDF("src", "dst", "ts")
+        .withColumn("event_id", lit(0L))
+        .withColumn("layer", lit("_default")))
+  }
+}
