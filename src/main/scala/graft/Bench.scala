@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.data.TranscriptGen
+import graft.data.{GraphGen, TranscriptGen}
 import graft.graph.{EdgeBuilder, TemporalGraph}
 import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
 
@@ -11,6 +11,13 @@ import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
  * Headline benchmark: synthesize the transcript link graph at a size scaled
  * to the requested SF, then time edge-build + the four flagship algorithms.
  * Prints exactly ONE JSON line (driver contract).
+ *
+ * PageRank is timed two ways: to 1e-6 convergence (the north metric) and
+ * with 20 forced supersteps (tol=0) for superstep-throughput comparability
+ * with the reference bench (algobench.rs pins iteration counts the same
+ * way). Triangle counting runs on a random-attachment graph — the
+ * reference's own bench generator — because conv-scoped reply/tool chains
+ * legitimately contain zero triangles.
  *
  * Env:
  *  - SPARK_GRAFT_SF_DIR: testdata dir; its sf suffix picks the graph size
@@ -22,6 +29,11 @@ object Bench {
     if (sfDir.contains("sf0.1")) 20000L
     else if (sfDir.contains("sf0.01")) 2000L
     else 200L
+
+  def triNodesFor(sfDir: String): Long =
+    if (sfDir.contains("sf0.1")) 100000L
+    else if (sfDir.contains("sf0.01")) 20000L
+    else 5000L
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,7 +55,7 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    var extras = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val extras = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // --- edge build over synthesized transcripts ---
     val nConvs = numConvsFor(sfDir)
@@ -59,28 +71,37 @@ object Bench {
     val nEdges = g.simpleEdges.count()
     extras += "n_edges" -> nEdges.toDouble
 
-    // --- PageRank to 1e-6 ---
-    val (prSteps, tPr) = time {
-      val (ranks, steps) = PageRank.runWithStats(spark, g, PageRank.Config(maxIter = 60, tol = 1e-6))
-      ranks.count()
-      steps
+    // --- PageRank to 1e-6 convergence (north metric) ---
+    val ((_, convSteps), tPrConv) = time {
+      val r = PageRank.runWithStats(spark, g, PageRank.Config(maxIter = 60, tol = 1e-6))
+      r._1.count()
+      r
     }
-    results += "pagerank" -> tPr
-    extras += "pagerank_supersteps" -> prSteps.toDouble
-    extras += "pagerank_supersteps_per_sec" -> prSteps / tPr
-    extras += "pagerank_edges_traversed_per_sec" -> prSteps.toDouble * nEdges / tPr
+    results += "pagerank_converge" -> tPrConv
+    extras += "pagerank_converge_supersteps" -> convSteps.toDouble
+
+    // --- PageRank, 20 forced supersteps (throughput metric) ---
+    val fixedSteps = 20
+    val (_, tPrFixed) = time {
+      PageRank.run(spark, g, PageRank.Config(maxIter = fixedSteps, tol = 0.0)).count()
+    }
+    results += "pagerank_fixed20" -> tPrFixed
+    extras += "pagerank_supersteps_per_sec" -> fixedSteps / tPrFixed
+    extras += "pagerank_edges_traversed_per_sec" -> fixedSteps.toDouble * nEdges / tPrFixed
 
     // --- WCC ---
     val (_, tWcc) = time(ConnectedComponents.run(spark, g).count())
     results += "wcc" -> tWcc
 
-    // --- LPA (capped) ---
+    // --- LPA (capped, synchronous) ---
     val (_, tLpa) = time(LabelPropagation.run(spark, g, LabelPropagation.Config(maxIter = 10)).count())
     results += "lpa" -> tLpa
 
-    // --- triangles ---
-    val (_, tTri) = time(Triangles.globalCount(spark, g))
+    // --- triangles on the reference-style random-attachment graph ---
+    val tri = GraphGen.randomAttachment(spark, triNodesFor(sfDir), 4)
+    val ((triCount, _), tTri) = time((Triangles.globalCount(spark, tri), ()))
     results += "triangles" -> tTri
+    extras += "triangle_count" -> triCount.toDouble
 
     // --- one relational headline on the provided testdata ---
     val (_, tRel) = time(SparkEntry.queries("q_agg_groupby")(spark, sfDir).count())

@@ -1,0 +1,133 @@
+package graft.algos
+
+import graft.graph.TemporalGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Direct (non-iterative) graph metrics, matching the reference's semantics:
+ * all degree-like quantities count *distinct* neighbours, self-loops are
+ * excluded where the reference excludes them.
+ */
+object Metrics {
+
+  /** max/min/avg of in/out/both distinct-neighbour degree
+    * (reference algorithms/metrics/degree.rs:50-94). One row. */
+  def degreeStats(g: TemporalGraph): DataFrame =
+    g.degrees.agg(
+      max("out_deg").as("max_out_degree"),
+      min("out_deg").as("min_out_degree"),
+      round(avg("out_deg"), 6).as("avg_out_degree"),
+      max("in_deg").as("max_in_degree"),
+      min("in_deg").as("min_in_degree"),
+      round(avg("in_deg"), 6).as("avg_in_degree"),
+      max("deg").as("max_degree"),
+      min("deg").as("min_degree"),
+      round(avg("deg"), 6).as("avg_degree"))
+
+  /** Degree centrality: BOTH-degree / max BOTH-degree
+    * (reference algorithms/centrality/degree_centrality.rs:34). */
+  def degreeCentrality(g: TemporalGraph): DataFrame = {
+    val deg = g.degrees.select(col("id"), col("deg"))
+    val mx = deg.agg(max("deg")).first().getLong(0).toDouble
+    deg.select(col("id"), round(col("deg") / mx, 6).as("centrality"))
+  }
+
+  /** Per-node local reciprocity 2·|out∩in| / (|out|+|in|), self-loops
+    * excluded (reference metrics/reciprocity.rs:119). */
+  def localReciprocity(g: TemporalGraph): DataFrame = {
+    val e = g.simpleEdges.filter(col("src") =!= col("dst"))
+    val out = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("n_out"))
+    val in = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("n_in"))
+    val recip = e
+      .intersect(e.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("n_recip"))
+    out
+      .join(in, Seq("id"), "full")
+      .join(recip, Seq("id"), "left")
+      .select(
+        col("id"),
+        round(
+          lit(2.0) * coalesce(col("n_recip"), lit(0L)) /
+            (coalesce(col("n_out"), lit(0L)) + coalesce(col("n_in"), lit(0L))),
+          6).as("reciprocity"))
+  }
+
+  /** Global reciprocity |reciprocated edges| / |edges|, self-loops excluded
+    * (reference metrics/reciprocity.rs:97). */
+  def globalReciprocity(g: TemporalGraph): Double = {
+    val e = g.simpleEdges.filter(col("src") =!= col("dst")).persist()
+    val inter = e.intersect(e.select(col("dst").as("src"), col("src").as("dst"))).count()
+    val total = e.count()
+    e.unpersist(false)
+    if (total == 0) 0.0 else inter.toDouble / total
+  }
+
+  /** Triplet count: Σ C(deg(v), 2) over distinct non-self neighbours
+    * (reference algorithms/motifs/triplet_count.rs:83). */
+  def tripletCount(g: TemporalGraph): Long = {
+    val deg = g.undirectedPairs
+      .filter(col("node") =!= col("nbr"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("d"))
+    // integer `div` keeps exactness for hub degrees past 2^26 (double
+    // division would lose ulps once d² exceeds 2^53)
+    val r = deg.agg(sum(expr("d * (d - 1) div 2"))).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Global clustering coefficient = 3·triangles / triplets
+    * (reference metrics/clustering_coefficient/global_clustering_coefficient.rs:38). */
+  def globalClusteringCoefficient(spark: SparkSession, g: TemporalGraph): Double = {
+    val triplets = tripletCount(g)
+    if (triplets == 0) 0.0
+    else 3.0 * Triangles.globalCount(spark, g) / triplets
+  }
+
+  /** Local clustering coefficient per node: 2·tri(v) / (d·(d−1)) over
+    * distinct non-self neighbours
+    * (reference .../local_clustering_coefficient.rs:66, batch variant :68). */
+  def localClusteringCoefficient(spark: SparkSession, g: TemporalGraph): DataFrame = {
+    val deg = g.undirectedPairs
+      .filter(col("node") =!= col("nbr"))
+      .groupBy(col("node").as("id"))
+      .agg(count(lit(1)).as("d"))
+    val tri = Triangles.localCounts(spark, g)
+    deg
+      .join(tri, Seq("id"), "left")
+      .select(
+        col("id"),
+        when(col("d") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) / (col("d") * (col("d") - 1)), 6))
+          .otherwise(lit(0.0))
+          .as("lcc"))
+  }
+
+  /** Directed graph density E / (N·(N−1))
+    * (reference metrics/directed_graph_density.rs:46). */
+  def directedDensity(g: TemporalGraph): Double = {
+    val n = g.countNodes().toDouble
+    if (n <= 1) 0.0 else g.countEdges() / (n * (n - 1))
+  }
+
+  /**
+   * Net weight per node over *all temporal edge events* (not deduped):
+   * incoming events positive, outgoing negative (direction="both"), or the
+   * one-sided sums (reference metrics/balance.rs:94, balance_per_node).
+   * `weightCol` must be a numeric column on the edge-events table.
+   */
+  def balance(g: TemporalGraph, weightCol: String, direction: String = "both"): DataFrame = {
+    val e = g.edges
+    val w = coalesce(col(weightCol).cast("double"), lit(1.0))
+    val inSum = e.groupBy(col("dst").as("id")).agg(sum(w).as("in_w"))
+    val outSum = e.groupBy(col("src").as("id")).agg(sum(w).as("out_w"))
+    val joined = inSum.join(outSum, Seq("id"), "full")
+    val value = direction match {
+      case "in"  => coalesce(col("in_w"), lit(0.0))
+      case "out" => -coalesce(col("out_w"), lit(0.0))
+      case _     => coalesce(col("in_w"), lit(0.0)) - coalesce(col("out_w"), lit(0.0))
+    }
+    joined.select(col("id"), round(value, 6).as("balance"))
+  }
+}

@@ -1,0 +1,186 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for large-scale training-data pipelines.
+ * Everything is expressed with codegen'd built-ins (`xxhash64`, `transform`,
+ * `aggregate`, `explode`) — no UDFs — so the hot paths stay inside
+ * whole-stage codegen and scale by partitioning on the hash/band keys.
+ *
+ * Scale notes: exact dedup is one hash-groupBy; MinHash-LSH shuffles once on
+ * the (band, band-hash) key — candidate pairs are generated per bucket with
+ * a self-join, so skewed buckets (boilerplate docs) are the risk; buckets
+ * larger than `maxBucket` are dropped with a count, the standard guardrail.
+ */
+object Dedup {
+
+  /** Exact duplicates: group by content hash.
+    * @return (fp, n_dups, canonical_id, doc_ids) */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("fp"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        min(col(idCol)).as("canonical_id"),
+        sort_array(collect_list(col(idCol))).as("doc_ids"))
+
+  /** Normalized-content fingerprint dedup: lowercase + strip non-alnum. */
+  def normalized(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")).as("fp"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
+
+  /** Word k-shingles of a text column (by name) as array<string>. */
+  def shingles(textColName: String, k: Int): Column =
+    expr(
+      s"transform(sequence(0, greatest(size(split($textColName, '\\\\s+')) - $k, 0)), " +
+        s"i -> array_join(slice(split($textColName, '\\\\s+'), i + 1, $k), ' '))")
+
+  /**
+   * MinHash signatures: per document, `numHashes` minima of
+   * xxhash64(shingle, seed_i). Returns the docs DF with a `minhash`
+   * array<long> column.
+   */
+  def withMinHash(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 32): DataFrame = {
+    val sh = docs.withColumn("__shingles", shingles(textCol, shingleSize))
+    sh.withColumn(
+      "minhash",
+      expr(
+        s"transform(sequence(0, ${numHashes - 1}), " +
+          "h -> array_min(transform(__shingles, s -> xxhash64(s, h))))"))
+      .drop("__shingles")
+  }
+
+  /**
+   * MinHash + LSH near-duplicate candidate pairs: split the signature into
+   * `bands` bands, bucket on (band index, hash of the band slice), emit
+   * candidate pairs per bucket, then verify with the full-signature Jaccard
+   * estimate ≥ `threshold`.
+   *
+   * @return (a, b, est_jaccard) with a < b.
+   */
+  def minHashLsh(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val signed = withMinHash(docs, textCol, shingleSize, numHashes)
+      .select(col(idCol).as("id"), col("minhash"))
+      .persist()
+
+    val banded = signed
+      .select(
+        col("id"),
+        col("minhash"),
+        explode(
+          expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
+            s"'band', b, 'bh', aggregate(slice(minhash, b * $rows + 1, $rows), " +
+            "cast(42 as bigint), (acc, x) -> xxhash64(acc, x))))"))
+          .as("bb"))
+      .select(col("id"), col("minhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    // guardrail: drop pathologically hot buckets (boilerplate explosion)
+    val sized = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucket)
+
+    val l = sized.select(col("band"), col("bh"), col("id").as("a"), col("minhash").as("mha"))
+    val r = sized.select(col("band"), col("bh"), col("id").as("b"), col("minhash").as("mhb"))
+    val pairs = l
+      .join(r, Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select(
+        col("a"),
+        col("b"),
+        (expr("size(filter(zip_with(mha, mhb, (x, y) -> x = y), v -> v))")
+          .cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("a", "b")
+      .agg(round(max("est_jaccard"), 6).as("est_jaccard"))
+    pairs
+  }
+
+  /**
+   * SimHash: 64-bit locality-sensitive fingerprint — per token hash, vote
+   * each bit up/down, sign gives the fingerprint bit. Near-dups differ in
+   * few bits (compare with `bit_count(a ^ b)` ≤ k).
+   * @return docs with a `simhash` long column.
+   */
+  def withSimHash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(
+      "simhash",
+      expr(
+        s"""aggregate(
+           |  sequence(0, 63),
+           |  cast(0 as bigint),
+           |  (acc, bit) -> acc + CASE WHEN
+           |    aggregate(split($textCol, '\\\\s+'), 0,
+           |      (v, tok) -> v + CASE WHEN (shiftright(xxhash64(tok), bit) & 1) = 1
+           |                      THEN 1 ELSE -1 END) > 0
+           |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin))
+
+  /** SimHash near-dup pairs: fingerprints within `maxHamming` bits, bucketed
+    * by 16-bit fingerprint quarters (a fingerprint pair within Hamming
+    * distance 3 shares at least one exact quarter — pigeonhole). */
+  def simHashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val signed = withSimHash(docs, textCol).select(col(idCol).as("id"), col("simhash")).persist()
+    val quartered = signed.select(
+      col("id"),
+      col("simhash"),
+      explode(
+        expr("transform(sequence(0, 3), q -> named_struct('q', q, " +
+          "'qh', shiftright(simhash, q * 16) & 65535))")).as("qq"))
+      .select(col("id"), col("simhash"), col("qq.q").as("q"), col("qq.qh").as("qh"))
+    val l = quartered.select(col("q"), col("qh"), col("id").as("a"), col("simhash").as("sa"))
+    val r = quartered.select(col("q"), col("qh"), col("id").as("b"), col("simhash").as("sb"))
+    l.join(r, Seq("q", "qh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), expr("bit_count(sa ^ sb)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("a", "b")
+      .agg(min("hamming").as("hamming"))
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity for candidate pairs (the verify stage
+   * after LSH, or standalone on a pre-filtered pair set): computes
+   * |A∩B| / |A∪B| over word shingle sets.
+   * `pairs` must have columns (a, b) of ids matching `docs(idCol)`.
+   */
+  def ngramJaccard(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      array_distinct(shingles(textCol, shingleSize)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(
+        col("a"),
+        col("b"),
+        round(
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            greatest(size(array_union(col("sha"), col("shb"))), lit(1)),
+          6).as("jaccard"))
+  }
+}

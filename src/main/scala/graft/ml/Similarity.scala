@@ -1,0 +1,147 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths, mirroring what a 100 TB pipeline needs:
+ *  - [[bruteForceTopK]]: exact cosine top-k via a broadcast join of the
+ *    query set against the corpus — the correctness baseline. O(|Q|·|C|)
+ *    dot products but embarrassingly parallel and codegen'd
+ *    (`zip_with` + `aggregate`, no UDF).
+ *  - [[lshTopK]] / [[cosineNearDupPairs]]: random-hyperplane LSH (sign
+ *    sketches) — signatures over seeded pseudo-random hyperplanes
+ *    (deterministic, xxhash64-derived components, no driver RNG). The
+ *    shuffle key is (band, signature); bucket sizes bound the join.
+ */
+object Similarity {
+
+  /** Cosine similarity of two array<float> columns (by name), in double. */
+  def cosine(ea: String, eb: String): Column = {
+    val dot = expr(
+      s"aggregate(zip_with($ea, $eb, (x, y) -> cast(x as double) * cast(y as double)), " +
+        "cast(0.0 as double), (s, v) -> s + v)")
+    def norm(e: String) = expr(
+      s"sqrt(aggregate($e, cast(0.0 as double), (s, v) -> s + cast(v as double) * cast(v as double)))")
+    dot / (norm(ea) * norm(eb))
+  }
+
+  /** SQL for a `bits`-bit random-hyperplane sign signature of `vecCol`,
+    * parameterized by a lambda-bound band variable `b`. Hyperplane
+    * component (b, bit, i) = xxhash64-uniform value in [-1, 1). */
+  private def planeSigSql(vecCol: String, bits: Int, seed: Long): String =
+    s"""aggregate(sequence(0, ${bits - 1}), cast(0 as bigint),
+       |  (acc, bit) -> acc + CASE WHEN
+       |    aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
+       |        (v, i) -> cast(v as double) *
+       |          (cast(pmod(xxhash64($seed, b, bit, i), 2000001) as double) / 1000000.0 - 1.0)),
+       |      cast(0.0 as double), (s, v) -> s + v) > 0
+       |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin
+
+  private def bandedSig(vecCol: String, bands: Int, bits: Int, seed: Long): Column =
+    explode(
+      expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, 'sig', " +
+        planeSigSql(vecCol, bits, seed) + "))"))
+
+  /**
+   * Exact top-k cosine neighbours for each query vector.
+   * @param corpus  (idCol, vecCol)
+   * @param queries (idCol, vecCol) — should be small; it is broadcast
+   * @return (query_id, neighbor_id, cos, rank) with rank ≤ k per query
+   */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c
+      .crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine("qv", "cv").as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(col("cos"), 6).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: `bands` independent signatures of
+   * `bitsPerBand` random-hyperplane bits; candidates = corpus sharing a
+   * band signature with the query; exact cosine re-ranks candidates.
+   */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bands: Int = 4,
+      bitsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    def signed(df: DataFrame, side: String): DataFrame =
+      df.select(
+        col(idCol).as(s"${side}_id"),
+        col(vecCol).as(s"${side}_v"),
+        bandedSig(vecCol, bands, bitsPerBand, seed).as("bs"))
+        .select(
+          col(s"${side}_id"),
+          col(s"${side}_v"),
+          col("bs.band").as("band"),
+          col("bs.sig").as("sig"))
+
+    val c = signed(corpus, "neighbor")
+    val q = broadcast(signed(queries, "query"))
+    val cands = c
+      .join(q, Seq("band", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("query_v"), col("neighbor_v"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cands
+      .select(col("query_id"), col("neighbor_id"), cosine("query_v", "neighbor_v").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(col("cos"), 6).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs over the whole corpus via LSH
+    * buckets: pairs sharing any band signature with cosine ≥ threshold. */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bands: Int = 4,
+      bitsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val sig = corpus.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      bandedSig(vecCol, bands, bitsPerBand, seed).as("bs"))
+      .select(col("id"), col("v"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val l = sig.select(col("band"), col("sig"), col("id").as("a"), col("v").as("va"))
+    val r = sig.select(col("band"), col("sig"), col("id").as("b"), col("v").as("vb"))
+    l.join(r, Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("va"), col("vb"))
+      .distinct()
+      .select(col("a"), col("b"), round(cosine("va", "vb"), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+}

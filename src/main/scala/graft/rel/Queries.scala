@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.TemporalGraph
-import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
+import graft.algos.{Components, ConnectedComponents, Hits, KCore, LabelPropagation, Metrics, PageRank, Paths, Triangles}
+import graft.ml.{Dedup, Similarity, TextAnalysis}
 
 /**
  * The relational operator surface checked by the driver's DuckDB oracle:
@@ -534,7 +535,302 @@ object Queries {
           |    WHEN ' ' || lower(text) || ' ' LIKE '% el %'
           |      OR ' ' || lower(text) || ' ' LIKE '% y %' THEN 'es'
           |    ELSE 'unknown' END AS pred_lang
-          |FROM documents""".stripMargin))
+          |FROM documents""".stripMargin)),
+
+    // ---- graph metrics (§2.4 / §2.10 direct algorithms) ----
+    (
+      "q_graph_degree_stats",
+      (s, d) => Metrics.degreeStats(eventGraph(s, d)),
+      Some(
+        s"""WITH e0 AS ($eventEdgesSql),
+           |e AS (SELECT DISTINCT src, dst FROM e0),
+           |up AS (SELECT DISTINCT node, nbr FROM (
+           |  SELECT src AS node, dst AS nbr FROM e
+           |  UNION ALL SELECT dst AS node, src AS nbr FROM e)),
+           |o AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY src),
+           |i AS (SELECT dst AS id, count(*) AS in_deg FROM e GROUP BY dst),
+           |b AS (SELECT node AS id, count(*) AS deg FROM up GROUP BY node),
+           |degs AS (SELECT b.id, coalesce(o.out_deg, 0) AS out_deg,
+           |  coalesce(i.in_deg, 0) AS in_deg, b.deg
+           |  FROM b LEFT JOIN o ON b.id = o.id LEFT JOIN i ON b.id = i.id)
+           |SELECT max(out_deg) AS max_out_degree, min(out_deg) AS min_out_degree,
+           |  round(avg(out_deg), 6) AS avg_out_degree,
+           |  max(in_deg) AS max_in_degree, min(in_deg) AS min_in_degree,
+           |  round(avg(in_deg), 6) AS avg_in_degree,
+           |  max(deg) AS max_degree, min(deg) AS min_degree,
+           |  round(avg(deg), 6) AS avg_degree
+           |FROM degs""".stripMargin)),
+
+    (
+      "q_graph_degree_centrality",
+      (s, d) => Metrics.degreeCentrality(eventGraph(s, d)),
+      Some(
+        s"""WITH e0 AS ($eventEdgesSql),
+           |e AS (SELECT DISTINCT src, dst FROM e0),
+           |up AS (SELECT DISTINCT node, nbr FROM (
+           |  SELECT src AS node, dst AS nbr FROM e
+           |  UNION ALL SELECT dst AS node, src AS nbr FROM e)),
+           |b AS (SELECT node AS id, count(*) AS deg FROM up GROUP BY node)
+           |SELECT id, round(deg * 1.0 / (SELECT max(deg) FROM b), 6) AS centrality
+           |FROM b""".stripMargin)),
+
+    (
+      "q_graph_reciprocity_local",
+      (s, d) => Metrics.localReciprocity(eventGraph(s, d)),
+      Some(
+        s"""WITH e0 AS ($eventEdgesSql),
+           |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+           |o AS (SELECT src AS id, count(*) AS n_out FROM e GROUP BY src),
+           |i AS (SELECT dst AS id, count(*) AS n_in FROM e GROUP BY dst),
+           |r AS (SELECT e.src AS id, count(*) AS n_recip FROM e
+           |      WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)
+           |      GROUP BY e.src)
+           |SELECT coalesce(o.id, i.id) AS id,
+           |  round(2.0 * coalesce(n_recip, 0) /
+           |    (coalesce(n_out, 0) + coalesce(n_in, 0)), 6) AS reciprocity
+           |FROM o FULL JOIN i ON o.id = i.id
+           |LEFT JOIN r ON coalesce(o.id, i.id) = r.id""".stripMargin)),
+
+    (
+      "q_graph_triplets_clustering",
+      (s, d) => {
+        import s.implicits._
+        val g = eventGraph(s, d)
+        val triplets = Metrics.tripletCount(g)
+        val triangles = Triangles.globalCount(s, g)
+        Seq((triplets, triangles)).toDF("triplets", "triangles")
+          .select(
+            col("triplets"),
+            col("triangles"),
+            round(lit(3.0) * col("triangles") / col("triplets"), 6).as("gcc"))
+      },
+      Some(
+        s"""WITH e0 AS ($eventEdgesSql),
+           |up AS (SELECT DISTINCT node, nbr FROM (
+           |  SELECT src AS node, dst AS nbr FROM (SELECT DISTINCT src, dst FROM e0)
+           |  UNION ALL SELECT dst AS node, src AS nbr FROM (SELECT DISTINCT src, dst FROM e0))
+           |  WHERE node <> nbr),
+           |degs AS (SELECT node, count(*) AS dd FROM up GROUP BY node),
+           |trip AS (SELECT CAST(sum(dd * (dd - 1) // 2) AS BIGINT) AS n FROM degs),
+           |ce AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+           |       FROM e0 WHERE src <> dst),
+           |tri AS (SELECT count(*) AS n FROM ce e1 JOIN ce e2 ON e1.b = e2.a
+           |        JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b)
+           |SELECT trip.n AS triplets, tri.n AS triangles,
+           |  round(3.0 * tri.n / trip.n, 6) AS gcc
+           |FROM trip, tri""".stripMargin)),
+
+    (
+      "q_graph_triangles_local",
+      (s, d) => Triangles.localCounts(s, eventGraph(s, d)),
+      Some(
+        s"""WITH e0 AS ($eventEdgesSql),
+           |ce AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+           |       FROM e0 WHERE src <> dst),
+           |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+           |        FROM ce e1 JOIN ce e2 ON e1.b = e2.a
+           |        JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b)
+           |SELECT id, count(*) AS triangles FROM (
+           |  SELECT u AS id FROM tri
+           |  UNION ALL SELECT v FROM tri
+           |  UNION ALL SELECT w FROM tri)
+           |GROUP BY id""".stripMargin)),
+
+    (
+      "q_graph_density",
+      (s, d) => {
+        import s.implicits._
+        Seq(Metrics.directedDensity(eventGraph(s, d))).toDF("r")
+          .select(round(col("r"), 6).as("density"))
+      },
+      Some(
+        s"""WITH e0 AS ($eventEdgesSql),
+           |e AS (SELECT DISTINCT src, dst FROM e0),
+           |n AS (SELECT count(*) AS n FROM
+           |  (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)))
+           |SELECT round((SELECT count(*) FROM e) * 1.0 / (n.n * (n.n - 1)), 6) AS density
+           |FROM n""".stripMargin)),
+
+    (
+      "q_graph_balance",
+      // net event-weight per node over the weighted event-edge stream
+      // (reference balance semantics: temporal events, not deduped edges)
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        val weighted = t(s, d, "events")
+          .withColumn("dst", lead("user_id", 1).over(w))
+          .withColumn("wv", lead("value", 1).over(w))
+          .filter(col("dst").isNotNull && col("dst") =!= col("user_id"))
+          .select(
+            col("user_id").as("src"),
+            col("dst"),
+            epochMillis(col("ts")).as("ts"),
+            col("event_id"),
+            col("event_type").as("layer"),
+            col("wv"))
+        Metrics.balance(TemporalGraph(weighted), "wv", "both")
+      },
+      Some(
+        """WITH e0 AS (
+          |  SELECT user_id AS src, dst, wv FROM (
+          |    SELECT user_id,
+          |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst,
+          |      lead(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS wv
+          |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+          |i AS (SELECT dst AS id, sum(wv) AS in_w FROM e0 GROUP BY dst),
+          |o AS (SELECT src AS id, sum(wv) AS out_w FROM e0 GROUP BY src)
+          |SELECT coalesce(i.id, o.id) AS id,
+          |  round(coalesce(in_w, 0) - coalesce(out_w, 0), 6) AS balance
+          |FROM i FULL JOIN o ON i.id = o.id""".stripMargin)),
+
+    (
+      "q_graph_sssp",
+      (s, d) =>
+        Paths.sssp(s, eventGraph(s, d), source = 0L, cutoff = 5).select("id", "dist"),
+      Some(
+        s"""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ($eventEdgesSql)),
+           |r(id, dist) AS (
+           |  SELECT CAST(0 AS BIGINT), 0
+           |  UNION
+           |  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.id WHERE r.dist < 5)
+           |SELECT id, min(dist) AS dist FROM r GROUP BY id""".stripMargin)),
+
+    // ---- iterative graph ops without SQL equivalents (rows-only) ----
+    (
+      "q_graph_kcore",
+      (s, d) => KCore.coreSet(s, eventGraph(s, d), KCore.Config(k = 4)),
+      None),
+    (
+      "q_graph_hits",
+      (s, d) => Hits.run(s, eventGraph(s, d), Hits.Config(maxIter = 20))
+        .select(col("id"), round(col("hub_score"), 6).as("hub_score"),
+          round(col("auth_score"), 6).as("auth_score")),
+      None),
+    (
+      "q_graph_component_sizes",
+      (s, d) => Components.componentSizes(s, eventGraph(s, d)),
+      None),
+
+    // ---- dedup / similarity over documents + embeddings ----
+    (
+      "q_dedup_minhash_lsh",
+      (s, d) => Dedup.minHashLsh(t(s, d, "documents"), threshold = 0.4),
+      None),
+    (
+      "q_dedup_simhash",
+      (s, d) => Dedup.simHashPairs(t(s, d, "documents"), maxHamming = 8),
+      None),
+    (
+      "q_dedup_ngram_jaccard",
+      // jaccard over adjacent-id candidate pairs (deterministic sample)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = docs.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+          .join(docs.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+        Dedup.ngramJaccard(docs, pairs)
+      },
+      None),
+    (
+      "q_sim_cosine_topk",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 3), k = 5)
+      },
+      Some(
+        """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+          |scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(q.embedding,
+          |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(c.embedding,
+          |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+          |  FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+          |ranked AS (SELECT query_id, neighbor_id, cos,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos DESC, neighbor_id) AS rank
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+          |FROM ranked WHERE rank <= 5""".stripMargin)),
+    (
+      "q_sim_lsh_topk",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 3), k = 5, bands = 8, bitsPerBand = 4)
+      },
+      None),
+    (
+      "q_sim_cosine_neardup",
+      (s, d) => graft.ml.Similarity.cosineNearDupPairs(t(s, d, "embeddings"), threshold = 0.5),
+      None),
+
+    (
+      "q_text_quality",
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some(
+        """SELECT doc_id, round(
+          |  (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.4
+          |  + (length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0
+          |     / greatest(length(text), 1)) * 0.3
+          |  + (length(list_distinct(regexp_split_to_array(lower(text), '\s+'))) * 1.0
+          |     / greatest(length(regexp_split_to_array(text, '\s+')), 1)) * 0.3, 6)
+          |  AS quality
+          |FROM documents""".stripMargin)),
+    (
+      "q_text_analyze",
+      (s, d) => TextAnalysis.analyze(t(s, d, "documents"))
+        .select("doc_id", "n_tokens", "n_subwords", "fingerprint", "pred_lang", "quality"),
+      None),
+
+    // ---- temporal window sets (rolling windows, §2.5) ----
+    (
+      "q_temporal_rolling",
+      // rolling(window=2 days, step=1 day): epoch-aligned starts; each event
+      // belongs to exactly 2 windows (reference rolling(), time.rs:178)
+      (s, d) =>
+        t(s, d, "events")
+          .select(
+            explode(array(
+              date_trunc("day", col("ts")) - expr("INTERVAL 1 DAY"),
+              date_trunc("day", col("ts")))).as("w_start"),
+            col("user_id"),
+            col("value"))
+          .groupBy("w_start")
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            round(sum(col("value")), 2).as("total_value")),
+      Some(
+        """SELECT w_start, count(*) AS n_events,
+          |  count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS total_value
+          |FROM (SELECT unnest([date_trunc('day', ts) - INTERVAL 1 DAY,
+          |                     date_trunc('day', ts)]) AS w_start, user_id, value
+          |      FROM events)
+          |GROUP BY w_start""".stripMargin)),
+    (
+      "q_temporal_snapshot",
+      // snapshot_at semantics: everything at or before the cut
+      // (reference time.rs:127)
+      (s, d) => {
+        val g = TemporalGraph(eventEdges(s, d)).snapshotAt(1705000000000L)
+        g.edges.groupBy("layer").agg(
+          count(lit(1)).as("n_edges"),
+          countDistinct(col("src")).as("n_srcs"))
+      },
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_id, event_type AS layer,
+           |    epoch_us(ts) // 1000 AS tsm FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT layer, count(*) AS n_edges, count(DISTINCT src) AS n_srcs
+           |FROM e0 WHERE tsm <= 1705000000000
+           |GROUP BY layer""".stripMargin))
   )
 
   val all: Map[String, Q] = defs.map { case (n, q, _) => n -> q }.toMap

@@ -1,0 +1,118 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup
+    (4L, "completely different content about spark catalyst optimizer rules and codegen"),
+    (5L, "Der Hund und die Katze sind gute Freunde und das ist schön"),
+    (6L, "THE QUICK BROWN FOX jumps over the lazy dog near the river bank today!")) // case/punct variant
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exact(docs).collect()
+    val dupGroup = groups.find(_.getAs[Long]("n_dups") == 2L)
+    assert(dupGroup.isDefined)
+    assert(dupGroup.get.getAs[Long]("canonical_id") == 1L)
+    assert(dupGroup.get.getSeq[Long](dupGroup.get.fieldIndex("doc_ids")).toList == List(1L, 2L))
+  }
+
+  test("normalized dedup also catches case/punctuation variants") {
+    val groups = Dedup.normalized(docs).collect()
+    val big = groups.map(_.getAs[Long]("n_dups")).max
+    assert(big == 3L) // docs 1, 2, 6
+  }
+
+  test("minhash LSH surfaces the near-duplicate pair") {
+    val pairs = Dedup
+      .minHashLsh(docs, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), s"near dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+  }
+
+  test("simhash hamming distance separates near-dups from distinct docs") {
+    val pairs = Dedup
+      .simHashPairs(docs, maxHamming = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup high, distinct low") {
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val j = Dedup
+      .ngramJaccard(docs, cand)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+    assert(j((1L, 4L)) == 0.0)
+  }
+
+  test("brute-force cosine top-k is exact and LSH recalls the top hit") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(vecs, queries, k = 5)
+    val rows = brute.collect()
+    assert(rows.length == 15) // 3 queries × 5
+    // scores sorted descending within each query
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val scores = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    val lsh = Similarity
+      .lshTopK(vecs, queries, k = 5, bands = 8, bitsPerBand = 4)
+      .collect()
+    assert(lsh.nonEmpty, "LSH should produce candidates at 8 bands x 4 bits")
+    // every LSH result's cosine must equal the exact cosine (re-ranked)
+    val bruteMap = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteMap.get(key).foreach(exact => assert(math.abs(exact - r.getDouble(2)) < 1e-9))
+    }
+  }
+
+  test("text analysis signals") {
+    val analyzed = TextAnalysis.analyze(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(analyzed(1L).getAs[Long]("n_tokens") == 14L)
+    assert(analyzed(5L).getAs[String]("pred_lang") == "de")
+    assert(analyzed(1L).getAs[String]("pred_lang") == "en")
+    assert(analyzed(1L).getAs[Long]("fingerprint") == analyzed(6L).getAs[Long]("fingerprint"),
+      "normalized fingerprint must collapse case/punct variants")
+    val q = analyzed(1L).getAs[Double]("quality")
+    assert(q > 0.5 && q <= 1.0)
+  }
+
+  test("multimodal: synthetic assets, stub features, frame/resize plans") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    assert(assets.count() == 30)
+    val feats = Multimodal.extractFeatures(spark, assets)
+    val row = feats.filter(col("payload").isNotNull).limit(1).collect()(0)
+    assert(row.getSeq[Float](row.fieldIndex("features")).length == Multimodal.DecodeStub.featureDim)
+    assert(row.getAs[Long]("n_bytes") > 0)
+    // determinism of the stub path
+    val a = Multimodal.extractFeatures(spark, assets).orderBy("asset_id").collect()
+    val b = Multimodal.extractFeatures(spark, assets).orderBy("asset_id").collect()
+    assert(a.sameElements(b))
+    val frames = Multimodal.sampleFramePlan(assets, everyMs = 10000, maxFrames = 5)
+    assert(frames.groupBy("asset_id").count().agg(max("count")).first().getLong(0) <= 5)
+    val resize = Multimodal.resizePlan(assets, 256, 256).collect()
+    resize.foreach { r =>
+      assert(r.getAs[Int]("target_width") <= 256 && r.getAs[Int]("target_height") <= 256)
+    }
+  }
+}
