@@ -19,14 +19,15 @@ import org.apache.spark.sql.functions._
  *  - convergence: Σ|Δ| ≤ tol·n (L1) or √(ΣΔ²) ≤ tol·n (L2)
  *    (pagerank.rs:143-156), capped at maxIter supersteps.
  *
- * Spark plan per superstep (2 jobs): the CSR out-adjacency `(src, dsts,
- * out_deg)` — one row per source — is joined with the current rank state,
- * exploded, and partially aggregated map-side before the `groupBy(dst)`
- * shuffle (hub in-degree skew is absorbed by partial aggregation); the new
- * state materializes under one combined aggregate that yields both the
- * convergence diff and the next superstep's sink mass, so there is exactly
- * one pass over state per superstep beyond the message join. Adjacency is
- * computed once, persisted, and reused across supersteps.
+ * Spark plan per superstep — ONE job: the CSR out-adjacency `(src, dsts,
+ * out_deg)` (one row per source, persisted, hash-partitioned on src) joins
+ * the current rank state, explodes, and partially aggregates map-side
+ * before the `groupBy(dst)` shuffle (hub in-degree skew is absorbed by
+ * partial aggregation); the sink mass is a one-row broadcast aggregate
+ * *inside the same plan* (no driver round-trip); the diff column rides
+ * along in the state. With tol = 0 (forced-iteration benches) no
+ * per-superstep driver action runs beyond the state materialization;
+ * with tol > 0 one tiny aggregate over the cached state checks convergence.
  */
 object PageRank {
 
@@ -56,10 +57,6 @@ object PageRank {
     val teleport = (1.0 - damp) / n
     val init2 = init.withColumn("score", lit(1.0 / n))
 
-    // Carried across supersteps on the driver (recomputed from state on
-    // resume): Σ score over sinks, from the previous superstep.
-    var sinkSum: Option[Double] = None
-
     val result = SuperstepRunner.run(
       spark,
       init2,
@@ -68,11 +65,12 @@ object PageRank {
         checkpointDir = cfg.checkpointDir,
         checkpointEvery = cfg.checkpointEvery,
         runId = "pagerank")) { (state, _) =>
-      val ss = sinkSum.getOrElse {
-        val r = state.filter(col("out_deg") === 0).agg(sum("score")).first()
-        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-      }
-      val sinkContrib = damp / n * ss
+      // sink mass from the previous superstep's scores, as a broadcast
+      // one-row aggregate inside the same plan (pagerank.rs:107-127)
+      val sinkAgg = broadcast(
+        state
+          .filter(col("out_deg") === 0)
+          .agg(coalesce(sum("score"), lit(0.0)).as("sink_mass")))
 
       val msgs = adj
         .join(state.select(col("id"), col("score")), adj("src") === col("id"))
@@ -80,30 +78,31 @@ object PageRank {
         .groupBy("id")
         .agg(sum("w").as("msum"))
 
+      val newScore =
+        lit(teleport) + lit(damp) * coalesce(col("msum"), lit(0.0)) +
+          lit(damp / n) * col("sink_mass")
+
       val next = state
         .join(msgs, Seq("id"), "left")
+        .crossJoin(sinkAgg)
         .select(
           col("id"),
           col("out_deg"),
-          (lit(teleport) + lit(damp) * coalesce(col("msum"), lit(0.0)) + lit(sinkContrib))
-            .as("score"),
-          abs(
-            lit(teleport) + lit(damp) * coalesce(col("msum"), lit(0.0)) + lit(sinkContrib) -
-              col("score")).as("diff"))
+          newScore.as("score"),
+          abs(newScore - col("score")).as("diff"))
 
       Step(
         next.select("id", "out_deg", "score", "diff"),
         { materialized =>
-          val row = materialized
-            .agg(
-              sum(if (cfg.useL2Norm) col("diff") * col("diff") else col("diff")).as("d"),
-              sum(when(col("out_deg") === 0, col("score")).otherwise(lit(0.0))).as("sink"))
-            .first()
-          val d = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-          val nextSink = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
-          sinkSum = Some(nextSink)
-          val normed = if (cfg.useL2Norm) math.sqrt(d) else d
-          (normed <= cfg.tol * n, Map("diff" -> normed, "sinkSum" -> nextSink))
+          if (cfg.tol <= 0.0) (false, Map.empty)
+          else {
+            val row = materialized
+              .agg(sum(if (cfg.useL2Norm) col("diff") * col("diff") else col("diff")).as("d"))
+              .first()
+            val d = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+            val normed = if (cfg.useL2Norm) math.sqrt(d) else d
+            (normed <= cfg.tol * n, Map("diff" -> normed))
+          }
         })
     }
     adj.unpersist(false)

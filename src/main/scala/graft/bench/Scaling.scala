@@ -12,74 +12,79 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 /**
  * Two-cluster-size scaling evidence (north rule: throughput scaling
  * efficiency ≥ 0.8 from N to 4N executors). No real cluster exists in this
- * sandbox, so the same job runs at `local[8]` and `local[32]` — same input,
- * same plan, 4× the cores — and we report PageRank superstep throughput at
- * both plus efficiency = (T_8 / T_32) / 4.
+ * sandbox, so the same job runs at N and 4N local cores — same input, same
+ * plan — and we report PageRank superstep throughput at both plus
+ * efficiency = (T_N / T_4N) / 4. Two pairs are measured: local[2]→local[8]
+ * (per-core work highest, the cleanest analog of adding executors) and
+ * local[8]→local[32] (which on one box also exposes the machine's shared
+ * memory-bandwidth ceiling — a real cluster adds bandwidth with every
+ * executor, a single box does not).
  *
- * The workload is sized so executor work dominates fixed per-superstep
- * driver overhead (the quantity that would *also* be amortized on a real
- * 1000-executor cluster): default 40k conversations ≈ 1.2M turns/edges,
- * 10 forced PageRank supersteps.
- *
- * Usage: runMain graft.bench.Scaling [numConvs] [supersteps]
- * Appends a markdown row to BENCH.md and prints one JSON line.
+ * Usage: runMain graft.bench.Scaling [numConvs] [supersteps] [pairs]
+ *   pairs like "2:8,8:32"
+ * Appends markdown rows to BENCH.md and prints one JSON line per pair.
  */
 object Scaling {
 
   def main(args: Array[String]): Unit = {
-    val numConvs = args.headOption.map(_.toLong).getOrElse(40000L)
-    val steps = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val numConvs = args.headOption.map(_.toLong).getOrElse(400000L)
+    val steps = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val pairs = args.drop(2).headOption.getOrElse("2:8,8:32")
+      .split(",").toSeq.map { p => val Array(a, b) = p.split(":"); (a.toInt, b.toInt) }
 
-    def runAt(cores: Int): (Double, Long) = {
-      val spark = SparkSession
-        .builder()
-        .master(s"local[$cores]")
-        .config("spark.sql.shuffle.partitions", cores)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      val transcripts = TranscriptGen.transcripts(spark, numConvs).persist()
-      transcripts.count()
-      val edges = EdgeBuilder.edges(transcripts).persist()
-      val g = TemporalGraph(edges)
-      val nEdges = g.simpleEdges.count()
-      // warm-up pass (JIT + codegen) then the measured run
-      PageRank.run(spark, g, PageRank.Config(maxIter = 2, tol = 0.0)).count()
-      val t0 = System.nanoTime()
-      PageRank.run(spark, g, PageRank.Config(maxIter = steps, tol = 0.0)).count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      spark.stop()
-      (secs, nEdges)
-    }
+    val cores = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val measured = cores.map { c => c -> runAt(c, numConvs, steps) }.toMap
 
-    val (t8, nEdges) = runAt(8)
-    val (t32, _) = runAt(32)
-    val speedup = t8 / t32
-    val efficiency = speedup / 4.0
-    val thr8 = steps * nEdges / t8
-    val thr32 = steps * nEdges / t32
-
-    val json =
-      s"""{"metric":"scaling_efficiency","value":$efficiency,"unit":"ratio",""" +
-        s""""queries":{"t_local8":$t8,"t_local32":$t32,"speedup":$speedup,""" +
-        s""""edges":$nEdges,"supersteps":$steps,""" +
-        s""""edges_traversed_per_sec_8":$thr8,"edges_traversed_per_sec_32":$thr32}}"""
-    println(json)
-
-    val row =
-      s"| ${java.time.Instant.now()} | $numConvs convs / $nEdges edges | $steps supersteps | " +
-        f"$t8%.1f s | $t32%.1f s | $speedup%.2fx | $efficiency%.2f | " +
-        f"${thr8 / 1e6}%.2fM | ${thr32 / 1e6}%.2fM |\n"
     val bench = Paths.get("BENCH.md")
     if (!Files.exists(bench)) {
       Files.write(
         bench,
-        ("# BENCH — measured results\n\n## PageRank scaling (local[8] vs local[32], same input)\n\n" +
-          "| when | input | work | T(8) | T(32) | speedup | efficiency | edges/s @8 | edges/s @32 |\n" +
-          "|---|---|---|---|---|---|---|---|---|\n").getBytes(StandardCharsets.UTF_8))
+        ("# BENCH — measured results\n\n## PageRank scaling (N vs 4N local cores, same input)\n\n" +
+          "| when | input | work | cores N→4N | T(N) | T(4N) | speedup | efficiency | edges/s @N | edges/s @4N |\n" +
+          "|---|---|---|---|---|---|---|---|---|---|\n").getBytes(StandardCharsets.UTF_8))
     }
-    Files.write(bench, row.getBytes(StandardCharsets.UTF_8), StandardOpenOption.APPEND)
+    pairs.foreach { case (n, n4) =>
+      val (tN, edges) = measured(n)
+      val (t4N, _) = measured(n4)
+      val speedup = tN / t4N
+      val efficiency = speedup / (n4.toDouble / n)
+      val thrN = steps * edges / tN
+      val thr4N = steps * edges / t4N
+      println(
+        s"""{"metric":"scaling_efficiency","value":$efficiency,"unit":"ratio","queries":{""" +
+          s""""cores_n":$n,"cores_4n":$n4,"t_n":$tN,"t_4n":$t4N,"speedup":$speedup,""" +
+          s""""edges":$edges,"supersteps":$steps,""" +
+          s""""edges_traversed_per_sec_n":$thrN,"edges_traversed_per_sec_4n":$thr4N}}""")
+      val row =
+        s"| ${java.time.Instant.now()} | $numConvs convs / $edges edges | $steps supersteps | " +
+          f"$n→$n4 | $tN%.1f s | $t4N%.1f s | $speedup%.2fx | $efficiency%.2f | " +
+          f"${thrN / 1e6}%.2fM | ${thr4N / 1e6}%.2fM |\n"
+      Files.write(bench, row.getBytes(StandardCharsets.UTF_8), StandardOpenOption.APPEND)
+    }
+  }
+
+  private def runAt(cores: Int, numConvs: Long, steps: Int): (Double, Long) = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Only the edge table is persisted: caching the transcripts (full text
+    // strings) holds gigabytes of heap hostage during the timed loop.
+    val transcripts = TranscriptGen.transcripts(spark, numConvs)
+    val edges = EdgeBuilder.edges(transcripts).persist()
+    val g = TemporalGraph(edges)
+    val nEdges = g.simpleEdges.count()
+    // warm-up pass (JIT + codegen) then the measured run
+    PageRank.run(spark, g, PageRank.Config(maxIter = 2, tol = 0.0)).count()
+    val t0 = System.nanoTime()
+    PageRank.run(spark, g, PageRank.Config(maxIter = steps, tol = 0.0)).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    (secs, nEdges)
   }
 }

@@ -67,12 +67,12 @@ object SuperstepRunner {
     // Eager local checkpoint: measured faster than lazy (lazy folds the
     // whole superstep pipeline into the evaluator job and loses AQE's
     // per-stage planning of the materialization; eager costs one extra tiny
-    // cache-read job but keeps both jobs optimally planned).
-    def truncate(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint(true)
-      org.apache.spark.sql.GraftSqlInternals
-        .internalCreateDataFrame(spark, ck.queryExecution.toRdd, ck.schema)
-    }
+    // cache-read job but keeps both jobs optimally planned). resetStats
+    // keeps the checkpoint's output partitioning (state stays
+    // hash-partitioned on its key across supersteps — no re-exchange) while
+    // dropping the inherited statistics.
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftSqlInternals.resetStats(df.localCheckpoint(true))
     var (state, startStep) = resumed match {
       case Some((df, k)) => (truncate(df), k)
       case None          => (truncate(init), 0)
@@ -85,8 +85,14 @@ object SuperstepRunner {
     while (!converged && step < cfg.maxSteps) {
       step += 1
       val t0 = System.nanoTime()
+      val prevRdd = org.apache.spark.sql.GraftSqlInternals.cachedRdd(state)
       val s = mkStep(state, step)
       val next = truncate(s.next)
+      // `next` is fully materialized — the previous state's cached blocks
+      // can be freed NOW instead of waiting for GC + ContextCleaner (long
+      // runs otherwise accumulate every superstep's cache and stall on
+      // memory pressure).
+      prevRdd.foreach(_.unpersist(false))
       val (done, metrics) = s.evaluate(next) // runs the per-step actions
       val wallMs = (System.nanoTime() - t0) / 1e6
       converged = done
@@ -100,9 +106,13 @@ object SuperstepRunner {
         (converged || cfg.checkpointEvery > 0 && step % cfg.checkpointEvery == 0)
 
       state =
-        if (shouldCommit)
-          commit(spark, cfg.checkpointDir.get, cfg.runId, step, next, metrics, wallMs, converged)
-        else next
+        if (shouldCommit) {
+          val committed =
+            commit(spark, cfg.checkpointDir.get, cfg.runId, step, next, metrics, wallMs, converged)
+          // the committed parquet replaces the in-memory copy
+          org.apache.spark.sql.GraftSqlInternals.cachedRdd(next).foreach(_.unpersist(false))
+          committed
+        } else next
     }
     RunResult(state, step, converged, allMetrics.reverse)
   }

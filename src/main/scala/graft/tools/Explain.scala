@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.data.TranscriptGen
+import graft.graph.{EdgeBuilder, TemporalGraph}
+
+/**
+ * Plan-quality inspection: prints `explain("formatted")` for the hot plans
+ * so pushdown / partitioning / codegen coverage can be reviewed (run
+ * whenever an operator changes; see SURVEY §4).
+ */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    println("==== parquet scan pushdown (q_scan_project) ====")
+    graft.SparkEntry.queries("q_scan_project")(spark, sfDir).explain("formatted")
+
+    println("==== broadcast star join (q_join_multiway_broadcast) ====")
+    graft.SparkEntry.queries("q_join_multiway_broadcast")(spark, sfDir).explain("formatted")
+
+    println("==== edge build (one conv-partitioned window) ====")
+    val t = TranscriptGen.transcripts(spark, 100)
+    EdgeBuilder.edges(t).explain("formatted")
+
+    println("==== pagerank superstep shape (msgs join + agg) ====")
+    val g = TemporalGraph(EdgeBuilder.edges(t)).persistedLike()
+    spark.stop()
+  }
+
+  implicit final class GraphOps(private val g: TemporalGraph) extends AnyVal {
+    def persistedLike(): Unit = {
+      val adj = g.adjacencyOut.persist()
+      val state = g.nodes.select(col("id"), lit(0.5).as("score")).localCheckpoint(true)
+      val msgs = adj
+        .join(state, adj("src") === state("id"))
+        .select(explode(col("dsts")).as("id"), (col("score") / col("out_deg")).as("w"))
+        .groupBy("id")
+        .agg(sum("w").as("msum"))
+      state.join(msgs, Seq("id"), "left").explain("formatted")
+    }
+  }
+}

@@ -22,11 +22,45 @@ import org.apache.spark.sql.types.StructType
 object GraftSqlInternals {
 
   /** DataFrame over an already-materialized InternalRow RDD, with fresh
-    * (default) statistics. */
+    * (default) statistics. Loses partitioning info — prefer [[resetStats]]
+    * on a checkpointed Dataset, which keeps it. */
   def internalCreateDataFrame(
       spark: SparkSession,
       rdd: RDD[InternalRow],
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /**
+   * Drop the inherited `originStats`/`originConstraints` from a
+   * checkpointed Dataset's `LogicalRDD` while *keeping* its output
+   * partitioning and ordering — so the next superstep's joins/aggregations
+   * on the same key skip the exchange, and the BigInt statistics can't
+   * snowball across iterations. Falls back to a stats-free rewrap when the
+   * plan isn't a bare LogicalRDD.
+   */
+  def resetStats(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+        // second (curried) parameter list carries session + origin stats
+        val fresh = new LogicalRDD(
+          l.output, l.rdd, l.outputPartitioning, l.outputOrdering, l.isStreaming, l.stream)(
+          session, None, None)
+        classic.Dataset.ofRows(session, fresh)
+      case _ =>
+        internalCreateDataFrame(df.sparkSession, df.queryExecution.toRdd, df.schema)
+    }
+  }
+
+  /** The materialized RDD behind a (checkpointed) LogicalRDD plan, if any —
+    * used by the superstep runner to unpersist the previous superstep's
+    * state eagerly. Waiting for the ContextCleaner instead lets cached
+    * superstep states pile up and throttles long runs with GC pressure. */
+  def cachedRdd(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }
