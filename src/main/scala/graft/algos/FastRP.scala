@@ -1,0 +1,86 @@
+package graft.algos
+
+import graft.bsp.SuperstepRunner
+import graft.bsp.SuperstepRunner.{RunConfig, Step}
+import graft.graph.TemporalGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * FastRP node embeddings (reference
+ * raphtory/src/algorithms/embeddings/fast_rp.rs:40-114): initialize each
+ * node with a sparse random projection vector — component +/−(l·√s) with
+ * probability 1/(2s) each, else 0, where s = √m, l = (deg/(2m))^(ns−1) —
+ * then for each iteration k add the neighbour average of the previous
+ * state scaled by iterWeights(k)/(deg·(iters+1)), accumulating across
+ * iterations (the reference's double-buffer copies current → next, so
+ * contributions stack).
+ *
+ * Randomness is hash-derived per (seed, id, dim) — deterministic at any
+ * parallelism (the reference seeds SmallRng per node; distributions match,
+ * exact streams differ — embeddings are only comparable within one
+ * implementation).
+ *
+ * Spark plan per iteration: per-dimension explode → (nbr, dim) partial-sum
+ * shuffle → reassemble ordered arrays. Message volume is |E|·dim; partial
+ * aggregation absorbs hub skew.
+ */
+object FastRP {
+
+  def run(
+      spark: SparkSession,
+      g: TemporalGraph,
+      embeddingDim: Int = 16,
+      normalizationStrength: Double = 0.5,
+      iterWeights: Seq[Double] = Seq(1.0, 1.0, 0.5),
+      seed: Long = 42L): DataFrame = {
+    val pairs = g.undirectedPairs.persist()
+    val deg = pairs.groupBy(col("node").as("id")).agg(count(lit(1)).as("deg"))
+    val m = deg.count().toDouble
+    val s = math.sqrt(m)
+    val beta = normalizationStrength - 1.0
+    val numIters = iterWeights.size - 1
+
+    // init: component c ~ {+lv w.p. 1/(2s), -lv w.p. 1/(2s), 0 otherwise},
+    // scaled by iterWeights(0)
+    val lCol = pow(col("deg") / (2.0 * m), beta)
+    val v0 = math.sqrt(s)
+    val init = deg.select(
+      col("id"),
+      col("deg"),
+      expr(
+        s"""transform(sequence(0, ${embeddingDim - 1}), d ->
+           |  CASE pmod(xxhash64($seed, id, d), ${math.max(1, (2 * s).round)})
+           |    WHEN 0 THEN  __l * $v0 * ${iterWeights.head}
+           |    WHEN 1 THEN -__l * $v0 * ${iterWeights.head}
+           |    ELSE cast(0.0 as double) END)""".stripMargin
+          .replace("__l", s"pow(deg / ${2.0 * m}, $beta)"))
+        .as("emb"))
+
+    val result = SuperstepRunner.run(
+      spark,
+      init,
+      RunConfig(maxSteps = numIters, runId = "fastrp")) { (state, k) =>
+      val w = iterWeights(k)
+      // neighbour sums per dimension
+      val msgs = pairs
+        .join(state.select(col("id"), col("emb")), pairs("nbr") === col("id"))
+        .select(pairs("node").as("id"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy("id", "dim")
+        .agg(sum("v").as("sv"))
+        .groupBy("id")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, sv))), x -> x.sv)").as("nsum"))
+      val next = state
+        .join(msgs, Seq("id"), "left")
+        .select(
+          col("id"),
+          col("deg"),
+          when(col("nsum").isNull, col("emb"))
+            .otherwise(expr(s"zip_with(emb, nsum, (a, b) -> a + b * (${w} / (deg * ${numIters + 1.0})))"))
+            .as("emb"))
+      Step(next.select("id", "deg", "emb"), _ => (false, Map.empty))
+    }
+    pairs.unpersist(false)
+    result.state.select("id", "emb")
+  }
+}

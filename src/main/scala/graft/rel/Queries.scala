@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.TemporalGraph
-import graft.algos.{Components, ConnectedComponents, Hits, KCore, LabelPropagation, Metrics, PageRank, Paths, Triangles}
+import graft.algos.{BipartiteProjection, Components, ConnectedComponents, FastRP, Hits, KCore, LabelPropagation, Metrics, PageRank, Paths, Triangles}
 import graft.ml.{Dedup, Similarity, TextAnalysis}
 
 /**
@@ -694,6 +694,36 @@ object Queries {
            |  UNION
            |  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.id WHERE r.dist < 5)
            |SELECT id, min(dist) AS dist FROM r GROUP BY id""".stripMargin)),
+
+    (
+      "q_graph_bipartite_projection",
+      // two-mode projection: parts co-occurring in the same order with ship
+      // dates within 7 days (reference temporal_bipartite_projection.rs:31)
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val edges = li.select(
+          col("l_partkey").as("src"),
+          (col("l_orderkey") + lit(1000000000L)).as("dst"),
+          epochMillis(col("l_shipdate")).as("ts"),
+          col("l_linenumber").cast("long").as("event_id"),
+          lit("has_part").as("layer"))
+        val primaries = li.select(col("l_partkey").as("id")).distinct()
+        BipartiteProjection.run(TemporalGraph(edges), primaries, deltaMs = 7L * 86400000)
+      },
+      Some(
+        """WITH inc AS (
+          |  SELECT DISTINCT l_orderkey + 1000000000 AS middle, l_partkey AS p,
+          |    epoch_us(l_shipdate) // 1000 AS ts
+          |  FROM lineitem)
+          |SELECT DISTINCT l.p AS src, r.p AS dst, greatest(l.ts, r.ts) AS ts
+          |FROM inc l JOIN inc r ON l.middle = r.middle AND l.p < r.p
+          |WHERE abs(l.ts - r.ts) <= 604800000""".stripMargin)),
+
+    (
+      "q_graph_fastrp",
+      (s, d) => FastRP.run(s, eventGraph(s, d), embeddingDim = 8)
+        .select(col("id"), expr("transform(emb, x -> round(x, 6))").as("emb")),
+      None),
 
     // ---- iterative graph ops without SQL equivalents (rows-only) ----
     (
