@@ -46,33 +46,39 @@ object EdgeBuilder {
       .withColumn("prev_role", lag("role", 1).over(w))
       .withColumn("prev_tool", lag("tool", 1).over(w))
 
-    val reply = t
-      .filter(col("next_idx").isNotNull)
-      .select(
-        col("conv_id"),
+    // Both layers emitted from ONE pass over the windowed frame (0–2 edges
+    // per row via explode of the non-null candidates) — a union of two
+    // branches would re-run the per-conversation window shuffle twice.
+    val replyEdge = when(
+      col("next_idx").isNotNull,
+      struct(
         col("turn_idx").as("src_turn_idx"),
         col("next_idx").as("dst_turn_idx"),
         (unix_timestamp(col("next_ts")) * 1000).as("ts"),
         col("next_idx").cast("long").as("event_id"),
-        lit("reply").as("layer"))
-
-    val toolEdges = t
-      .filter(
-        col("role") === "tool" && col("prev_role") === "assistant" &&
-          col("tool").isNotNull && col("prev_tool") === col("tool"))
-      .select(
-        col("conv_id"),
+        lit("reply").as("layer")))
+    val toolEdge = when(
+      col("role") === "tool" && col("prev_role") === "assistant" &&
+        col("tool").isNotNull && col("prev_tool") === col("tool"),
+      struct(
         col("prev_idx").as("src_turn_idx"),
         col("turn_idx").as("dst_turn_idx"),
         (unix_timestamp(col("ts")) * 1000).as("ts"),
         col("turn_idx").cast("long").as("event_id"),
-        lit("tool").as("layer"))
+        lit("tool").as("layer")))
 
-    reply
-      .unionByName(toolEdges)
-      .withColumn("src", nodeId(col("conv_id"), col("src_turn_idx")))
-      .withColumn("dst", nodeId(col("conv_id"), col("dst_turn_idx")))
-      .select("src", "dst", "ts", "event_id", "layer", "conv_id", "src_turn_idx", "dst_turn_idx")
+    t.select(
+      col("conv_id"),
+      explode(filter(array(replyEdge, toolEdge), e => e.isNotNull)).as("e"))
+      .select(
+        nodeId(col("conv_id"), col("e.src_turn_idx")).as("src"),
+        nodeId(col("conv_id"), col("e.dst_turn_idx")).as("dst"),
+        col("e.ts").as("ts"),
+        col("e.event_id").as("event_id"),
+        col("e.layer").as("layer"),
+        col("conv_id"),
+        col("e.src_turn_idx").as("src_turn_idx"),
+        col("e.dst_turn_idx").as("dst_turn_idx"))
   }
 
   /** Node dimension table: one row per turn with its surrogate id. */
