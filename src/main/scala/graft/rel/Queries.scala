@@ -727,6 +727,11 @@ object Queries {
 
     // ---- iterative graph ops without SQL equivalents (rows-only) ----
     (
+      "q_graph_betweenness",
+      (s, d) => graft.algos.Betweenness.run(s, eventGraph(s, d), normalized = true)
+        .select(col("id"), round(col("betweenness"), 6).as("betweenness")),
+      None),
+    (
       "q_graph_kcore",
       (s, d) => KCore.coreSet(s, eventGraph(s, d), KCore.Config(k = 4)),
       None),
