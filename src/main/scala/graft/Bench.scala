@@ -97,9 +97,23 @@ object Bench {
     val (_, tLpa) = time(LabelPropagation.run(spark, g, LabelPropagation.Config(maxIter = 10)).count())
     results += "lpa" -> tLpa
 
-    // --- triangles on the reference-style random-attachment graph ---
-    val tri = GraphGen.randomAttachment(spark, triNodesFor(sfDir), 4)
-    val ((triCount, _), tTri) = time((Triangles.globalCount(spark, tri), ()))
+    // --- random-attachment graph (the reference's bench generator shape):
+    // PageRank to 1e-6 convergence takes real supersteps here (hubs), so
+    // this is the meaningful supersteps/sec-to-convergence number ---
+    val ra = GraphGen.randomAttachment(spark, triNodesFor(sfDir), 4)
+    val raEdges = ra.simpleEdges.count()
+    val ((raSteps, _), tRaPr) = time {
+      val r = PageRank.runWithStats(spark, ra, PageRank.Config(maxIter = 100, tol = 1e-6))
+      r._1.count()
+      (r._2, ())
+    }
+    results += "pagerank_ra_converge" -> tRaPr
+    extras += "pagerank_ra_supersteps" -> raSteps.toDouble
+    extras += "pagerank_ra_supersteps_per_sec" -> raSteps / tRaPr
+    extras += "pagerank_ra_edges_traversed_per_sec" -> raSteps.toDouble * raEdges / tRaPr
+
+    // --- triangles on the same graph ---
+    val ((triCount, _), tTri) = time((Triangles.globalCount(spark, ra), ()))
     results += "triangles" -> tTri
     extras += "triangle_count" -> triCount.toDouble
 
