@@ -44,6 +44,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -70,6 +71,12 @@ object Bench {
     val g = TemporalGraph(edges)
     val nEdges = g.simpleEdges.count()
     extras += "n_edges" -> nEdges.toDouble
+
+    // --- warm-up (untimed): a 2-superstep PageRank pays the one-time JIT /
+    // codegen / adjacency-build cost so the convergence timing below
+    // measures steady-state throughput, not cold-start (round-over-round
+    // BENCH diffs would otherwise be JIT noise; Scaling.scala does the same)
+    PageRank.run(spark, g, PageRank.Config(maxIter = 2, tol = 0.0)).count()
 
     // --- PageRank to 1e-6 convergence (north metric) ---
     val ((_, convSteps), tPrConv) = time {

@@ -61,7 +61,11 @@ object FastRP {
       spark,
       init,
       RunConfig(maxSteps = numIters, runId = "fastrp")) { (state, k) =>
-      val w = iterWeights(k)
+      // reference weight indexing: the task runner's ss starts at 0 on the
+      // first regular superstep (task_runner.rs:332-355 increments at loop
+      // end), so iteration k ∈ 1..numIters reads weights[k-1]; the last
+      // weight only sizes the iteration count and is never applied.
+      val w = iterWeights(k - 1)
       // neighbour sums per dimension
       val msgs = pairs
         .join(state.select(col("id"), col("emb")), pairs("nbr") === col("id"))

@@ -59,28 +59,38 @@ object Hits {
             coalesce(col("recv_hub"), lit(0.0)).as("recv_hub"),
             coalesce(col("recv_auth"), lit(0.0)).as("recv_auth"))
 
-        // Totals must be over the received sums (reference step3), read on
-        // the driver before the normalization pass.
-        val totals = received.agg(sum("recv_hub"), sum("recv_auth")).first()
-        val totalHub = if (totals.isNullAt(0)) 0.0 else totals.getDouble(0)
-        val totalAuth = if (totals.isNullAt(1)) 0.0 else totals.getDouble(1)
+        // Totals over the received sums (reference step3) as a broadcast
+        // one-row aggregate INSIDE the same plan — a driver-side .first()
+        // here would execute the two message joins once for the totals and
+        // again when the runner materializes `next` (2× cost per superstep).
+        val totals = broadcast(
+          received.agg(
+            coalesce(sum("recv_hub"), lit(0.0)).as("total_hub"),
+            coalesce(sum("recv_auth"), lit(0.0)).as("total_auth")))
 
-        val next = received.select(
-          col("id"),
-          (col("recv_auth") / lit(if (totalAuth == 0.0) 1.0 else totalAuth)).as("hub"),
-          (col("recv_hub") / lit(if (totalHub == 0.0) 1.0 else totalHub)).as("auth"),
-          abs(col("recv_auth") / lit(if (totalAuth == 0.0) 1.0 else totalAuth) - col("prev_hub"))
-            .as("dh"),
-          abs(col("recv_hub") / lit(if (totalHub == 0.0) 1.0 else totalHub) - col("prev_auth"))
-            .as("da"))
+        val normHub =
+          col("recv_auth") / when(col("total_auth") === 0.0, 1.0).otherwise(col("total_auth"))
+        val normAuth =
+          col("recv_hub") / when(col("total_hub") === 0.0, 1.0).otherwise(col("total_hub"))
+        val next = received
+          .crossJoin(totals)
+          .select(
+            col("id"),
+            normHub.as("hub"),
+            normAuth.as("auth"),
+            abs(normHub - col("prev_hub")).as("dh"),
+            abs(normAuth - col("prev_auth")).as("da"))
 
         Step(
           next,
           { m =>
+            if (cfg.tol <= 0.0) (false, Map.empty) // forced-iteration mode
+            else {
             val r = m.agg(max("dh"), max("da")).first()
             val mh = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
             val ma = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
             (mh <= cfg.tol && ma <= cfg.tol, Map("max_dh" -> mh, "max_da" -> ma))
+            }
           })
     }
     edges.unpersist(false)

@@ -4,7 +4,6 @@ import graft.bsp.SuperstepRunner
 import graft.bsp.SuperstepRunner.{RunConfig, Step}
 import graft.graph.TemporalGraph
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -24,8 +23,10 @@ import org.apache.spark.sql.functions._
  *    load-bearing).
  *
  * Spark plan per superstep: votes = neighbour-pair join + own-vote union →
- * `groupBy(node, label).count` (partial agg absorbs hub skew) → one
- * `row_number` window ordered by (count desc, label desc) picks the winner.
+ * `groupBy(node, label).count` (partial agg absorbs hub skew) →
+ * `groupBy(node).agg(max(struct(votes, label)))` picks the winner — the
+ * (count desc, label desc) tie-break as a single hash aggregate, one
+ * exchange fewer than a row_number window.
  */
 object LabelPropagation {
 
@@ -56,11 +57,15 @@ object LabelPropagation {
         .groupBy("id", "label")
         .agg(count(lit(1)).as("votes"))
 
-      val w = Window.partitionBy("id").orderBy(col("votes").desc, col("label").desc)
+      // winner = argmax (votes, then label) — max(struct) keeps the winner
+      // selection inside the SAME (id)-hash aggregate instead of paying a
+      // second exchange for a row_number window (the tally shuffle is on
+      // (id, label); the max-struct agg partially aggregates map-side and
+      // shuffles once on id).
       val winner = tally
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("label").as("new_label"))
+        .groupBy("id")
+        .agg(max(struct(col("votes"), col("label"))).as("w"))
+        .select(col("id"), col("w.label").as("new_label"))
 
       val next = state
         .join(winner, Seq("id"), "left")

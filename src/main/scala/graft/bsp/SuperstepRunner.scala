@@ -54,7 +54,7 @@ object SuperstepRunner {
   def run(spark: SparkSession, init: DataFrame, cfg: RunConfig)(
       mkStep: (DataFrame, Int) => Step): RunResult = {
 
-    val resumed = cfg.checkpointDir.flatMap(d => resume(spark, d))
+    val resumed = cfg.checkpointDir.flatMap(d => resume(spark, d, Some(cfg.runId)))
     // Every superstep's state is eagerly local-checkpointed: this both
     // materializes it for the evaluator AND truncates the logical plan to a
     // LogicalRDD. Iterative plans that reference the previous state more
@@ -161,13 +161,32 @@ object SuperstepRunner {
     reread
   }
 
-  /** Latest committed (state, superstep), if any. */
-  def resume(spark: SparkSession, dir: String): Option[(DataFrame, Int)] = {
+  /** Latest committed (state, superstep), if any. When `expectRunId` is set,
+    * only manifests carrying that runId count — a stale run of a *different*
+    * algorithm sharing the directory must not be silently resumed with the
+    * wrong schema. */
+  def resume(
+      spark: SparkSession,
+      dir: String,
+      expectRunId: Option[String] = None): Option[(DataFrame, Int)] = {
     val steps = Paths.get(dir, "steps")
     if (!Files.isDirectory(steps)) return None
+    val runIdRe = "\"runId\"\\s*:\\s*\"([^\"]*)\"".r
+    def manifestMatches(k: Int): Boolean = {
+      val m = steps.resolve(s"$k/manifest.json")
+      if (!Files.exists(m)) return false
+      expectRunId.forall { want =>
+        val text = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+        val got = runIdRe.findFirstMatchIn(text).map(_.group(1))
+        if (!got.contains(want))
+          System.err.println(
+            s"[resume] skipping $m: runId ${got.getOrElse("<none>")} != expected $want")
+        got.contains(want)
+      }
+    }
     val committed = listDir(steps)
       .flatMap(p => Try(p.getFileName.toString.toInt).toOption)
-      .filter(k => Files.exists(steps.resolve(s"$k/manifest.json")))
+      .filter(manifestMatches)
       .sorted(Ordering[Int].reverse)
     committed.headOption.map { k =>
       (spark.read.parquet(steps.resolve(s"$k/data").toString), k)

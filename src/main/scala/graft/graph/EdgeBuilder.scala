@@ -54,7 +54,7 @@ object EdgeBuilder {
       struct(
         col("turn_idx").as("src_turn_idx"),
         col("next_idx").as("dst_turn_idx"),
-        (unix_timestamp(col("next_ts")) * 1000).as("ts"),
+        unix_millis(col("next_ts").cast("timestamp_ltz")).as("ts"),
         col("next_idx").cast("long").as("event_id"),
         lit("reply").as("layer")))
     val toolEdge = when(
@@ -63,7 +63,7 @@ object EdgeBuilder {
       struct(
         col("prev_idx").as("src_turn_idx"),
         col("turn_idx").as("dst_turn_idx"),
-        (unix_timestamp(col("ts")) * 1000).as("ts"),
+        unix_millis(col("ts").cast("timestamp_ltz")).as("ts"),
         col("turn_idx").cast("long").as("event_id"),
         lit("tool").as("layer")))
 

@@ -132,23 +132,34 @@ object Dedup {
            |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin))
 
   /** SimHash near-dup pairs: fingerprints within `maxHamming` bits, bucketed
-    * by 16-bit fingerprint quarters (a fingerprint pair within Hamming
-    * distance 3 shares at least one exact quarter — pigeonhole). */
+    * by `maxHamming + 1` bit segments of the fingerprint — by pigeonhole a
+    * pair differing in ≤ maxHamming bits has at least one segment with zero
+    * differing bits, so bucketing on exact segment values is recall-exact
+    * (unlike a fixed quarter split, which is only exact for distance ≤ 3). */
   def simHashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming=$maxHamming out of [0, 32)")
+    val m = maxHamming + 1
+    // segment i covers bits [floor(i·64/m), floor((i+1)·64/m))
+    val segs = (0 until m).map { i =>
+      val start = i * 64 / m
+      val width = (i + 1) * 64 / m - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      s"named_struct('q', $i, 'qh', shiftright(simhash, $start) & ${mask}L)"
+    }
+    // persisted: both join sides read it and their plans differ by aliases,
+    // so exchange reuse can't dedupe the (expensive) fingerprint computation
     val signed = withSimHash(docs, textCol).select(col(idCol).as("id"), col("simhash")).persist()
-    val quartered = signed.select(
+    val segmented = signed.select(
       col("id"),
       col("simhash"),
-      explode(
-        expr("transform(sequence(0, 3), q -> named_struct('q', q, " +
-          "'qh', shiftright(simhash, q * 16) & 65535))")).as("qq"))
+      explode(expr(s"array(${segs.mkString(", ")})")).as("qq"))
       .select(col("id"), col("simhash"), col("qq.q").as("q"), col("qq.qh").as("qh"))
-    val l = quartered.select(col("q"), col("qh"), col("id").as("a"), col("simhash").as("sa"))
-    val r = quartered.select(col("q"), col("qh"), col("id").as("b"), col("simhash").as("sb"))
+    val l = segmented.select(col("q"), col("qh"), col("id").as("a"), col("simhash").as("sa"))
+    val r = segmented.select(col("q"), col("qh"), col("id").as("b"), col("simhash").as("sb"))
     l.join(r, Seq("q", "qh"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), expr("bit_count(sa ^ sb)").as("hamming"))

@@ -142,16 +142,23 @@ object Queries {
     (
       "q_agg_collect_topk",
       // top-3 quantities per returnflag via sorted collect — the reference's
-      // topk accumulator (core/state/accumulator_id.rs, SURVEY §2.4)
+      // topk accumulator (core/state/accumulator_id.rs, SURVEY §2.4).
+      // Emitted as one scalar column per rank: the driver's pandas compare
+      // can't hash array cells.
       (s, d) =>
         t(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            slice(sort_array(collect_list(col("l_quantity")), asc = false), 1, 3).as("top3_qty")),
+            slice(sort_array(collect_list(col("l_quantity")), asc = false), 1, 3).as("t"))
+          .select(
+            col("l_returnflag"),
+            col("t").getItem(0).as("top1_qty"),
+            col("t").getItem(1).as("top2_qty"),
+            col("t").getItem(2).as("top3_qty")),
       Some(
-        """SELECT l_returnflag,
-          |  (list_sort(list(l_quantity), 'DESC'))[1:3] AS top3_qty
-          |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+        """SELECT l_returnflag, t[1] AS top1_qty, t[2] AS top2_qty, t[3] AS top3_qty
+          |FROM (SELECT l_returnflag, (list_sort(list(l_quantity), 'DESC'))[1:3] AS t
+          |      FROM lineitem GROUP BY l_returnflag)""".stripMargin)),
 
     // ---- joins ----
     (
@@ -721,8 +728,11 @@ object Queries {
 
     (
       "q_graph_fastrp",
+      // embedding stringified: the driver's pandas compare can't hash arrays
       (s, d) => FastRP.run(s, eventGraph(s, d), embeddingDim = 8)
-        .select(col("id"), expr("transform(emb, x -> round(x, 6))").as("emb")),
+        .select(
+          col("id"),
+          array_join(expr("transform(emb, x -> cast(round(x, 6) as string))"), ",").as("emb")),
       None),
 
     // ---- iterative graph ops without SQL equivalents (rows-only) ----

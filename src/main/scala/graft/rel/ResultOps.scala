@@ -43,18 +43,28 @@ object ResultOps {
     Option(df.agg(avg(col(valueCol))).first().get(0))
       .map(_.toString.toDouble).getOrElse(0.0)
 
-  /** Exact median via sort (reference median_item_by is exact). */
+  /**
+   * Exact median (reference median_item_by, node_state_ops.rs:206: element
+   * at index n/2 — the upper middle for even n). Distributed rank-select:
+   * per-value counts aggregate in parallel, then a cumulative sum over the
+   * *distinct values* finds the first value whose cumulative count passes
+   * the target rank. The only single-partition step is the window over
+   * distinct values (cardinality « n; no Int overflow, no n/2-row limit).
+   */
   def median(df: DataFrame, valueCol: String): Option[Double] = {
     val n = df.count()
     if (n == 0) return None
-    val idx = (n - 1) / 2
-    df.orderBy(col(valueCol), col("id"))
-      .limit((idx + 1).toInt)
-      .orderBy(col(valueCol).desc, col("id").desc)
+    val rank = n / 2 // 0-indexed upper-middle
+    val counts = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum", org.apache.spark.sql.functions.sum(col("c")).over(w))
+      .filter(col("cum") > rank)
+      .orderBy(col("v"))
       .limit(1)
       .collect()
       .headOption
-      .map(_.getAs[Any](valueCol).toString.toDouble)
+      .map(_.getAs[Any]("v").toString.toDouble)
   }
 
   /** Group node states by a value column (reference group_by):

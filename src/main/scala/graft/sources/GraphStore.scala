@@ -39,9 +39,21 @@ final class GraphStore(val root: String, spark: SparkSession) {
   // ---- event log (WAL analog) ----
 
   /** Append a batch of edge events; returns the batch id (LSN analog). */
-  def append(edges: DataFrame): Long = {
+  def append(edges: DataFrame): Long =
+    appendAs(edges, committedBatches.lastOption.getOrElse(-1L) + 1)
+
+  /**
+   * Idempotent append under a caller-chosen batch id — the contract the
+   * Structured Streaming sink needs: foreachBatch is at-least-once, so a
+   * replayed micro-batch re-calls this with the SAME streaming batchId and
+   * must be a no-op once the batch manifest is committed (data files land
+   * first, manifest last — an interrupted write without a manifest is
+   * invisible to readers and safely overwritten on retry).
+   */
+  def appendAs(edges: DataFrame, batchId: Long): Long = {
+    if (committedBatches.contains(batchId)) return batchId
     Files.createDirectories(p("log"))
-    val next = committedBatches.lastOption.getOrElse(-1L) + 1
+    val next = batchId
     val dir = p("log", s"batch=$next").toString
     edges.write.mode("overwrite").parquet(dir)
     val back = spark.read.parquet(dir)

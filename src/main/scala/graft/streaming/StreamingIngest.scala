@@ -12,8 +12,9 @@ import graft.sources.GraphStore
  * drops, build edges per micro-batch with the same [[EdgeBuilder]] used in
  * batch mode, and commit each micro-batch to a [[GraphStore]] log batch —
  * the streaming analog of the reference's live `add_edge` + WAL path
- * (raphtory/src/db/api/mutation/addition_ops.rs:198-301), with exactly-once
- * per-batch commits (GraphStore manifests + the streaming checkpoint).
+ * (raphtory/src/db/api/mutation/addition_ops.rs:198-301). Effectively-once:
+ * foreachBatch is at-least-once, so log batches are keyed by the streaming
+ * batchId and [[GraphStore.appendAs]] skips already-committed ids on replay.
  *
  * Batch-first remains the default (SURVEY §2.9); this covers continuous
  * drops. `Trigger.AvailableNow` drains what's present and stops —
@@ -49,7 +50,11 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val edges = EdgeBuilder.edges(batch)
         if (!edges.isEmpty) {
-          store.append(edges)
+          // foreachBatch is at-least-once: key the log batch by the
+          // streaming batchId so a replayed micro-batch (failure after
+          // append, before the streaming checkpoint commits) is a no-op
+          // instead of a duplicate.
+          store.appendAs(edges, batchId)
         }
         ()
       }
