@@ -14,17 +14,24 @@ object TextAnalysis {
   def tokenCount(textCol: Column): Column =
     size(split(textCol, "\\s+")).cast("long")
 
-  /** BPE-ish subword count estimate: words + extra splits at
-    * case/digit/punct boundaries (a cheap, deterministic proxy for a real
-    * tokenizer; the container has no tokenizer libs). */
+  /** BPE-ish subword count estimate: words + extra splits at case/digit
+    * boundaries (a cheap, deterministic proxy for a real tokenizer; the
+    * container has no tokenizer libs). Boundaries are counted as
+    * non-overlapping two-char class-pair matches — exactly equivalent to
+    * lookaround boundary positions because the classes are disjoint (no two
+    * adjacent boundaries share a pattern), and unlike lookarounds this is
+    * RE2-compatible so the DuckDB oracle can replay it. */
   def subwordCountEstimate(textCol: Column): Column =
     (size(split(textCol, "\\s+")) +
-      size(split(textCol, "(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])")) - 1)
+      regexp_count(textCol, lit("[a-z][A-Z]")) +
+      regexp_count(textCol, lit("[A-Za-z][0-9]")) +
+      regexp_count(textCol, lit("[0-9][A-Za-z]")))
       .cast("long")
 
-  /** Rolling-hash document fingerprint over normalized content. */
+  /** Document fingerprint over normalized content (md5 — portable across
+    * engines for oracle replay; collision-safe for dedup purposes). */
   def fingerprint(textCol: Column): Column =
-    xxhash64(regexp_replace(lower(textCol), "[^a-z0-9]", ""))
+    md5(regexp_replace(lower(textCol), "[^a-z0-9]", ""))
 
   private val stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "is"),

@@ -63,6 +63,130 @@ object Queries {
     TemporalGraph(eventEdges(spark, dir))
 
   // ------------------------------------------------------------------
+  // Iterated-CTE oracle generators for the fixpoint algorithms.
+  //
+  // DuckDB can replay a *pinned-iteration* run of each flagship algorithm:
+  // every superstep becomes one MATERIALIZED CTE (materialization stops the
+  // optimizer from inlining a CTE that is referenced twice per step, which
+  // would make the plan exponential in the iteration count). Early
+  // convergence on the Spark side is safe: a converged state is a fixpoint
+  // of the synchronous update, so extra SQL iterations are no-ops (exact
+  // for WCC/LPA/k-core; PageRank/HITS pin tol=0 so both sides run the full
+  // iteration count, and outputs are rounded to 6dp on both sides).
+  // ------------------------------------------------------------------
+
+  /** Shared graph CTEs over the events-derived edge table: `e` = distinct
+    * directed edges, `u` = distinct undirected pairs (both orientations),
+    * `nodes` = every endpoint. */
+  private val graphBaseSql =
+    s"""e0 AS ($eventEdgesSql),
+       |e AS (SELECT DISTINCT src, dst FROM e0),
+       |u AS (SELECT DISTINCT a, b FROM (
+       |  SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)""".stripMargin
+
+  /** Fixed-iteration PageRank (semantics of algos/PageRank: teleport +
+    * damped in-neighbour mass + sink mass from the previous iteration). */
+  private def pageRankOracleSql(iters: Int, damping: Double): String = {
+    val head =
+      s"""WITH $graphBaseSql,
+         |od AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
+         |deg AS (SELECT n.id, coalesce(od.outdeg, 0) AS outdeg
+         |        FROM nodes n LEFT JOIN od ON n.id = od.id),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |s0 AS MATERIALIZED (
+         |  SELECT id, outdeg, 1.0 / (SELECT n FROM nn) AS score FROM deg)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT d.id, d.outdeg,
+         |    (1.0 - $damping) / (SELECT n FROM nn)
+         |      + $damping * coalesce(m.msum, 0)
+         |      + $damping / (SELECT n FROM nn)
+         |        * (SELECT coalesce(sum(score), 0) FROM s${k - 1} WHERE outdeg = 0) AS score
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.score / p.outdeg) AS msum
+         |    FROM e JOIN s${k - 1} p ON e.src = p.id GROUP BY e.dst) m ON d.id = m.id)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT id, round(score, 6) AS score FROM s$iters"
+  }
+
+  /** Fixed-iteration HITS (semantics of algos/Hits: received sums along
+    * both directions, normalized by the global received totals). */
+  private def hitsOracleSql(iters: Int): String = {
+    val head =
+      s"""WITH $graphBaseSql,
+         |h0 AS MATERIALIZED (SELECT id, 1.0 AS hub, 1.0 AS auth FROM nodes)""".stripMargin
+    val steps = (1 to iters).flatMap { k =>
+      Seq(
+        s"""r$k AS MATERIALIZED (
+           |  SELECT n.id, coalesce(rh.v, 0) AS recv_hub, coalesce(ra.v, 0) AS recv_auth
+           |  FROM nodes n
+           |  LEFT JOIN (SELECT e.dst AS id, sum(p.hub) AS v
+           |             FROM e JOIN h${k - 1} p ON e.src = p.id GROUP BY e.dst) rh
+           |    ON n.id = rh.id
+           |  LEFT JOIN (SELECT e.src AS id, sum(p.auth) AS v
+           |             FROM e JOIN h${k - 1} p ON e.dst = p.id GROUP BY e.src) ra
+           |    ON n.id = ra.id)""".stripMargin,
+        s"""h$k AS MATERIALIZED (
+           |  SELECT id,
+           |    recv_auth / (SELECT CASE WHEN sum(recv_auth) = 0 THEN 1
+           |                 ELSE sum(recv_auth) END FROM r$k) AS hub,
+           |    recv_hub / (SELECT CASE WHEN sum(recv_hub) = 0 THEN 1
+           |                ELSE sum(recv_hub) END FROM r$k) AS auth
+           |  FROM r$k)""".stripMargin)
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT id, round(hub, 6) AS hub_score, round(auth, 6) AS auth_score FROM h$iters"
+  }
+
+  /** Synchronous LPA with the (votes desc, label desc) tie-break. */
+  private def lpaOracleSql(iters: Int): String = {
+    val head =
+      s"""WITH $graphBaseSql,
+         |l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |      row_number() OVER (PARTITION BY id ORDER BY votes DESC, label DESC) AS rn
+         |    FROM (
+         |      SELECT t.id, t.label, count(*) AS votes FROM (
+         |        SELECT u.a AS id, p.label FROM u JOIN l${k - 1} p ON u.b = p.id
+         |        UNION ALL SELECT id, label FROM l${k - 1}) t
+         |      GROUP BY t.id, t.label))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") + s"\nSELECT id, label FROM l$iters"
+  }
+
+  /** k-core peel: enough rounds that the peel is a fixpoint at test scale
+    * (extra rounds are no-ops once stable). */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH $graphBaseSql,
+         |a0 AS MATERIALIZED (SELECT a AS id FROM u GROUP BY a HAVING count(*) >= $k)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT u.a AS id FROM u
+         |  JOIN a${r - 1} x ON u.a = x.id
+         |  JOIN a${r - 1} y ON u.b = y.id
+         |  GROUP BY u.a HAVING count(*) >= $k)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") + s"\nSELECT id FROM a$rounds"
+  }
+
+  /** WCC closure prefix: `labels` = (id, min reachable id) via undirected
+    * transitive closure. Compose with a final SELECT. */
+  private val wccClosureSql =
+    s"""WITH RECURSIVE $graphBaseSql,
+       |r(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT u.b, r.lab FROM r JOIN u ON u.a = r.id),
+       |labels AS (SELECT id, min(lab) AS label FROM r GROUP BY id)""".stripMargin
+
+  // ------------------------------------------------------------------
   // definitions: (name, spark program, optional oracle SQL)
   // ------------------------------------------------------------------
 
@@ -436,25 +560,28 @@ object Queries {
            |      WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src))
            |SELECT round(r.n / (SELECT count(*) FROM e), 6) AS reciprocity FROM r""".stripMargin)),
 
-    // ---- iterative graph algorithms (not SQL-expressible → rows-only) ----
+    // ---- iterative graph algorithms, replayed by iterated-CTE oracles ----
     (
       "q_graph_pagerank",
+      // pinned 20 supersteps, tol=0: the oracle replays the identical
+      // fixed-iteration run (convergence-mode PageRank is exercised by
+      // SparkEntry.entry and the reference-golden ScalaTests)
       (s, d) => {
-        val ranks = PageRank.run(s, eventGraph(s, d), PageRank.Config(maxIter = 100, tol = 1e-6))
+        val ranks = PageRank.run(s, eventGraph(s, d), PageRank.Config(maxIter = 20, tol = 0.0))
         ranks.select(col("id"), round(col("score"), 6).as("score"))
       },
-      None),
+      Some(pageRankOracleSql(iters = 20, damping = 0.85))),
 
     (
       "q_graph_wcc",
       (s, d) => ConnectedComponents.run(s, eventGraph(s, d)).select(col("id"), col("label")),
-      None),
+      Some(s"$wccClosureSql\nSELECT id, label FROM labels")),
 
     (
       "q_graph_label_propagation",
       (s, d) => LabelPropagation.run(s, eventGraph(s, d), LabelPropagation.Config(maxIter = 20))
         .select(col("id"), col("label")),
-      None),
+      Some(lpaOracleSql(iters = 20))),
 
     // ---- documents: dedup / text analysis ----
     (
@@ -735,7 +862,7 @@ object Queries {
           array_join(expr("transform(emb, x -> cast(round(x, 6) as string))"), ",").as("emb")),
       None),
 
-    // ---- iterative graph ops without SQL equivalents (rows-only) ----
+    // ---- iterative graph ops, oracle-replayed where SQL-expressible ----
     (
       "q_graph_betweenness",
       (s, d) => graft.algos.Betweenness.run(s, eventGraph(s, d), normalized = true)
@@ -744,17 +871,18 @@ object Queries {
     (
       "q_graph_kcore",
       (s, d) => KCore.coreSet(s, eventGraph(s, d), KCore.Config(k = 4)),
-      None),
+      Some(kcoreOracleSql(k = 4, rounds = 48))),
     (
       "q_graph_hits",
-      (s, d) => Hits.run(s, eventGraph(s, d), Hits.Config(maxIter = 20))
+      // pinned 20 supersteps, tol=0 (see q_graph_pagerank)
+      (s, d) => Hits.run(s, eventGraph(s, d), Hits.Config(maxIter = 20, tol = 0.0))
         .select(col("id"), round(col("hub_score"), 6).as("hub_score"),
           round(col("auth_score"), 6).as("auth_score")),
-      None),
+      Some(hitsOracleSql(iters = 20))),
     (
       "q_graph_component_sizes",
       (s, d) => Components.componentSizes(s, eventGraph(s, d)),
-      None),
+      Some(s"$wccClosureSql\nSELECT label, count(*) AS size FROM labels GROUP BY label")),
 
     // ---- dedup / similarity over documents + embeddings ----
     (
@@ -774,7 +902,18 @@ object Queries {
           .join(docs.select(col("doc_id").as("b")), Seq("b"), "left_semi")
         Dedup.ngramJaccard(docs, pairs)
       },
-      None),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(
+          |    list_transform(range(1, greatest(len(tk) - 3, 0) + 2),
+          |      i -> array_to_string(tk[i:i+2], ' '))) AS s
+          |  FROM tok)
+          |SELECT l.doc_id AS a, r.doc_id AS b,
+          |  round(len(list_intersect(l.s, r.s)) * 1.0 /
+          |        greatest(len(list_distinct(list_concat(l.s, r.s))), 1), 6) AS jaccard
+          |FROM sh l JOIN sh r ON r.doc_id = l.doc_id + 1""".stripMargin)),
     (
       "q_sim_cosine_topk",
       (s, d) => {
@@ -829,7 +968,40 @@ object Queries {
       "q_text_analyze",
       (s, d) => TextAnalysis.analyze(t(s, d, "documents"))
         .select("doc_id", "n_tokens", "n_subwords", "fingerprint", "pred_lang", "quality"),
-      None),
+      Some {
+        def hits(words: Seq[String]): String = words
+          .map(w => s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val hEn = hits(Seq("the", "and", "of", "to", "is"))
+        val hDe = hits(Seq("der", "und", "die", "das", "ist"))
+        val hFr = hits(Seq("le", "et", "la", "les", "est"))
+        val hEs = hits(Seq("el", "y", "la", "los", "es"))
+        s"""WITH h AS (
+           |  SELECT doc_id, text, ($hEn) AS h_en, ($hDe) AS h_de,
+           |    ($hFr) AS h_fr, ($hEs) AS h_es
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+           |  len(regexp_split_to_array(text, '\\s+'))
+           |    + len(regexp_extract_all(text, '[a-z][A-Z]'))
+           |    + len(regexp_extract_all(text, '[A-Za-z][0-9]'))
+           |    + len(regexp_extract_all(text, '[0-9][A-Za-z]')) AS n_subwords,
+           |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+           |  CASE
+           |    WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+           |    WHEN h_de > 0 AND h_de >= h_fr AND h_de >= h_es THEN 'de'
+           |    WHEN h_fr > 0 AND h_fr >= h_es THEN 'fr'
+           |    WHEN h_es > 0 THEN 'es'
+           |    ELSE 'unknown' END AS pred_lang,
+           |  round(
+           |    (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.4
+           |    + (length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0
+           |       / greatest(length(text), 1)) * 0.3
+           |    + (len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) * 1.0
+           |       / greatest(len(regexp_split_to_array(text, '\\s+')), 1)) * 0.3, 6)
+           |    AS quality
+           |FROM h""".stripMargin
+      }),
 
     // ---- temporal window sets (rolling windows, §2.5) ----
     (

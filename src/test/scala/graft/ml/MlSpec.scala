@@ -91,7 +91,7 @@ class MlSpec extends SparkSpec {
     assert(analyzed(1L).getAs[Long]("n_tokens") == 14L)
     assert(analyzed(5L).getAs[String]("pred_lang") == "de")
     assert(analyzed(1L).getAs[String]("pred_lang") == "en")
-    assert(analyzed(1L).getAs[Long]("fingerprint") == analyzed(6L).getAs[Long]("fingerprint"),
+    assert(analyzed(1L).getAs[String]("fingerprint") == analyzed(6L).getAs[String]("fingerprint"),
       "normalized fingerprint must collapse case/punct variants")
     val q = analyzed(1L).getAs[Double]("quality")
     assert(q > 0.5 && q <= 1.0)
