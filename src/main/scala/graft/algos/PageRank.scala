@@ -37,7 +37,8 @@ object PageRank {
       damping: Double = 0.85,
       useL2Norm: Boolean = true,
       checkpointDir: Option[String] = None,
-      checkpointEvery: Int = 5)
+      checkpointEvery: Int = 5,
+      maxShard: Int = graft.graph.TemporalGraph.DefaultMaxShard)
 
   /** @return (id, score) per node. */
   def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame =
@@ -45,12 +46,21 @@ object PageRank {
 
   /** As [[run]], also returning the number of supersteps executed. */
   def runWithStats(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): (DataFrame, Int) = {
-    val adj = g.adjacencyOut.persist()
+    // Hub-salted CSR (north rule): a hub's neighbour list arrives as
+    // multiple (src, salt) shard rows, each carrying the TOTAL out_deg, so
+    // the message explode below is per-shard (bounded rows) and needs no
+    // merge. The shards stay hash-partitioned on src — the per-superstep
+    // rank join reuses the persisted layout without re-shuffling the CSR.
+    val adj = g.adjacencyOut(cfg.maxShard).persist()
     val nodes = g.nodes
 
-    // state: (id, score, out_deg); sinks have out_deg = 0.
+    // state: (id, score, out_deg); sinks have out_deg = 0. dropDuplicates:
+    // hub shards repeat (src, out_deg).
     val init = nodes
-      .join(adj.select(col("src").as("id"), col("out_deg")), Seq("id"), "left")
+      .join(
+        adj.select(col("src").as("id"), col("out_deg")).dropDuplicates("id"),
+        Seq("id"),
+        "left")
       .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
     val n = init.count().toDouble
     val damp = cfg.damping

@@ -175,25 +175,64 @@ case class TemporalGraph(edges: DataFrame) {
   }
 
   /**
-   * CSR-style grouped out-adjacency `(src, dsts: array<long>, out_deg)` over
-   * distinct out-neighbours — the Spark answer to the reference's HopExec
-   * adjacency walk (raphtory-cypher/src/hop/execution.rs): one row per
-   * source, so a rank-join touches |V| rows instead of |E| and the fan-out
-   * happens via `explode` after the join.
+   * Salted CSR-style out-adjacency `(src, salt, dsts: array<long>, out_deg)`
+   * over distinct out-neighbours — the Spark answer to the reference's
+   * HopExec adjacency walk (raphtory-cypher/src/hop/execution.rs), made
+   * hub-safe for power-law graphs (the north rule's "explicit salting for
+   * hub-turn skew"):
+   *
+   *  - a source with out-degree ≤ `maxShard` gets exactly ONE row (the CSR
+   *    benefit: a rank-join touches ~|V| rows, fan-out via `explode` after
+   *    the join);
+   *  - a hub with out-degree > `maxShard` is sharded into
+   *    ⌈deg/maxShard⌉ `(src, salt)` rows of ~maxShard neighbours each —
+   *    without this, a degree-10M hub is one ~80 MB collect_list buffer and
+   *    one giant row in a single task;
+   *  - `out_deg` carries the TOTAL distinct out-degree on every shard, so
+   *    consumers divide by the true degree without a merge;
+   *  - the `groupBy(src, salt)` runs on src-hash-partitioned data (salting
+   *    never adds an exchange: HashPartitioning(src) satisfies the clustered
+   *    distribution of (src, salt)), and the output STAYS partitioned by
+   *    src — iterative consumers that persist this and join on src every
+   *    superstep reuse the layout with zero adjacency re-shuffle.
    */
-  def adjacencyOut: DataFrame =
+  def adjacencyOut(maxShard: Int): DataFrame = {
+    val deg = simpleEdges.groupBy("src").agg(count(lit(1)).as("out_deg"))
     simpleEdges
-      .groupBy("src")
-      .agg(collect_list("dst").as("dsts"), count(lit(1)).as("out_deg"))
+      .join(deg, Seq("src"))
+      .withColumn(
+        "salt",
+        pmod(xxhash64(col("dst")), greatest(ceil(col("out_deg") / maxShard.toDouble), lit(1L)))
+          .cast("int"))
+      .groupBy("src", "salt")
+      .agg(collect_list("dst").as("dsts"), first("out_deg").as("out_deg"))
+  }
 
-  /** CSR-style grouped BOTH-direction adjacency `(node, nbrs, deg)`. */
-  def adjacencyBoth: DataFrame =
+  def adjacencyOut: DataFrame = adjacencyOut(TemporalGraph.DefaultMaxShard)
+
+  /** Salted CSR-style BOTH-direction adjacency `(node, salt, nbrs, deg)` —
+    * same sharding contract as [[adjacencyOut]]. */
+  def adjacencyBoth(maxShard: Int): DataFrame = {
+    val deg = undirectedPairs.groupBy("node").agg(count(lit(1)).as("deg"))
     undirectedPairs
-      .groupBy("node")
-      .agg(collect_list("nbr").as("nbrs"), count(lit(1)).as("deg"))
+      .join(deg, Seq("node"))
+      .withColumn(
+        "salt",
+        pmod(xxhash64(col("nbr")), greatest(ceil(col("deg") / maxShard.toDouble), lit(1L)))
+          .cast("int"))
+      .groupBy("node", "salt")
+      .agg(collect_list("nbr").as("nbrs"), first("deg").as("deg"))
+  }
+
+  def adjacencyBoth: DataFrame = adjacencyBoth(TemporalGraph.DefaultMaxShard)
 }
 
 object TemporalGraph {
+
+  /** Default CSR shard cap: 2^17 neighbours ≈ 1 MB of longs per row —
+    * big enough that non-hub sources stay single-row, small enough that a
+    * hub row can't blow a task's memory. */
+  val DefaultMaxShard: Int = 1 << 17
 
   /** Build from a transcript table via [[EdgeBuilder]]. */
   def fromTranscripts(transcripts: DataFrame): TemporalGraph =
