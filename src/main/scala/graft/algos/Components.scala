@@ -48,6 +48,62 @@ object Components {
     result.state
   }
 
+  /**
+   * Whole-graph in-components: for EVERY node, the set of nodes that can
+   * reach it — reference in_components (components/in_components.rs:68,
+   * which runs a BFS per node; total output is the transitive closure in
+   * both implementations). Returns (id, members: sorted array, size).
+   * Direction "out" gives out_components (out_components.rs:65).
+   *
+   * Scale note: the closure is Θ(Σ|component|²) rows — inherent to the
+   * operator (the reference materializes the same per-node lists); run it
+   * on bounded views. The fixpoint composes the closure with itself, so
+   * reachable path length doubles per superstep: O(log diameter) rounds.
+   */
+  def allComponents(
+      spark: SparkSession,
+      g: TemporalGraph,
+      direction: String = "in",
+      maxIter: Int = 10000): DataFrame = {
+    val base = g.simpleEdges.filter(col("src") =!= col("dst"))
+    // pair (id, m) = "m is in the <direction>-component of id"
+    val e = (direction match {
+      case "in"  => base.select(col("dst").as("id"), col("src").as("m"))
+      case "out" => base.select(col("src").as("id"), col("dst").as("m"))
+      case other => throw new IllegalArgumentException(s"direction=$other")
+    }).persist()
+    e.count()
+
+    var prev = -1L
+    val closure = SuperstepRunner.run(
+      spark,
+      e,
+      RunConfig(maxSteps = maxIter, runId = s"allcomp-$direction")) { (state, _) =>
+      // square the relation: (id ← m) ∘ (m ← m2) ⇒ (id ← m2)
+      val ext = state
+        .join(state.select(col("id").as("m"), col("m").as("m2")), Seq("m"))
+        .select(col("id"), col("m2").as("m"))
+      val next = state.unionByName(ext).distinct()
+      Step(
+        next,
+        m => {
+          val c = m.count()
+          val done = c == prev
+          prev = c
+          (done, Map("pairs" -> c.toDouble))
+        })
+    }.state
+
+    val withSelf = g.nodes.join(closure, Seq("id"), "left")
+    val out = withSelf
+      .groupBy("id")
+      .agg(
+        sort_array(collect_list(col("m"))).as("members"),
+        count(col("m")).as("size"))
+    e.unpersist(false)
+    out
+  }
+
   /** Largest weakly connected component as an induced subgraph view —
     * reference LargestConnectedComponent (components/lcc.rs:29). */
   def largestConnectedComponent(spark: SparkSession, g: TemporalGraph): TemporalGraph = {

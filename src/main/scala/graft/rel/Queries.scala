@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.TemporalGraph
-import graft.algos.{BipartiteProjection, Components, ConnectedComponents, FastRP, Hits, KCore, LabelPropagation, Metrics, PageRank, Paths, Triangles}
+import graft.algos.{BipartiteProjection, Components, ConnectedComponents, FastRP, Hits, KCore, LabelPropagation, Metrics, PageRank, Paths, Scc, Triangles}
 import graft.ml.{Dedup, Similarity, TextAnalysis}
 
 /**
@@ -83,7 +83,10 @@ object Queries {
        |e AS (SELECT DISTINCT src, dst FROM e0),
        |u AS (SELECT DISTINCT a, b FROM (
        |  SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)),
-       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)""".stripMargin
+       |nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))""".stripMargin
+  // ^ single-SELECT DISTINCT: under WITH RECURSIVE, DuckDB 1.0 parses a
+  //   top-level "a UNION b" CTE body as base/step and skips the dedup
 
   /** Fixed-iteration PageRank (semantics of algos/PageRank: teleport +
     * damped in-neighbour mass + sink mass from the previous iteration). */
@@ -883,6 +886,56 @@ object Queries {
       "q_graph_component_sizes",
       (s, d) => Components.componentSizes(s, eventGraph(s, d)),
       Some(s"$wccClosureSql\nSELECT label, count(*) AS size FROM labels GROUP BY label")),
+
+    (
+      "q_graph_scc",
+      // strongly connected components, labels canonicalized to min node id
+      // (reference scc.rs Tarjan ids are discovery-order identities)
+      (s, d) => Scc.run(s, eventGraph(s, d)),
+      Some(
+        s"""WITH RECURSIVE $graphBaseSql,
+           |r(a, b) AS (
+           |  SELECT src, dst FROM e WHERE src <> dst
+           |  UNION
+           |  SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+           |mut AS (SELECT r1.a AS a, r1.b AS b FROM r r1
+           |        JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a)
+           |SELECT id, min(lab) AS label FROM (
+           |  SELECT id, id AS lab FROM nodes
+           |  UNION ALL SELECT a AS id, b AS lab FROM mut) GROUP BY id""".stripMargin)),
+
+    (
+      "q_graph_in_components",
+      // whole-graph in-components (in_components.rs:68): ancestor-set size
+      // + min/max member per node (the member arrays themselves aren't
+      // hashable by the driver compare)
+      (s, d) => Components.allComponents(s, eventGraph(s, d), "in")
+        .select(
+          col("id"), col("size"),
+          array_min(col("members")).as("min_m"), array_max(col("members")).as("max_m")),
+      Some(
+        s"""WITH RECURSIVE $graphBaseSql,
+           |r(id, m) AS (
+           |  SELECT dst, src FROM e WHERE src <> dst
+           |  UNION
+           |  SELECT r.id, e.src FROM r JOIN e ON e.dst = r.m WHERE e.src <> e.dst)
+           |SELECT n.id, count(r.m) AS size, min(r.m) AS min_m, max(r.m) AS max_m
+           |FROM nodes n LEFT JOIN r ON r.id = n.id GROUP BY n.id""".stripMargin)),
+
+    (
+      "q_graph_out_components",
+      (s, d) => Components.allComponents(s, eventGraph(s, d), "out")
+        .select(
+          col("id"), col("size"),
+          array_min(col("members")).as("min_m"), array_max(col("members")).as("max_m")),
+      Some(
+        s"""WITH RECURSIVE $graphBaseSql,
+           |r(id, m) AS (
+           |  SELECT src, dst FROM e WHERE src <> dst
+           |  UNION
+           |  SELECT r.id, e.dst FROM r JOIN e ON e.src = r.m WHERE e.src <> e.dst)
+           |SELECT n.id, count(r.m) AS size, min(r.m) AS min_m, max(r.m) AS max_m
+           |FROM nodes n LEFT JOIN r ON r.id = n.id GROUP BY n.id""".stripMargin)),
 
     // ---- dedup / similarity over documents + embeddings ----
     (

@@ -65,6 +65,25 @@ class ComponentsAndLpaSpec extends SparkSpec {
     }
   }
 
+  test("whole-graph in/out components = per-node reachability sets (in_components.rs:68)") {
+    // diamond with a cycle tail: 1→2, 1→3, 2→4, 3→4, 4→5, 5→4
+    val edges = Seq[(Long, Long)]((1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 4))
+    val g = graph(edges)
+    def collectComp(direction: String): Map[Long, Seq[Long]] =
+      Components.allComponents(spark, g, direction)
+        .collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[scala.collection.Seq[Long]]("members").toSeq)
+        .toMap
+    val in = collectComp("in")
+    assert(in(1L) == Seq.empty)
+    assert(in(4L) == Seq(1L, 2L, 3L, 4L, 5L), "cycle puts 4 in its own in-component")
+    assert(in(5L) == Seq(1L, 2L, 3L, 4L, 5L))
+    val out = collectComp("out")
+    assert(out(1L) == Seq(2L, 3L, 4L, 5L))
+    assert(out(4L) == Seq(4L, 5L))
+    assert(out(5L) == Seq(4L, 5L))
+  }
+
   test("LPA: two communities (community_detection.rs:28-70)") {
     // Exact reference fixture with ids in the reference's VID insertion
     // order: R1=0 R2=1 R3=2 G=3 B1=4 B2=5 B3=6 B4=7 B5=8 — so the label
