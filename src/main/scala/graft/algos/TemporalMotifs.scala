@@ -1,0 +1,373 @@
+package graft.algos
+
+import graft.graph.TemporalGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal three-node motif census (Paranjape, Benson & Leskovec, "Motifs in
+ * Temporal Networks", WSDM 2017) with the reference's exact 40-dim layout
+ * (raphtory/src/algorithms/motifs/global_temporal_three_node_motifs.rs:267,
+ * kernels in three_node_motifs.rs):
+ *
+ *  - slots 0..23: star motifs (pre/mid/post × 8 direction triples), per
+ *    center node, with the two-node-only sequences subtracted;
+ *  - slots 24..31: two-node motifs (each unordered pair counted from both
+ *    endpoints' perspectives — the reference's symmetry);
+ *  - slots 32..39: triangle motifs, once per triangle.
+ *
+ * Spark decomposition (all counting kernels are O(events) sliding-window
+ * passes over per-entity sorted event lists — the same kernels the
+ * reference runs per node/pair/triangle, here applied inside `Dataset.map`
+ * over grouped sorted arrays):
+ *
+ *  - per-pair events → TwoNodeCounter; global two-node vector = Σ (c +
+ *    mirror(c)) — mirroring a count flips every direction bit, i.e. index
+ *    i ↦ 7−i, so one kernel run serves both perspectives;
+ *  - per-node events → StarCounter (24) summed globally; the global star
+ *    block is starΣ − cycled twoΣ (the reference subtracts per node; the
+ *    adjustment is linear, so global sums suffice);
+ *  - triangles enumerated by ordered intersection (x1<x2<x3), each joined
+ *    with the events of its three pairs → TriangleCounter with the
+ *    reference's role mapping (v=x1, u=x2, w=x3).
+ *
+ * Scale notes: per-node star lists are Θ(degree) — the same hub caveat as
+ * the reference's per-node event vec; the triangle stage joins each
+ * triangle with its pair events (Θ(Σ_tri events-on-triangle) rows,
+ * partitioned by triangle key). Event order is (ts, event_id) with
+ * (dir, nbr) tie-breakers for determinism on colliding ids.
+ */
+object TemporalMotifs {
+
+  // ---- counting kernels (three_node_motifs.rs:23-67, 76-190, 195-345) ----
+  // dir encoding: 0 = incoming, 1 = outgoing.
+
+  @inline private def map2d(d1: Int, d2: Int): Int = 2 * d1 + d2
+  @inline private def map3d(d1: Int, d2: Int, d3: Int): Int = 4 * d1 + 2 * d2 + d3
+
+  /** Two-node motifs over one pair's sorted events: 8 counts indexed by the
+    * direction triple (three_node_motifs.rs:23-67). */
+  def twoNodeCounts(times: Array[Long], dirs: Array[Int], delta: Long): Array[Long] = {
+    val c1 = new Array[Long](2)
+    val c2 = new Array[Long](4)
+    val c3 = new Array[Long](8)
+    var start = 0
+    var j = 0
+    while (j < times.length) {
+      while (times(start) + delta < times(j)) {
+        val d = dirs(start)
+        c1(d) -= 1
+        c2(map2d(d, 0)) -= c1(0)
+        c2(map2d(d, 1)) -= c1(1)
+        start += 1
+      }
+      val d = dirs(j)
+      var d1 = 0
+      while (d1 < 2) {
+        var d2 = 0
+        while (d2 < 2) { c3(map3d(d1, d2, d)) += c2(map2d(d1, d2)); d2 += 1 }
+        d1 += 1
+      }
+      c2(map2d(0, d)) += c1(0)
+      c2(map2d(1, d)) += c1(1)
+      c1(d) += 1
+      j += 1
+    }
+    c3
+  }
+
+  /** Mirror a two-node count vector to the other endpoint's perspective:
+    * flipping every direction bit maps index i to 7 − i. */
+  def mirror8(c: Array[Long]): Array[Long] = Array.tabulate(8)(i => c(7 - i))
+
+  /** Star motifs over one center's sorted events: 24 counts =
+    * pre(8) ++ mid(8) ++ post(8) (three_node_motifs.rs:76-190).
+    * `nbrs` are neighbour keys (any stable labels — counts only depend on
+    * neighbour identity, not on the labeling). */
+  def starCounts(
+      times: Array[Long],
+      dirs: Array[Int],
+      nbrs: Array[Long],
+      delta: Long): Array[Long] = {
+    val l = times.length
+    val out = new Array[Long](24)
+    if (l < 3) return out
+    // dense-rank the neighbour keys
+    val idx = new java.util.HashMap[Long, Int]()
+    var i = 0
+    while (i < l) { if (!idx.containsKey(nbrs(i))) idx.put(nbrs(i), idx.size()); i += 1 }
+    val n = idx.size()
+    val nb = new Array[Int](l)
+    i = 0
+    while (i < l) { nb(i) = idx.get(nbrs(i)); i += 1 }
+
+    val preNodes = new Array[Long](2 * n)
+    val postNodes = new Array[Long](2 * n)
+    val preSum = new Array[Long](4)
+    val midSum = new Array[Long](4)
+    val postSum = new Array[Long](4)
+    val countPre = new Array[Long](8)
+    val countMid = new Array[Long](8)
+    val countPost = new Array[Long](8)
+
+    def pushPre(j: Int): Unit = {
+      preSum(map2d(0, dirs(j))) += preNodes(0 * n + nb(j))
+      preSum(map2d(1, dirs(j))) += preNodes(1 * n + nb(j))
+      preNodes(dirs(j) * n + nb(j)) += 1
+    }
+    def pushPost(j: Int): Unit = {
+      postSum(map2d(0, dirs(j))) += postNodes(0 * n + nb(j))
+      postSum(map2d(1, dirs(j))) += postNodes(1 * n + nb(j))
+      postNodes(dirs(j) * n + nb(j)) += 1
+    }
+    def popPre(j: Int): Unit = {
+      preNodes(dirs(j) * n + nb(j)) -= 1
+      preSum(map2d(dirs(j), 0)) -= preNodes(0 * n + nb(j))
+      preSum(map2d(dirs(j), 1)) -= preNodes(1 * n + nb(j))
+    }
+    def popPost(j: Int): Unit = {
+      postNodes(dirs(j) * n + nb(j)) -= 1
+      postSum(map2d(dirs(j), 0)) -= postNodes(0 * n + nb(j))
+      postSum(map2d(dirs(j), 1)) -= postNodes(1 * n + nb(j))
+    }
+    def processCurrent(j: Int): Unit = {
+      midSum(map2d(0, dirs(j))) -= preNodes(0 * n + nb(j))
+      midSum(map2d(1, dirs(j))) -= preNodes(1 * n + nb(j))
+      var d1 = 0
+      while (d1 < 2) {
+        var d2 = 0
+        while (d2 < 2) {
+          countPre(map3d(d1, d2, dirs(j))) += preSum(map2d(d1, d2))
+          countPost(map3d(dirs(j), d1, d2)) += postSum(map2d(d1, d2))
+          countMid(map3d(d1, dirs(j), d2)) += midSum(map2d(d1, d2))
+          d2 += 1
+        }
+        d1 += 1
+      }
+      midSum(map2d(dirs(j), 0)) += postNodes(0 * n + nb(j))
+      midSum(map2d(dirs(j), 1)) += postNodes(1 * n + nb(j))
+    }
+
+    var start = 0
+    var end = 0
+    var j = 0
+    while (j < l) {
+      while (start < l && times(start) + delta < times(j)) { popPre(start); start += 1 }
+      while (end < l && times(end) <= times(j) + delta) { pushPost(end); end += 1 }
+      popPost(j)
+      processCurrent(j)
+      pushPre(j)
+      j += 1
+    }
+    System.arraycopy(countPre, 0, out, 0, 8)
+    System.arraycopy(countMid, 0, out, 8, 8)
+    System.arraycopy(countPost, 0, out, 16, 8)
+    out
+  }
+
+  /** Triangle motifs over one triangle's sorted events: 8 counts
+    * (three_node_motifs.rs:195-345 with n=2, nb=0). Event fields:
+    * uvEdge = the event is on the u–v pair; uorv = which of u(0)/v(1) the
+    * w-edge touches (or which endpoint is src for uv edges); dir as usual. */
+  def triangleCounts(
+      times: Array[Long],
+      uvEdge: Array[Boolean],
+      uorv: Array[Int],
+      dirs: Array[Int],
+      delta: Long): Array[Long] = {
+    val l = times.length
+    val finalCounts = new Array[Long](8)
+    if (l < 3) return finalCounts
+    val preNodes = new Array[Long](8) // n=2: [2 * map2d(dir, uorv) + nb], nb = 0
+    val postNodes = new Array[Long](8)
+    val preSum = new Array[Long](8)
+    val midSum = new Array[Long](8)
+    val postSum = new Array[Long](8)
+    val n = 2
+
+    def pushPre(j: Int): Unit = if (!uvEdge(j)) {
+      val (v, d) = (uorv(j), dirs(j))
+      preSum(map3d(1 - v, 0, d)) += preNodes(n * map2d(0, 1 - v))
+      preSum(map3d(1 - v, 1, d)) += preNodes(n * map2d(1, 1 - v))
+      preNodes(n * map2d(d, v)) += 1
+    }
+    def pushPost(j: Int): Unit = if (!uvEdge(j)) {
+      val (v, d) = (uorv(j), dirs(j))
+      postSum(map3d(1 - v, 0, d)) += postNodes(n * map2d(0, 1 - v))
+      postSum(map3d(1 - v, 1, d)) += postNodes(n * map2d(1, 1 - v))
+      postNodes(n * map2d(d, v)) += 1
+    }
+    def popPre(j: Int): Unit = if (!uvEdge(j)) {
+      val (v, d) = (uorv(j), dirs(j))
+      preNodes(n * map2d(d, v)) -= 1
+      preSum(map3d(v, d, 0)) -= preNodes(n * map2d(0, 1 - v))
+      preSum(map3d(v, d, 1)) -= preNodes(n * map2d(1, 1 - v))
+    }
+    def popPost(j: Int): Unit = if (!uvEdge(j)) {
+      val (v, d) = (uorv(j), dirs(j))
+      postNodes(n * map2d(d, v)) -= 1
+      postSum(map3d(v, d, 0)) -= postNodes(n * map2d(0, 1 - v))
+      postSum(map3d(v, d, 1)) -= postNodes(n * map2d(1, 1 - v))
+    }
+    def processCurrent(j: Int): Unit = {
+      val (v, d) = (uorv(j), dirs(j))
+      if (!uvEdge(j)) {
+        midSum(map3d(1 - v, 0, d)) -= preNodes(n * map2d(0, 1 - v))
+        midSum(map3d(1 - v, 1, d)) -= preNodes(n * map2d(1, 1 - v))
+        midSum(map3d(v, d, 0)) += postNodes(n * map2d(0, 1 - v))
+        midSum(map3d(v, d, 1)) += postNodes(n * map2d(1, 1 - v))
+      } else {
+        finalCounts(0) += midSum(map3d(d, 0, 0)) + postSum(map3d(d, 0, 1)) + preSum(map3d(1 - d, 1, 1))
+        finalCounts(4) += midSum(map3d(d, 1, 0)) + postSum(map3d(1 - d, 0, 1)) + preSum(map3d(1 - d, 0, 1))
+        finalCounts(2) += midSum(map3d(1 - d, 0, 0)) + postSum(map3d(d, 1, 1)) + preSum(map3d(1 - d, 1, 0))
+        finalCounts(6) += midSum(map3d(1 - d, 1, 0)) + postSum(map3d(1 - d, 1, 1)) + preSum(map3d(1 - d, 0, 0))
+        finalCounts(1) += midSum(map3d(d, 0, 1)) + postSum(map3d(d, 0, 0)) + preSum(map3d(d, 1, 1))
+        finalCounts(5) += midSum(map3d(d, 1, 1)) + postSum(map3d(1 - d, 0, 0)) + preSum(map3d(d, 0, 1))
+        finalCounts(3) += midSum(map3d(1 - d, 0, 1)) + postSum(map3d(d, 1, 0)) + preSum(map3d(d, 1, 0))
+        finalCounts(7) += midSum(map3d(1 - d, 1, 1)) + postSum(map3d(1 - d, 1, 0)) + preSum(map3d(d, 0, 0))
+      }
+    }
+
+    var start = 0
+    var end = 0
+    var j = 0
+    while (j < l) {
+      while (start < l && times(start) + delta < times(j)) { popPre(start); start += 1 }
+      while (end < l && times(end) <= times(j) + delta) { pushPost(end); end += 1 }
+      popPost(j)
+      processCurrent(j)
+      pushPre(j)
+      j += 1
+    }
+    finalCounts
+  }
+
+  // ---- Spark orchestration ----
+
+  /** Global 40-dim census. @return (motif_id 0..39, count). */
+  def global(spark: SparkSession, g: TemporalGraph, deltaMs: Long): DataFrame = {
+    import spark.implicits._
+    val ev = g.edges
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("ts"), col("event_id"))
+      .persist()
+    ev.count()
+
+    // -- two-node block: one kernel run per unordered pair, mirrored --
+    val pairEvents = ev
+      .select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        struct(
+          col("ts"),
+          col("event_id"),
+          when(col("src") < col("dst"), 1).otherwise(0).as("dir")).as("e"))
+      .groupBy("a", "b")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("evs").as[Seq[(Long, Long, Int)]])
+    val two8 = sumVectors(
+      pairEvents.map { evs =>
+        val c = twoNodeCounts(evs.map(_._1).toArray, evs.map(_._3).toArray, deltaMs)
+        Array.tabulate(8)(i => c(i) + c(7 - i)) // both perspectives
+      },
+      8)
+
+    // -- star block: one kernel run per center node --
+    val starEvents = ev
+      .select(col("src").as("node"), struct(col("ts"), col("event_id"), lit(1).as("dir"), col("dst").as("nbr")).as("e"))
+      .unionByName(ev.select(
+        col("dst").as("node"),
+        struct(col("ts"), col("event_id"), lit(0).as("dir"), col("src").as("nbr")).as("e")))
+      .groupBy("node")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("evs").as[Seq[(Long, Long, Int, Long)]])
+    val star24 = sumVectors(
+      starEvents.map { evs =>
+        starCounts(evs.map(_._1).toArray, evs.map(_._3).toArray, evs.map(_._4).toArray, deltaMs)
+      },
+      24)
+
+    // -- triangle block: enumerate ordered triangles, join their pair events --
+    val und = ev
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist()
+    val e1 = und.select(col("a").as("x1"), col("b").as("x2"))
+    val e2 = und.select(col("a").as("x2"), col("b").as("x3"))
+    val e3 = und.select(col("a").as("x1"), col("b").as("x3"))
+    val tris = e1.join(e2, "x2" :: Nil).join(e3, Seq("x1", "x3"))
+
+    val pe = ev.select(
+      least(col("src"), col("dst")).as("p"),
+      greatest(col("src"), col("dst")).as("q"),
+      col("src"), col("dst"), col("ts"), col("event_id"))
+    val triPairs = tris
+      .withColumn("tri", struct(col("x1"), col("x2"), col("x3")))
+      .select(
+        col("tri"),
+        explode(array(
+          struct(col("x1").as("p"), col("x2").as("q")),
+          struct(col("x2").as("p"), col("x3").as("q")),
+          struct(col("x1").as("p"), col("x3").as("q")))).as("pq"))
+      .select(col("tri"), col("pq.p").as("p"), col("pq.q").as("q"))
+    val triEvents = triPairs
+      .join(pe, Seq("p", "q"))
+      .select(
+        col("tri"),
+        struct(col("ts"), col("event_id"), col("src"), col("dst")).as("e"))
+      .groupBy("tri")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("tri").as[(Long, Long, Long)], col("evs").as[Seq[(Long, Long, Long, Long)]])
+    val tri8 = sumVectors(
+      triEvents.map { case ((x1, x2, x3), evs) =>
+        // reference role mapping (global_temporal_three_node_motifs.rs:188-226):
+        // sorted ids = [v, u, w] with v = x1 (smaller of the u,v pair),
+        // u = x2, w = x3 (the intersection neighbour, largest)
+        val l = evs.length
+        val times = new Array[Long](l)
+        val uvE = new Array[Boolean](l)
+        val uorv = new Array[Int](l)
+        val dirs = new Array[Int](l)
+        var i = 0
+        evs.foreach { case (t, _, s, d) =>
+          times(i) = t
+          if (s == x3) { uvE(i) = false; uorv(i) = if (d == x2) 0 else 1; dirs(i) = 0 }
+          else if (d == x3) { uvE(i) = false; uorv(i) = if (s == x2) 0 else 1; dirs(i) = 1 }
+          else if (s == x2) { uvE(i) = true; uorv(i) = 1; dirs(i) = 1 }
+          else { uvE(i) = true; uorv(i) = 0; dirs(i) = 0 }
+          i += 1
+        }
+        triangleCounts(times, uvE, uorv, dirs, deltaMs)
+      },
+      8)
+
+    ev.unpersist(false)
+    und.unpersist(false)
+
+    // assemble: star24 − cycled two8 ++ two8 ++ tri8 (reference :63-74, :293)
+    val rows = (0 until 40).map { i =>
+      val c =
+        if (i < 24) star24(i) - two8(i % 8)
+        else if (i < 32) two8(i - 24)
+        else tri8(i - 32)
+      (i, c)
+    }
+    rows.toDF("motif_id", "count")
+  }
+
+  /** Distributed elementwise sum of fixed-width count vectors. */
+  private def sumVectors(
+      ds: org.apache.spark.sql.Dataset[Array[Long]],
+      width: Int): Array[Long] = {
+    val session = ds.sparkSession
+    import session.implicits._
+    val summed = ds
+      .flatMap(arr => arr.zipWithIndex.map { case (c, i) => (i, c) })
+      .groupBy("_1")
+      .agg(sum("_2").as("s"))
+      .collect()
+    val out = new Array[Long](width)
+    summed.foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
+  }
+}

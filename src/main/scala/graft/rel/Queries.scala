@@ -937,6 +937,15 @@ object Queries {
            |SELECT n.id, count(r.m) AS size, min(r.m) AS min_m, max(r.m) AS max_m
            |FROM nodes n LEFT JOIN r ON r.id = n.id GROUP BY n.id""".stripMargin)),
 
+    (
+      "q_graph_temporal_motifs",
+      // global 40-dim temporal 3-node motif census (Paranjape et al.;
+      // reference global_temporal_three_node_motifs.rs:267) at delta = 2h.
+      // Kernel-based — not SQL-expressible; golden-tested against the
+      // reference fixture in TemporalMotifsSpec.
+      (s, d) => graft.algos.TemporalMotifs.global(s, eventGraph(s, d), deltaMs = 7200000L),
+      None),
+
     // ---- dedup / similarity over documents + embeddings ----
     (
       "q_dedup_minhash_lsh",
