@@ -57,53 +57,108 @@ object Paths {
   }
 
   /**
-   * Weighted single-source shortest paths, Bellman–Ford style (the bulk
-   * counterpart of the reference's sequential Dijkstra,
-   * algorithms/pathing/dijkstra.rs:97): dist'(v) = min(dist(v),
-   * min over in-edges (dist(u) + w(u,v))), iterated to fixpoint or cap.
-   * Edge weight column `weightCol` must exist on the edge-events table;
-   * multi-edges use the minimum weight per (src, dst).
+   * Weighted single-source shortest paths with full reference-Dijkstra
+   * parity (algorithms/pathing/dijkstra.rs:97:
+   * `dijkstra_single_source_shortest_paths(g, source, targets, weight,
+   * direction)`), expressed as bulk Bellman–Ford relaxation — the
+   * distributed counterpart of the sequential heap walk:
+   * dist'(v) = min(dist(v), min over incident edges (dist(u) + w(u,v))),
+   * iterated to fixpoint or cap.
+   *
+   *  - `weightCol = None` ⇒ every logical edge has weight 1 (the
+   *    reference's default); otherwise multi-edges take the minimum
+   *    weight per (src, dst) pair;
+   *  - `direction` ∈ out | in | both (reference defaults to both);
+   *  - `targets = Some(...)` restricts the result rows (the reference
+   *    returns paths only for the requested targets);
+   *  - `path` is a first-visit shortest path; ties broken by the
+   *    lexicographically-smallest (dist, path) struct — deterministic
+   *    where the reference's heap order is not.
+   *
+   * @return (id, dist, path) for reached nodes (targets if given).
    */
-  def weightedSssp(
+  def dijkstra(
       spark: SparkSession,
       g: TemporalGraph,
       source: Long,
-      weightCol: String,
-      maxIter: Int = 50): DataFrame = {
-    val w = g.edges
-      .select(col("src"), col("dst"), col(weightCol).cast("double").as("w"))
-      .groupBy("src", "dst")
-      .agg(min("w").as("w"))
-      .persist()
+      targets: Option[Seq[Long]] = None,
+      weightCol: Option[String] = None,
+      direction: String = "both",
+      maxIter: Int = 200): DataFrame = {
+    val weighted = weightCol match {
+      case Some(c) =>
+        g.edges
+          .select(col("src"), col("dst"), col(c).cast("double").as("w"))
+          .groupBy("src", "dst")
+          .agg(min("w").as("w"))
+      case None => g.simpleEdges.select(col("src"), col("dst"), lit(1.0).as("w"))
+    }
+    val w = (direction match {
+      case "out" => weighted
+      case "in"  => weighted.select(col("dst").as("src"), col("src").as("dst"), col("w"))
+      case "both" =>
+        weighted
+          .unionByName(weighted.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .groupBy("src", "dst")
+          .agg(min("w").as("w"))
+      case other => throw new IllegalArgumentException(s"direction=$other")
+    }).persist()
+
     val init = g.nodes.select(
       col("id"),
-      when(col("id") === source, lit(0.0)).otherwise(lit(Double.PositiveInfinity)).as("dist"))
+      when(col("id") === source, lit(0.0)).otherwise(lit(Double.PositiveInfinity)).as("dist"),
+      when(col("id") === source, array(lit(source))).otherwise(lit(null)).as("path"))
 
     val result = SuperstepRunner.run(
       spark,
       init,
       RunConfig(maxSteps = maxIter, runId = "dijkstra")) { (state, _) =>
       val relax = w
-        .join(state.select(col("id"), col("dist")), w("src") === col("id"))
-        .filter(!col("dist").isNaN && col("dist") =!= Double.PositiveInfinity)
-        .groupBy(w("dst").as("id"))
-        .agg(min(col("dist") + col("w")).as("relaxed"))
+        .join(state.select(col("id"), col("dist"), col("path")), w("src") === col("id"))
+        .filter(col("dist") =!= Double.PositiveInfinity)
+        .select(
+          w("dst").as("id"),
+          struct(
+            (col("dist") + col("w")).as("dist"),
+            concat(col("path"), array(w("dst"))).as("path")).as("cand"))
+        .groupBy("id")
+        .agg(min("cand").as("cand")) // lexicographic (dist, path) min
       val next = state
         .join(relax, Seq("id"), "left")
         .select(
           col("id"),
-          least(col("dist"), coalesce(col("relaxed"), col("dist"))).as("dist"),
-          (least(col("dist"), coalesce(col("relaxed"), col("dist"))) < col("dist")).as("changed"))
+          when(col("cand").isNotNull && col("cand.dist") < col("dist"), col("cand.dist"))
+            .otherwise(col("dist")).as("dist"),
+          when(col("cand").isNotNull && col("cand.dist") < col("dist"), col("cand.path"))
+            .otherwise(col("path")).as("path"),
+          (col("cand").isNotNull && col("cand.dist") < col("dist")).as("changed"))
       Step(
-        next.select("id", "dist", "changed"),
+        next.select("id", "dist", "path", "changed"),
         { m =>
           val c = m.filter(col("changed")).count()
           (c == 0, Map("relaxed" -> c.toDouble))
         })
     }
     w.unpersist(false)
-    result.state.filter(col("dist") =!= Double.PositiveInfinity).select("id", "dist")
+    val reached = result.state
+      .filter(col("dist") =!= Double.PositiveInfinity)
+      .select("id", "dist", "path")
+    targets match {
+      case Some(ts) => reached.filter(col("id").isin(ts: _*))
+      case None     => reached
+    }
   }
+
+  /** Distances-only wrapper over [[dijkstra]] with out-direction weights —
+    * kept for the original weightedSssp call shape. */
+  def weightedSssp(
+      spark: SparkSession,
+      g: TemporalGraph,
+      source: Long,
+      weightCol: String,
+      maxIter: Int = 50): DataFrame =
+    dijkstra(spark, g, source, None, Some(weightCol), "out", maxIter)
+      .select("id", "dist")
 
   /**
    * Temporally-respecting reachability from seed nodes: taint spreads along

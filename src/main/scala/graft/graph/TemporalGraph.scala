@@ -77,6 +77,52 @@ case class TemporalGraph(edges: DataFrame) {
     }
   }
 
+  /**
+   * Calendar-aligned rolling window set (reference rolling/rolling_aligned,
+   * time.rs:169-205 + WindowSet cursor :456-492): window ends
+   * e_k = alignedStart + k·step (interval multiplication FIRST, then one
+   * calendar addition), alignment floored to the smallest unit of window
+   * and step (month/year on the UTC calendar, day/week/… on epoch
+   * multiples). Returns (windowStart, windowEnd, view) triples.
+   */
+  def rollingAligned(
+      windowIv: TimeInterval,
+      stepIv: Option[TimeInterval] = None): Seq[(Long, Long, TemporalGraph)] = {
+    val step = stepIv.getOrElse(windowIv)
+    val unit = AlignmentUnit.min(windowIv.alignment, step.alignment)
+    (earliestTime(), latestTime()) match {
+      case (Some(t0), Some(t1)) =>
+        val start = unit.align(t0)
+        val end = t1 + 1
+        val stop = step.addTo(end) // cursor runs while e_k < end + step
+        Iterator
+          .from(1)
+          .map(k => (step * k).addTo(start))
+          .takeWhile(_ < stop)
+          .map(e => (windowIv.subtractFrom(e), e))
+          .filter(_._1 < end) // over-stepping rule (time.rs:480-486)
+          .map { case (s, e) => (s, e, window(s, e)) }
+          .toSeq
+      case _ => Seq.empty
+    }
+  }
+
+  /** Calendar-aligned expanding window set: views (−∞, e_k) with
+    * e_k = alignedStart + k·step. Returns (windowEnd, view) pairs. */
+  def expandingAligned(stepIv: TimeInterval): Seq[(Long, TemporalGraph)] =
+    (earliestTime(), latestTime()) match {
+      case (Some(t0), Some(t1)) =>
+        val start = stepIv.alignment.align(t0)
+        val stop = stepIv.addTo(t1 + 1)
+        Iterator
+          .from(1)
+          .map(k => (stepIv * k).addTo(start))
+          .takeWhile(_ < stop)
+          .map(e => (e, before(e)))
+          .toSeq
+      case _ => Seq.empty
+    }
+
   /** Expanding window set: views (−∞, e_k) with e_k = alignedStart + k·step
     * (reference time.rs:147-167). Returns (windowEnd, view) pairs. */
   def expanding(stepMs: Long, alignMs: Long = 1L): Seq[(Long, TemporalGraph)] =

@@ -833,6 +833,39 @@ object Queries {
            |SELECT id, min(dist) AS dist FROM r GROUP BY id""".stripMargin)),
 
     (
+      "q_graph_dijkstra",
+      // weighted SSSP distances (reference dijkstra.rs:97 semantics, bulk
+      // Bellman-Ford execution) with deterministic positive weights
+      // 1 + event_id % 7; the oracle replays the relaxation as iterated
+      // min-CTEs (40 rounds ≫ the event graph's weighted hop diameter;
+      // extra rounds are no-ops at the fixpoint). Paths are checked by the
+      // ScalaTest goldens (tie-breaks aren't a SQL invariant).
+      (s, d) => {
+        val weighted = eventEdges(s, d)
+          .withColumn("w", lit(1.0) + pmod(col("event_id"), lit(7)).cast("double"))
+        Paths.dijkstra(s, TemporalGraph(weighted), source = 0L,
+          targets = None, weightCol = Some("w"), direction = "out")
+          .select(col("id"), round(col("dist"), 6).as("dist"))
+      },
+      Some {
+        val head =
+          s"""WITH e0 AS ($eventEdgesSql),
+             |we AS (SELECT src, dst, min(1.0 + (event_id % 7)) AS w
+             |       FROM e0 GROUP BY src, dst),
+             |d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, 0.0 AS dist)""".stripMargin
+        val steps = (1 to 40).map { k =>
+          s"""d$k AS MATERIALIZED (
+             |  SELECT id, min(dist) AS dist FROM (
+             |    SELECT id, dist FROM d${k - 1}
+             |    UNION ALL
+             |    SELECT we.dst AS id, p.dist + we.w AS dist
+             |    FROM d${k - 1} p JOIN we ON we.src = p.id) GROUP BY id)""".stripMargin
+        }
+        (head +: steps).mkString(",\n") +
+          "\nSELECT id, round(dist, 6) AS dist FROM d40"
+      }),
+
+    (
       "q_graph_bipartite_projection",
       // two-mode projection: parts co-occurring in the same order with ship
       // dates within 7 days (reference temporal_bipartite_projection.rs:31)
