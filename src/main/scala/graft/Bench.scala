@@ -104,6 +104,11 @@ object Bench {
     val (_, tLpa) = time(LabelPropagation.run(spark, g, LabelPropagation.Config(maxIter = 10)).count())
     results += "lpa" -> tLpa
 
+    // --- HITS (fixed 10 supersteps; in-plan normalization totals) ---
+    val (_, tHits) = time(
+      graft.algos.Hits.run(spark, g, graft.algos.Hits.Config(maxIter = 10, tol = 0.0)).count())
+    results += "hits" -> tHits
+
     // --- random-attachment graph (the reference's bench generator shape):
     // PageRank to 1e-6 convergence takes real supersteps here (hubs), so
     // this is the meaningful supersteps/sec-to-convergence number ---
