@@ -22,14 +22,9 @@ import org.apache.spark.sql.functions._
  */
 object BipartiteProjection {
 
-  def run(
-      g: TemporalGraph,
-      primaryIds: DataFrame,
-      deltaMs: Long,
-      maxPerMiddle: Long = 100000L): DataFrame = {
+  /** Primary-incident event rows (middle, p, ts) with per-middle counts. */
+  private def sizedIncident(g: TemporalGraph, primaryIds: DataFrame): DataFrame = {
     val prim = primaryIds.select(col(primaryIds.columns.head).as("pid"))
-
-    // events incident to a primary node, oriented as (middle, primary, ts)
     val e = g.edges.select(col("src"), col("dst"), col("ts"))
     val fromPrimary = e
       .join(prim, e("src") === col("pid"), "left_semi")
@@ -37,12 +32,31 @@ object BipartiteProjection {
     val toPrimary = e
       .join(prim, e("dst") === col("pid"), "left_semi")
       .select(col("src").as("middle"), col("dst").as("p"), col("ts"))
-    val incident = fromPrimary.union(toPrimary).distinct()
-
-    val bounded = incident
+    fromPrimary.union(toPrimary).distinct()
       .withColumn(
         "mn",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("middle")))
+  }
+
+  /** Guardrail accounting: (middle, mn) for middles the cap drops — the
+    * drops are first-class output, never a silent filter. */
+  def droppedMiddles(
+      g: TemporalGraph,
+      primaryIds: DataFrame,
+      maxPerMiddle: Long = 100000L): DataFrame =
+    sizedIncident(g, primaryIds)
+      .filter(col("mn") > maxPerMiddle)
+      .groupBy("middle")
+      .agg(first("mn").as("mn"))
+
+  def run(
+      g: TemporalGraph,
+      primaryIds: DataFrame,
+      deltaMs: Long,
+      maxPerMiddle: Long = 100000L): DataFrame = {
+    // hub-middle guardrail: the per-middle self-join below is quadratic,
+    // so middles above the cap are cut — [[droppedMiddles]] reports them
+    val bounded = sizedIncident(g, primaryIds)
       .filter(col("mn") <= maxPerMiddle)
       .drop("mn")
 

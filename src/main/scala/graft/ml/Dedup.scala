@@ -65,21 +65,18 @@ object Dedup {
    *
    * @return (a, b, est_jaccard) with a < b.
    */
-  def minHashLsh(
+  /** The banded signature rows shared by [[minHashLsh]] and
+    * [[minHashLshDropped]]: (id, minhash, band, bh, bucket_n). */
+  private def bandedSignatures(
       docs: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      shingleSize: Int = 3,
-      numHashes: Int = 32,
-      bands: Int = 8,
-      threshold: Double = 0.7,
-      maxBucket: Int = 1000): DataFrame = {
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val signed = withMinHash(docs, textCol, shingleSize, numHashes)
+    withMinHash(docs, textCol, shingleSize, numHashes)
       .select(col(idCol).as("id"), col("minhash"))
-      .persist()
-
-    val banded = signed
       .select(
         col("id"),
         col("minhash"),
@@ -89,12 +86,41 @@ object Dedup {
             "cast(42 as bigint), (acc, x) -> xxhash64(acc, x))))"))
           .as("bb"))
       .select(col("id"), col("minhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-
-    // guardrail: drop pathologically hot buckets (boilerplate explosion)
-    val sized = banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucket)
+  }
+
+  /** Guardrail accounting for [[minHashLsh]]: the buckets the cap would
+    * drop, as (band, bh, bucket_n) — at 100 TB the drops ARE the story
+    * (boilerplate explosions), so they're first-class output, not a silent
+    * filter. Aggregate or persist this alongside the pair results. */
+  def minHashLshDropped(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucket: Int = 1000): DataFrame =
+    bandedSignatures(docs, idCol, textCol, shingleSize, numHashes, bands)
+      .filter(col("bucket_n") > maxBucket)
+      .groupBy("band", "bh")
+      .agg(first("bucket_n").as("bucket_n"))
+
+  def minHashLsh(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    val signed = bandedSignatures(docs, idCol, textCol, shingleSize, numHashes, bands).persist()
+
+    // guardrail: drop pathologically hot buckets (boilerplate explosion);
+    // the dropped buckets are observable via [[minHashLshDropped]]
+    val sized = signed.filter(col("bucket_n") <= maxBucket)
 
     val l = sized.select(col("band"), col("bh"), col("id").as("a"), col("minhash").as("mha"))
     val r = sized.select(col("band"), col("bh"), col("id").as("b"), col("minhash").as("mhb"))

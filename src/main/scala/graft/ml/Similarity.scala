@@ -119,8 +119,39 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  private def sizedSignatures(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bands: Int,
+      bitsPerBand: Int,
+      seed: Long): DataFrame =
+    corpus.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      bandedSig(vecCol, bands, bitsPerBand, seed).as("bs"))
+      .select(col("id"), col("v"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "sig")))
+
+  /** Guardrail accounting for [[cosineNearDupPairs]]: the (band, sig,
+    * bucket_n) buckets the cap would drop — observable, never silent. */
+  def cosineNearDupDropped(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bands: Int = 4,
+      bitsPerBand: Int = 8,
+      seed: Long = 42L,
+      maxBucket: Int = 100000): DataFrame =
+    sizedSignatures(corpus, idCol, vecCol, bands, bitsPerBand, seed)
+      .filter(col("bucket_n") > maxBucket)
+      .groupBy("band", "sig")
+      .agg(first("bucket_n").as("bucket_n"))
+
   /** Embedding-cosine near-duplicate pairs over the whole corpus via LSH
-    * buckets: pairs sharing any band signature with cosine ≥ threshold. */
+    * buckets: pairs sharing any band signature with cosine ≥ threshold.
+    * Buckets above `maxBucket` are dropped (the per-bucket self-join is
+    * quadratic); [[cosineNearDupDropped]] reports exactly what was cut. */
   def cosineNearDupPairs(
       corpus: DataFrame,
       threshold: Double,
@@ -128,12 +159,10 @@ object Similarity {
       vecCol: String = "embedding",
       bands: Int = 4,
       bitsPerBand: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val sig = corpus.select(
-      col(idCol).as("id"),
-      col(vecCol).as("v"),
-      bandedSig(vecCol, bands, bitsPerBand, seed).as("bs"))
-      .select(col("id"), col("v"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      seed: Long = 42L,
+      maxBucket: Int = 100000): DataFrame = {
+    val sig = sizedSignatures(corpus, idCol, vecCol, bands, bitsPerBand, seed)
+      .filter(col("bucket_n") <= maxBucket)
     val l = sig.select(col("band"), col("sig"), col("id").as("a"), col("v").as("va"))
     val r = sig.select(col("band"), col("sig"), col("id").as("b"), col("v").as("vb"))
     l.join(r, Seq("band", "sig"))

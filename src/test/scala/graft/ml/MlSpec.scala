@@ -86,6 +86,29 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("guardrail drops are observable, not silent") {
+    import spark.implicits._
+    // 30 identical docs → every (band, bucket) is hot at maxBucket = 10
+    val hot = (1 to 30).map(i => (i.toLong, "the same boilerplate text repeated again and again"))
+      .toDF("doc_id", "text")
+    val dropped = Dedup.minHashLshDropped(hot, maxBucket = 10).collect()
+    assert(dropped.nonEmpty, "hot buckets must be reported")
+    assert(dropped.forall(_.getAs[Long]("bucket_n") == 30L))
+    val pairs = Dedup.minHashLsh(hot, maxBucket = 10)
+    assert(pairs.count() == 0L, "capped buckets produce no pairs")
+    // and with a generous cap nothing is dropped
+    assert(Dedup.minHashLshDropped(hot, maxBucket = 1000).count() == 0L)
+
+    // bipartite projection: a hub middle above the cap is reported
+    val edges = (1L to 20L).map(p => (p, 100L, p)) // 20 primaries on middle 100
+    val g = graft.graph.TemporalGraph.fromTriples(spark, edges)
+    val prim = (1L to 20L).toDF("id")
+    val droppedMid = graft.algos.BipartiteProjection
+      .droppedMiddles(g, prim, maxPerMiddle = 5).collect()
+    assert(droppedMid.map(_.getAs[Long]("middle")).toSeq == Seq(100L))
+    assert(graft.algos.BipartiteProjection.run(g, prim, deltaMs = 100, maxPerMiddle = 5).count() == 0L)
+  }
+
   test("text analysis signals") {
     val analyzed = TextAnalysis.analyze(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(analyzed(1L).getAs[Long]("n_tokens") == 14L)
