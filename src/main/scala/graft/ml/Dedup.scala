@@ -38,6 +38,22 @@ object Dedup {
       s"transform(sequence(0, greatest(size(split($textColName, '\\\\s+')) - $k, 0)), " +
         s"i -> array_join(slice(split($textColName, '\\\\s+'), i + 1, $k), ' '))")
 
+  /** Portable-hash parameters: a polynomial rolling hash over character
+    * codes mod a ~2^30 prime, indexed hash family h_i(x) = (a_i·x + b_i)
+    * mod P. Pure integer arithmetic both Spark and DuckDB evaluate
+    * identically, so LSH pipelines built on it are oracle-replayable
+    * end-to-end (xxhash64 — the default, better-mixing family — has no
+    * DuckDB equivalent). All intermediates stay < 2^62: codes < 2^17,
+    * rolling acc < P ≈ 2^30, a_i < 2^26, products < 2^56.
+    */
+  val PolyP = 1000000007L
+  val PolyBandP = 998244353L
+
+  /** SQL for the polynomial character hash of string expression `s`. */
+  private[ml] def polyHashSql(s: String): String =
+    s"aggregate(split($s, ''), cast(0 as bigint), " +
+      s"(acc, c) -> (acc * 31 + pmod(ascii(c), 65536)) % $PolyP)"
+
   /**
    * MinHash signatures: per document, `numHashes` minima of
    * xxhash64(shingle, seed_i). Returns the docs DF with a `minhash`
@@ -47,14 +63,18 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       shingleSize: Int = 3,
-      numHashes: Int = 32): DataFrame = {
+      numHashes: Int = 32,
+      portable: Boolean = false): DataFrame = {
     val sh = docs.withColumn("__shingles", shingles(textCol, shingleSize))
-    sh.withColumn(
-      "minhash",
-      expr(
+    val minhashExpr =
+      if (portable)
+        s"transform(sequence(0, ${numHashes - 1}), h -> array_min(" +
+          s"transform(transform(__shingles, s -> ${polyHashSql("s")}), " +
+          s"x -> ((1 + h * 1000003) * x + h * 999983 + 12345) % $PolyP)))"
+      else
         s"transform(sequence(0, ${numHashes - 1}), " +
-          "h -> array_min(transform(__shingles, s -> xxhash64(s, h))))"))
-      .drop("__shingles")
+          "h -> array_min(transform(__shingles, s -> xxhash64(s, h))))"
+    sh.withColumn("minhash", expr(minhashExpr)).drop("__shingles")
   }
 
   /**
@@ -73,17 +93,24 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int,
+      portable: Boolean): DataFrame = {
     val rows = numHashes / bands
-    withMinHash(docs, textCol, shingleSize, numHashes)
+    val bandHash =
+      if (portable)
+        s"aggregate(slice(minhash, b * $rows + 1, $rows), " +
+          s"cast(42 as bigint), (acc, x) -> (acc * 31 + x) % $PolyBandP)"
+      else
+        s"aggregate(slice(minhash, b * $rows + 1, $rows), " +
+          "cast(42 as bigint), (acc, x) -> xxhash64(acc, x))"
+    withMinHash(docs, textCol, shingleSize, numHashes, portable)
       .select(col(idCol).as("id"), col("minhash"))
       .select(
         col("id"),
         col("minhash"),
         explode(
           expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
-            s"'band', b, 'bh', aggregate(slice(minhash, b * $rows + 1, $rows), " +
-            "cast(42 as bigint), (acc, x) -> xxhash64(acc, x))))"))
+            s"'band', b, 'bh', $bandHash))"))
           .as("bb"))
       .select(col("id"), col("minhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .withColumn("bucket_n", count(lit(1)).over(
@@ -101,8 +128,9 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      maxBucket: Int = 1000): DataFrame =
-    bandedSignatures(docs, idCol, textCol, shingleSize, numHashes, bands)
+      maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame =
+    bandedSignatures(docs, idCol, textCol, shingleSize, numHashes, bands, portable)
       .filter(col("bucket_n") > maxBucket)
       .groupBy("band", "bh")
       .agg(first("bucket_n").as("bucket_n"))
@@ -115,8 +143,10 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.7,
-      maxBucket: Int = 1000): DataFrame = {
-    val signed = bandedSignatures(docs, idCol, textCol, shingleSize, numHashes, bands).persist()
+      maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame = {
+    val signed =
+      bandedSignatures(docs, idCol, textCol, shingleSize, numHashes, bands, portable).persist()
 
     // guardrail: drop pathologically hot buckets (boilerplate explosion);
     // the dropped buckets are observable via [[minHashLshDropped]]
@@ -144,18 +174,53 @@ object Dedup {
    * few bits (compare with `bit_count(a ^ b)` ≤ k).
    * @return docs with a `simhash` long column.
    */
-  def withSimHash(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn(
-      "simhash",
-      expr(
-        s"""aggregate(
-           |  sequence(0, 63),
-           |  cast(0 as bigint),
-           |  (acc, bit) -> acc + CASE WHEN
-           |    aggregate(split($textCol, '\\\\s+'), 0,
-           |      (v, tok) -> v + CASE WHEN (shiftright(xxhash64(tok), bit) & 1) = 1
-           |                      THEN 1 ELSE -1 END) > 0
-           |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin))
+  def withSimHash(docs: DataFrame, textCol: String = "text", portable: Boolean = false): DataFrame =
+    if (portable) {
+      // 63 bits (bit 63 would need signed-overflow shifts DuckDB rejects);
+      // per-token bit b = ((H·(2b+17) + 7919) mod P) mod 2 over the
+      // polynomial token hash H, computed ONCE per token — a hash family
+      // both engines evaluate identically (oracle-replayable).
+      docs
+        .withColumn(
+          "__th",
+          expr(s"transform(split($textCol, '\\\\s+'), tok -> ${polyHashSql("tok")})"))
+        .withColumn(
+          "simhash",
+          expr(
+            s"""aggregate(
+               |  sequence(0, 62),
+               |  cast(0 as bigint),
+               |  (acc, bit) -> acc + CASE WHEN
+               |    aggregate(__th, 0,
+               |      (v, h) -> v + CASE WHEN pmod(h * (2 * bit + 17) + 7919, $PolyP) % 2 = 1
+               |                      THEN 1 ELSE -1 END) > 0
+               |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin))
+        .drop("__th")
+    } else
+      docs.withColumn(
+        "simhash",
+        expr(
+          s"""aggregate(
+             |  sequence(0, 63),
+             |  cast(0 as bigint),
+             |  (acc, bit) -> acc + CASE WHEN
+             |    aggregate(split($textCol, '\\\\s+'), 0,
+             |      (v, tok) -> v + CASE WHEN (shiftright(xxhash64(tok), bit) & 1) = 1
+             |                      THEN 1 ELSE -1 END) > 0
+             |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin))
+
+  /** Pigeonhole segment layout for [[simHashPairs]]: (index, startBit,
+    * mask) for maxHamming+1 segments over the 64-bit fingerprint —
+    * shared with the DuckDB oracle so both engines bucket identically. */
+  def simHashSegments(maxHamming: Int): Seq[(Int, Int, Long)] = {
+    val m = maxHamming + 1
+    (0 until m).map { i =>
+      val start = i * 64 / m
+      val width = (i + 1) * 64 / m - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      (i, start, mask)
+    }
+  }
 
   /** SimHash near-dup pairs: fingerprints within `maxHamming` bits, bucketed
     * by `maxHamming + 1` bit segments of the fingerprint — by pigeonhole a
@@ -166,19 +231,17 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      portable: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming=$maxHamming out of [0, 32)")
-    val m = maxHamming + 1
     // segment i covers bits [floor(i·64/m), floor((i+1)·64/m))
-    val segs = (0 until m).map { i =>
-      val start = i * 64 / m
-      val width = (i + 1) * 64 / m - start
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
+    val segs = simHashSegments(maxHamming).map { case (i, start, mask) =>
       s"named_struct('q', $i, 'qh', shiftright(simhash, $start) & ${mask}L)"
     }
     // persisted: both join sides read it and their plans differ by aliases,
     // so exchange reuse can't dedupe the (expensive) fingerprint computation
-    val signed = withSimHash(docs, textCol).select(col(idCol).as("id"), col("simhash")).persist()
+    val signed =
+      withSimHash(docs, textCol, portable).select(col(idCol).as("id"), col("simhash")).persist()
     val segmented = signed.select(
       col("id"),
       col("simhash"),

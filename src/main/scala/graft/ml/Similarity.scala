@@ -29,22 +29,41 @@ object Similarity {
     dot / (norm(ea) * norm(eb))
   }
 
+  /** Portable hyperplane component (b, bit, i) as integer SQL both Spark
+    * and DuckDB evaluate identically: an LCG over the mixed index, mapped
+    * to [-1, 1) at 1e-6 resolution. Exposed so the oracle can inline the
+    * identical formula. */
+  def portablePlaneSql(seed: Long): String =
+    s"(cast((((${seed}L + cast(b as bigint) * 73856093L + cast(bit as bigint) * 19349663L " +
+      s"+ cast(i as bigint) * 83492791L) % 1000000007L) " +
+      s"* 1103515245L + 12345L) % 1000000007L % 2000001L as double) / 1000000.0 - 1.0)"
+
   /** SQL for a `bits`-bit random-hyperplane sign signature of `vecCol`,
     * parameterized by a lambda-bound band variable `b`. Hyperplane
-    * component (b, bit, i) = xxhash64-uniform value in [-1, 1). */
-  private def planeSigSql(vecCol: String, bits: Int, seed: Long): String =
+    * component (b, bit, i) = hash-uniform value in [-1, 1) —
+    * xxhash64-derived by default, the portable LCG family when the
+    * signature must be oracle-replayable. */
+  private def planeSigSql(vecCol: String, bits: Int, seed: Long, portable: Boolean): String = {
+    val comp =
+      if (portable) portablePlaneSql(seed)
+      else s"(cast(pmod(xxhash64($seed, b, bit, i), 2000001) as double) / 1000000.0 - 1.0)"
     s"""aggregate(sequence(0, ${bits - 1}), cast(0 as bigint),
        |  (acc, bit) -> acc + CASE WHEN
        |    aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
-       |        (v, i) -> cast(v as double) *
-       |          (cast(pmod(xxhash64($seed, b, bit, i), 2000001) as double) / 1000000.0 - 1.0)),
+       |        (v, i) -> cast(v as double) * $comp),
        |      cast(0.0 as double), (s, v) -> s + v) > 0
        |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin
+  }
 
-  private def bandedSig(vecCol: String, bands: Int, bits: Int, seed: Long): Column =
+  private def bandedSig(
+      vecCol: String,
+      bands: Int,
+      bits: Int,
+      seed: Long,
+      portable: Boolean): Column =
     explode(
       expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, 'sig', " +
-        planeSigSql(vecCol, bits, seed) + "))"))
+        planeSigSql(vecCol, bits, seed, portable) + "))"))
 
   /**
    * Exact top-k cosine neighbours for each query vector.
@@ -88,12 +107,13 @@ object Similarity {
       vecCol: String = "embedding",
       bands: Int = 4,
       bitsPerBand: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
     def signed(df: DataFrame, side: String): DataFrame =
       df.select(
         col(idCol).as(s"${side}_id"),
         col(vecCol).as(s"${side}_v"),
-        bandedSig(vecCol, bands, bitsPerBand, seed).as("bs"))
+        bandedSig(vecCol, bands, bitsPerBand, seed, portable).as("bs"))
         .select(
           col(s"${side}_id"),
           col(s"${side}_v"),
@@ -125,11 +145,12 @@ object Similarity {
       vecCol: String,
       bands: Int,
       bitsPerBand: Int,
-      seed: Long): DataFrame =
+      seed: Long,
+      portable: Boolean = false): DataFrame =
     corpus.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
-      bandedSig(vecCol, bands, bitsPerBand, seed).as("bs"))
+      bandedSig(vecCol, bands, bitsPerBand, seed, portable).as("bs"))
       .select(col("id"), col("v"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "sig")))
 
@@ -160,8 +181,9 @@ object Similarity {
       bands: Int = 4,
       bitsPerBand: Int = 8,
       seed: Long = 42L,
-      maxBucket: Int = 100000): DataFrame = {
-    val sig = sizedSignatures(corpus, idCol, vecCol, bands, bitsPerBand, seed)
+      maxBucket: Int = 100000,
+      portable: Boolean = false): DataFrame = {
+    val sig = sizedSignatures(corpus, idCol, vecCol, bands, bitsPerBand, seed, portable)
       .filter(col("bucket_n") <= maxBucket)
     val l = sig.select(col("band"), col("sig"), col("id").as("a"), col("v").as("va"))
     val r = sig.select(col("band"), col("sig"), col("id").as("b"), col("v").as("vb"))

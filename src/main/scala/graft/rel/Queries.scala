@@ -179,6 +179,30 @@ object Queries {
     (head +: steps).mkString(",\n") + s"\nSELECT id FROM a$rounds"
   }
 
+  /** DuckDB CTE computing the portable random-hyperplane band signatures
+    * of the embeddings table — the exact integer formula of
+    * [[graft.ml.Similarity.portablePlaneSql]]. Yields `name`(id, band, sig). */
+  private def lshSigCteSql(name: String, bands: Int, bits: Int, seed: Long): String =
+    s"""$name AS (
+       |  SELECT vec_id AS id, t.b AS band,
+       |    list_sum(list_transform(range(0, $bits), bit ->
+       |      CASE WHEN list_sum(list_transform(list_zip(embedding, range(0, len(embedding))),
+       |          z -> CAST(z[1] AS DOUBLE) *
+       |            (CAST(((($seed + CAST(t.b AS BIGINT) * 73856093 + CAST(bit AS BIGINT) * 19349663
+       |               + CAST(z[2] AS BIGINT) * 83492791)
+       |               % 1000000007) * 1103515245 + 12345) % 1000000007 % 2000001 AS DOUBLE)
+       |             / 1000000.0 - 1.0))) > 0
+       |      THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END)) AS sig
+       |  FROM embeddings, range(0, $bands) t(b))""".stripMargin
+
+  private val cosineSql =
+    """list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+      |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |/ (sqrt(list_sum(list_transform(qe.embedding,
+      |     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+      | * sqrt(list_sum(list_transform(ce.embedding,
+      |     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))""".stripMargin
+
   /** WCC closure prefix: `labels` = (id, min reachable id) via undirected
     * transitive closure. Compose with a final SELECT. */
   private val wccClosureSql =
@@ -982,12 +1006,71 @@ object Queries {
     // ---- dedup / similarity over documents + embeddings ----
     (
       "q_dedup_minhash_lsh",
-      (s, d) => Dedup.minHashLsh(t(s, d, "documents"), threshold = 0.4),
-      None),
+      // full MinHash+LSH pipeline under the portable polynomial hash
+      // family, so DuckDB replays shingling → signatures → banding →
+      // bucket join → jaccard-estimate verify END TO END (xxhash64 stays
+      // the default family for production use; MlSpec covers its recall)
+      (s, d) => Dedup.minHashLsh(t(s, d, "documents"), threshold = 0.4, portable = true),
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+           |sh AS (
+           |  SELECT doc_id, list_transform(range(1, greatest(len(tk) - 3, 0) + 2),
+           |    i -> array_to_string(tk[i:i+2], ' ')) AS shingles FROM tok),
+           |hv AS (
+           |  SELECT doc_id, list_transform(shingles,
+           |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |           list_transform(string_split(s, ''), c -> CAST(ascii(c) % 65536 AS BIGINT))),
+           |         (acc, c) -> (acc * 31 + c) % ${Dedup.PolyP})) AS hv FROM sh),
+           |mh AS (
+           |  SELECT doc_id, list_transform(range(0, 32),
+           |    h -> list_min(list_transform(hv,
+           |      x -> ((1 + h * 1000003) * x + h * 999983 + 12345) % ${Dedup.PolyP}))) AS minhash
+           |  FROM hv),
+           |banded AS (
+           |  SELECT doc_id, minhash, t.b AS band,
+           |    list_reduce(list_prepend(CAST(42 AS BIGINT), minhash[t.b*4+1 : t.b*4+4]),
+           |      (acc, x) -> (acc * 31 + x) % ${Dedup.PolyBandP}) AS bh
+           |  FROM mh, range(0, 8) t(b)),
+           |sized AS (SELECT *, count(*) OVER (PARTITION BY band, bh) AS bucket_n FROM banded),
+           |ok AS (SELECT * FROM sized WHERE bucket_n <= 1000)
+           |SELECT a, b, round(max(est), 6) AS est_jaccard FROM (
+           |  SELECT l.doc_id AS a, r.doc_id AS b,
+           |    len(list_filter(list_zip(l.minhash, r.minhash), z -> z[1] = z[2])) / 32.0 AS est
+           |  FROM ok l JOIN ok r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+           |WHERE est >= 0.4 GROUP BY a, b""".stripMargin)),
     (
       "q_dedup_simhash",
-      (s, d) => Dedup.simHashPairs(t(s, d, "documents"), maxHamming = 8),
-      None),
+      // portable 63-bit SimHash + pigeonhole segment buckets, replayed by
+      // DuckDB bit for bit
+      (s, d) => Dedup.simHashPairs(t(s, d, "documents"), maxHamming = 8, portable = true),
+      Some {
+        val segCase = Dedup.simHashSegments(8)
+          .map { case (i, start, mask) => s"WHEN $i THEN (simhash >> $start) & $mask" }
+          .mkString(" ")
+        s"""WITH th AS (
+           |  SELECT doc_id, list_transform(regexp_split_to_array(text, '\\s+'),
+           |    tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |             list_transform(string_split(tok, ''), c -> CAST(ascii(c) % 65536 AS BIGINT))),
+           |           (acc, c) -> (acc * 31 + c) % ${Dedup.PolyP})) AS th
+           |  FROM documents),
+           |sv AS (
+           |  SELECT doc_id, list_sum(list_transform(range(0, 63), bit ->
+           |    CASE WHEN list_sum(list_transform(th, h ->
+           |        CASE WHEN ((h * (2 * bit + 17) + 7919) % ${Dedup.PolyP}) % 2 = 1
+           |          THEN 1 ELSE -1 END)) > 0
+           |      THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END)) AS simhash
+           |  FROM th),
+           |seg AS (
+           |  SELECT doc_id, simhash, t.q AS q,
+           |    CASE t.q $segCase END AS qh
+           |  FROM sv, range(0, 9) t(q))
+           |SELECT l.doc_id AS a, r.doc_id AS b,
+           |  min(bit_count(xor(l.simhash, r.simhash))) AS hamming
+           |FROM seg l JOIN seg r ON l.q = r.q AND l.qh = r.qh AND l.doc_id < r.doc_id
+           |WHERE bit_count(xor(l.simhash, r.simhash)) <= 8
+           |GROUP BY l.doc_id, r.doc_id""".stripMargin
+      }),
     (
       "q_dedup_ngram_jaccard",
       // jaccard over adjacent-id candidate pairs (deterministic sample)
@@ -1034,15 +1117,50 @@ object Queries {
           |FROM ranked WHERE rank <= 5""".stripMargin)),
     (
       "q_sim_lsh_topk",
+      // LSH bucketing + exact re-rank under the portable hyperplane family
+      // so DuckDB replays the whole candidate-generation pipeline
       (s, d) => {
         val vecs = t(s, d, "embeddings")
-        Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 3), k = 5, bands = 8, bitsPerBand = 4)
+        Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 3), k = 5,
+          bands = 8, bitsPerBand = 4, portable = true)
       },
-      None),
+      Some(
+        s"""WITH ${lshSigCteSql("sigc", bands = 8, bits = 4, seed = 42L)},
+           |sigq AS (SELECT * FROM sigc WHERE id < 3),
+           |cands AS (
+           |  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+           |  FROM sigc c JOIN sigq q ON c.band = q.band AND c.sig = q.sig
+           |  WHERE q.id <> c.id),
+           |scored AS (
+           |  SELECT query_id, neighbor_id, $cosineSql AS cos
+           |  FROM cands
+           |  JOIN embeddings qe ON qe.vec_id = query_id
+           |  JOIN embeddings ce ON ce.vec_id = neighbor_id),
+           |ranked AS (SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+           |FROM ranked WHERE rank <= 5""".stripMargin)),
     (
       "q_sim_cosine_neardup",
-      (s, d) => graft.ml.Similarity.cosineNearDupPairs(t(s, d, "embeddings"), threshold = 0.5),
-      None),
+      // 8 bands × 4 bits at threshold 0.35: non-trivial candidate recall on
+      // the synthetic embeddings (4×8 bands at 0.5 found nothing — a 0-row
+      // green proves little)
+      (s, d) => graft.ml.Similarity.cosineNearDupPairs(
+        t(s, d, "embeddings"), threshold = 0.35, bands = 8, bitsPerBand = 4, portable = true),
+      Some(
+        s"""WITH ${lshSigCteSql("sig", bands = 8, bits = 4, seed = 42L)},
+           |cands AS (
+           |  SELECT DISTINCT l.id AS a, r.id AS b
+           |  FROM sig l JOIN sig r ON l.band = r.band AND l.sig = r.sig
+           |  WHERE l.id < r.id),
+           |scored AS (
+           |  SELECT a, b, round($cosineSql, 6) AS cos
+           |  FROM cands
+           |  JOIN embeddings qe ON qe.vec_id = a
+           |  JOIN embeddings ce ON ce.vec_id = b)
+           |SELECT DISTINCT a, b, cos FROM scored WHERE cos >= 0.35""".stripMargin)),
 
     (
       "q_text_quality",
