@@ -323,21 +323,8 @@ object TemporalMotifs {
         // reference role mapping (global_temporal_three_node_motifs.rs:188-226):
         // sorted ids = [v, u, w] with v = x1 (smaller of the u,v pair),
         // u = x2, w = x3 (the intersection neighbour, largest)
-        val l = evs.length
-        val times = new Array[Long](l)
-        val uvE = new Array[Boolean](l)
-        val uorv = new Array[Int](l)
-        val dirs = new Array[Int](l)
-        var i = 0
-        evs.foreach { case (t, _, s, d) =>
-          times(i) = t
-          if (s == x3) { uvE(i) = false; uorv(i) = if (d == x2) 0 else 1; dirs(i) = 0 }
-          else if (d == x3) { uvE(i) = false; uorv(i) = if (s == x2) 0 else 1; dirs(i) = 1 }
-          else if (s == x2) { uvE(i) = true; uorv(i) = 1; dirs(i) = 1 }
-          else { uvE(i) = true; uorv(i) = 0; dirs(i) = 0 }
-          i += 1
-        }
-        triangleCounts(times, uvE, uorv, dirs, deltaMs)
+        val _ = x1
+        triangleKernelForSorted(x2, x3, evs, deltaMs)
       },
       8)
 
@@ -353,6 +340,156 @@ object TemporalMotifs {
       (i, c)
     }
     rows.toDF("motif_id", "count")
+  }
+
+  /**
+   * Per-node 40-dim census (local_temporal_three_node_motifs.rs:333) with
+   * the reference's attribution rule (`:330` doc note): star motifs count
+   * only for the centre node; two-node motifs count for both endpoints,
+   * each from its own perspective (the min endpoint keeps the kernel
+   * counts, the max endpoint the direction-mirror); triangle motifs count
+   * for all three corners. The per-triangle 8-vector is role-invariant —
+   * verified against the reference's local fixture — so one kernel run per
+   * triangle credits all three corners without re-running per role.
+   *
+   * @return (id, motif_id 0..39, count) — 40 rows per node, same slot
+   *         layout as [[global]].
+   */
+  def local(spark: SparkSession, g: TemporalGraph, deltaMs: Long): DataFrame = {
+    import spark.implicits._
+    val ev = g.edges
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("ts"), col("event_id"))
+      .persist()
+    ev.count()
+
+    // -- two-node block: one kernel per pair, credited to both endpoints --
+    val pairEvents = ev
+      .select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        struct(
+          col("ts"),
+          col("event_id"),
+          when(col("src") < col("dst"), 1).otherwise(0).as("dir")).as("e"))
+      .groupBy("a", "b")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("a").as[Long], col("b").as[Long], col("evs").as[Seq[(Long, Long, Int)]])
+    val twoByNode = sumByNode(
+      pairEvents.flatMap { case (a, b, evs) =>
+        val c = twoNodeCounts(evs.map(_._1).toArray, evs.map(_._3).toArray, deltaMs)
+        Seq((a, c), (b, mirror8(c)))
+      }).toDF("id", "two")
+
+    // -- star block: one kernel per centre node --
+    val starByNode = ev
+      .select(col("src").as("node"), struct(col("ts"), col("event_id"), lit(1).as("dir"), col("dst").as("nbr")).as("e"))
+      .unionByName(ev.select(
+        col("dst").as("node"),
+        struct(col("ts"), col("event_id"), lit(0).as("dir"), col("src").as("nbr")).as("e")))
+      .groupBy("node")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("node").as[Long], col("evs").as[Seq[(Long, Long, Int, Long)]])
+      .map { case (node, evs) =>
+        (node, starCounts(evs.map(_._1).toArray, evs.map(_._3).toArray, evs.map(_._4).toArray, deltaMs))
+      }
+      .toDF("id", "star")
+
+    // -- triangle block: kernel once per triangle, credited to all corners --
+    val und = ev
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist()
+    val e1 = und.select(col("a").as("x1"), col("b").as("x2"))
+    val e2 = und.select(col("a").as("x2"), col("b").as("x3"))
+    val e3 = und.select(col("a").as("x1"), col("b").as("x3"))
+    val tris = e1.join(e2, "x2" :: Nil).join(e3, Seq("x1", "x3"))
+
+    val pe = ev.select(
+      least(col("src"), col("dst")).as("p"),
+      greatest(col("src"), col("dst")).as("q"),
+      col("src"), col("dst"), col("ts"), col("event_id"))
+    val triEvents = tris
+      .withColumn("tri", struct(col("x1"), col("x2"), col("x3")))
+      .select(
+        col("tri"),
+        explode(array(
+          struct(col("x1").as("p"), col("x2").as("q")),
+          struct(col("x2").as("p"), col("x3").as("q")),
+          struct(col("x1").as("p"), col("x3").as("q")))).as("pq"))
+      .select(col("tri"), col("pq.p").as("p"), col("pq.q").as("q"))
+      .join(pe, Seq("p", "q"))
+      .select(
+        col("tri"),
+        struct(col("ts"), col("event_id"), col("src"), col("dst")).as("e"))
+      .groupBy("tri")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("tri").as[(Long, Long, Long)], col("evs").as[Seq[(Long, Long, Long, Long)]])
+    val triByNode = sumByNode(
+      triEvents.flatMap { case ((x1, x2, x3), evs) =>
+        val c = triangleKernelForSorted(x2, x3, evs, deltaMs)
+        Seq((x1, c), (x2, c), (x3, c))
+      }).toDF("id", "tri")
+
+    // -- assemble per node: (star − cycled two) ++ two ++ tri --
+    def zeros(n: Int) = array((0 until n).map(_ => lit(0L)): _*)
+    val out = g.nodes
+      .join(starByNode, Seq("id"), "left")
+      .join(twoByNode, Seq("id"), "left")
+      .join(triByNode, Seq("id"), "left")
+      .withColumn("star", coalesce(col("star"), zeros(24)))
+      .withColumn("two", coalesce(col("two"), zeros(8)))
+      .withColumn("tri", coalesce(col("tri"), zeros(8)))
+      .select(
+        col("id"),
+        explode(expr(
+          "transform(sequence(0, 39), i -> struct(cast(i as int) as motif_id, " +
+            "case when i < 24 then star[i] - two[i % 8] " +
+            "when i < 32 then two[i - 24] " +
+            "else tri[i - 32] end as count))")).as("m"))
+      .select(col("id"), col("m.motif_id").as("motif_id"), col("m.count").as("count"))
+    // materialize before releasing the cached inputs the plan depends on
+    val result = out.persist()
+    result.count()
+    ev.unpersist(false)
+    und.unpersist(false)
+    result
+  }
+
+  /** Run the triangle kernel on one triangle's sorted events with the
+    * canonical role mapping (v = x1, u = x2, w = x3 — the same mapping
+    * [[global]] uses, see global_temporal_three_node_motifs.rs:188-226).
+    * Event tuples are (ts, event_id, src, dst). */
+  private def triangleKernelForSorted(
+      x2: Long,
+      x3: Long,
+      evs: Seq[(Long, Long, Long, Long)],
+      deltaMs: Long): Array[Long] = {
+    val l = evs.length
+    val times = new Array[Long](l)
+    val uvE = new Array[Boolean](l)
+    val uorv = new Array[Int](l)
+    val dirs = new Array[Int](l)
+    var i = 0
+    evs.foreach { case (t, _, s, d) =>
+      times(i) = t
+      if (s == x3) { uvE(i) = false; uorv(i) = if (d == x2) 0 else 1; dirs(i) = 0 }
+      else if (d == x3) { uvE(i) = false; uorv(i) = if (s == x2) 0 else 1; dirs(i) = 1 }
+      else if (s == x2) { uvE(i) = true; uorv(i) = 1; dirs(i) = 1 }
+      else { uvE(i) = true; uorv(i) = 0; dirs(i) = 0 }
+      i += 1
+    }
+    triangleCounts(times, uvE, uorv, dirs, deltaMs)
+  }
+
+  /** Per-key elementwise sum of fixed-width count vectors. */
+  private def sumByNode(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Long])]): org.apache.spark.sql.Dataset[(Long, Array[Long])] = {
+    val session = ds.sparkSession
+    import session.implicits._
+    ds.groupByKey(_._1)
+      .reduceGroups((x, y) => (x._1, x._2.zip(y._2).map(t => t._1 + t._2)))
+      .map(_._2)
   }
 
   /** Distributed elementwise sum of fixed-width count vectors. */

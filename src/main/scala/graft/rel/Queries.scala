@@ -1003,6 +1003,24 @@ object Queries {
       (s, d) => graft.algos.TemporalMotifs.global(s, eventGraph(s, d), deltaMs = 7200000L),
       None),
 
+    (
+      "q_graph_temporal_motifs_local",
+      // per-node 40-dim census (local_temporal_three_node_motifs.rs:333):
+      // star motifs credit the centre, two-node motifs both endpoints,
+      // triangle motifs all three corners. Kernel-based — golden-tested
+      // against the reference's test_local_motif fixture. Emitted as one
+      // row per node with the nonzero slots joined, so the driver compare
+      // can hash it.
+      (s, d) => graft.algos.TemporalMotifs.local(s, eventGraph(s, d), deltaMs = 7200000L)
+        .groupBy(col("id"))
+        .agg(
+          sum(col("count")).as("total"),
+          array_join(
+            sort_array(collect_list(
+              when(col("count") > 0, concat_ws(":", col("motif_id"), col("count"))))),
+            ",").as("nonzero")),
+      None),
+
     // ---- dedup / similarity over documents + embeddings ----
     (
       "q_dedup_minhash_lsh",

@@ -60,6 +60,58 @@ class TemporalMotifsSpec extends SparkSpec {
     assert(c(3) == 1 && c.sum == 1, s"got ${c.toSeq}")
   }
 
+  /** The local-test sample graph (motifs.rs local_motifs_test
+    * load_sample_graph) — differs from the global fixture: the (1,1,2) and
+    * (2,1,3) edges are NOT duplicated. */
+  private val localFixtureEdges = Seq[(Long, Long, Long)](
+    (1, 1, 1), (1, 1, 1), (2, 1, 1), (1, 1, 2), (2, 1, 3), (3, 1, 4), (4, 3, 1),
+    (5, 3, 4), (6, 3, 5), (7, 4, 5), (8, 5, 6), (9, 5, 8), (10, 7, 5),
+    (11, 8, 5), (12, 1, 9), (13, 9, 1), (14, 6, 3), (15, 4, 8), (16, 8, 3),
+    (17, 5, 10), (18, 10, 5), (19, 10, 8), (20, 1, 11), (21, 11, 1),
+    (22, 9, 11), (23, 11, 9))
+
+  test("local per-node census matches the reference golden (motifs.rs test_local_motif, delta=10)") {
+    import spark.implicits._
+    val g = TemporalGraph(
+      localFixtureEdges.zipWithIndex
+        .map { case ((t, s, d), i) => (s, d, t, i.toLong, "_default") }
+        .toDF("src", "dst", "ts", "event_id", "layer"))
+    val got = TemporalMotifs
+      .local(spark, g, deltaMs = 10)
+      .collect()
+      .groupBy(_.getAs[Long]("id"))
+      .map { case (id, rows) =>
+        val v = new Array[Long](40)
+        rows.foreach(r => v(r.getAs[Int]("motif_id")) = r.getAs[Long]("count"))
+        id -> v.toSeq
+      }
+    val expected = Map[Long, Seq[Long]](
+      1L -> Seq(0, 0, 0, 0, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 2, 0, 0, 0, 3, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 2, 0),
+      10L -> Seq(0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 1, 0, 1, 0, 1),
+      11L -> Seq(0, 0, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 1, 0),
+      2L -> Seq.fill(40)(0L),
+      3L -> Seq(0, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 2, 0, 1, 2, 0),
+      4L -> Seq(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 1, 0, 0, 1, 2, 0),
+      5L -> Seq(0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 4, 0, 0, 0, 3, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 1, 3, 0, 1, 1, 1),
+      6L -> Seq(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0),
+      7L -> Seq.fill(40)(0L),
+      8L -> Seq(0, 0, 2, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 1, 2, 0, 1, 0, 1),
+      9L -> Seq(0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 1, 0))
+    assert(got.keySet == expected.keySet, s"node sets differ: ${got.keySet}")
+    expected.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"node $id: got ${got(id)} expected $exp")
+    }
+  }
+
   test("delta windows restrict the census") {
     // with delta=1 only tight sequences survive; census must shrink
     val wide = TemporalMotifs.global(spark, fixtureGraph, 10)
