@@ -1021,6 +1021,48 @@ object Queries {
             ",").as("nonzero")),
       None),
 
+    (
+      "q_graph_rich_club",
+      // temporal rich-club coefficient (temporal_rich_club_coefficient.rs:59;
+      // Pedreschi et al. 2022): club = degree ≥ 5 in the aggregate graph,
+      // tumbling 1-day snapshots consumed in chunks of 2, max over chunks of
+      // stable-edge density. Fully SQL-replayable.
+      (s, d) => {
+        import s.implicits._
+        val coef = graft.algos.RichClub.temporalRichClubTumbling(
+          s, eventGraph(s, d), stepMs = 86400000L, k = 5L, windowSize = 2)
+        Seq((5L, 2L, math.rint(coef * 1e6) / 1e6)).toDF("k", "window_size", "coefficient")
+      },
+      Some(
+        """WITH ev0 AS (
+          |  SELECT user_id, epoch_us(ts)//1000 AS tms,
+          |         lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+          |  FROM events),
+          |ev AS (SELECT user_id AS src, dst, tms AS ts FROM ev0
+          |       WHERE dst IS NOT NULL AND dst <> user_id),
+          |e AS (SELECT DISTINCT src, dst FROM ev),
+          |deg AS (SELECT node, count(*) AS deg FROM (
+          |  SELECT DISTINCT node, nbr FROM (
+          |    SELECT src AS node, dst AS nbr FROM e UNION ALL SELECT dst, src FROM e))
+          |  GROUP BY node),
+          |club AS (SELECT node FROM deg WHERE deg >= 5),
+          |bounds AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM ev),
+          |params AS (SELECT ((t1 - t0) // 86400000 + 1) // 2 AS n_chunks FROM bounds),
+          |snaps AS (
+          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b,
+          |         (ts - t0) // 86400000 AS snap
+          |  FROM ev, bounds WHERE src <> dst),
+          |clubbed AS (
+          |  SELECT a, b, snap FROM snaps, params
+          |  WHERE snap < n_chunks * 2
+          |    AND a IN (SELECT node FROM club) AND b IN (SELECT node FROM club)),
+          |percnt AS (SELECT snap // 2 AS chunk, a, b, count(*) AS n FROM clubbed GROUP BY 1, 2, 3),
+          |stable AS (SELECT chunk, count(*) AS s FROM percnt WHERE n = 2 GROUP BY chunk),
+          |nc AS (SELECT count(*) AS n FROM club)
+          |SELECT CAST(5 AS BIGINT) AS k, CAST(2 AS BIGINT) AS window_size,
+          |  round(coalesce((SELECT max(s) FROM stable), 0)
+          |        / ((SELECT n FROM nc) * ((SELECT n FROM nc) - 1) / 2.0), 6) AS coefficient""".stripMargin)),
+
     // ---- dedup / similarity over documents + embeddings ----
     (
       "q_dedup_minhash_lsh",
