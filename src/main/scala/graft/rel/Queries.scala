@@ -1022,6 +1022,17 @@ object Queries {
       None),
 
     (
+      "q_graph_louvain",
+      // deterministic distributed Louvain (community_detection/louvain.rs;
+      // the reference is rng-shuffled, ours replaces the sequential sweep
+      // with direction-gated synchronous moving — see algos/Louvain.scala).
+      // Heuristic fixpoint over data-dependent levels — not reasonably
+      // SQL-expressible; community recovery, determinism and the modularity
+      // function are pinned by LouvainSpec.
+      (s, d) => graft.algos.Louvain.run(s, eventGraph(s, d)),
+      None),
+
+    (
       "q_graph_rich_club",
       // temporal rich-club coefficient (temporal_rich_club_coefficient.rs:59;
       // Pedreschi et al. 2022): club = degree ≥ 5 in the aggregate graph,
