@@ -1022,6 +1022,63 @@ object Queries {
       None),
 
     (
+      "q_node_type_subgraph",
+      // subgraph_node_types (db/api/view/graph.rs:114): customers are the
+      // node dimension (type = market segment), events the edge stream;
+      // the view keeps edges whose BOTH endpoints are BUILDING/AUTOMOBILE
+      // customers.
+      (s, d) => {
+        val nodes = t(s, d, "customer").select(
+          col("c_custkey").as("id"),
+          lit(0L).as("ts"),
+          col("c_mktsegment").as("node_type"))
+        val pg = graft.graph.PropertyGraph(eventGraph(s, d), nodes)
+          .subgraphNodeTypes("BUILDING", "AUTOMOBILE")
+        pg.graph.edges
+          .groupBy("layer")
+          .agg(
+            count(lit(1)).as("n_edges"),
+            countDistinct(col("src")).as("n_src"),
+            countDistinct(col("dst")).as("n_dst"))
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT user_id AS src, dst, event_type AS layer FROM (
+          |    SELECT user_id, event_type,
+          |           lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+          |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+          |keep AS (SELECT c_custkey AS id FROM customer
+          |         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE'))
+          |SELECT layer, count(*) AS n_edges,
+          |       count(DISTINCT src) AS n_src, count(DISTINCT dst) AS n_dst
+          |FROM ev
+          |WHERE src IN (SELECT id FROM keep) AND dst IN (SELECT id FROM keep)
+          |GROUP BY layer""".stripMargin)),
+
+    (
+      "q_node_property_asof",
+      // node temporal property as-of (TemporalProp::at): events are node
+      // update rows (id=user_id, ts, value); latest value at-or-before the
+      // cutoff per node, ties on ts to the larger value.
+      (s, d) => {
+        val nodes = t(s, d, "events").select(
+          col("user_id").as("id"),
+          epochMillis(col("ts")).as("ts"),
+          col("value"))
+        graft.graph.PropertyGraph(eventGraph(s, d), nodes)
+          .propertyAt("value", 1705000000000L)
+          .select(col("id"), col("ts"), round(col("value"), 6).as("value"))
+      },
+      Some(
+        """WITH upd AS (
+          |  SELECT user_id AS id, epoch_us(ts)//1000 AS tms, value FROM events
+          |  WHERE value IS NOT NULL AND epoch_us(ts)//1000 <= 1705000000000),
+          |latest AS (SELECT id, max(tms) AS ts FROM upd GROUP BY id)
+          |SELECT l.id, l.ts, round(max(u.value), 6) AS value
+          |FROM latest l JOIN upd u ON u.id = l.id AND u.tms = l.ts
+          |GROUP BY l.id, l.ts""".stripMargin)),
+
+    (
       "q_graph_louvain",
       // deterministic distributed Louvain (community_detection/louvain.rs;
       // the reference is rng-shuffled, ours replaces the sequential sweep
