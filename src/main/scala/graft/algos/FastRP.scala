@@ -27,13 +27,20 @@ import org.apache.spark.sql.functions._
  */
 object FastRP {
 
+  /** Portable arithmetic hash for the sparse-projection draw: pure BIGINT
+    * arithmetic both Spark and DuckDB evaluate identically, so the verify
+    * query can replay the whole embedding end to end in SQL (xxhash64
+    * stays the default — better mixing). */
+  val PolyP = 1000000007L
+
   def run(
       spark: SparkSession,
       g: TemporalGraph,
       embeddingDim: Int = 16,
       normalizationStrength: Double = 0.5,
       iterWeights: Seq[Double] = Seq(1.0, 1.0, 0.5),
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
     val pairs = g.undirectedPairs.persist()
     val deg = pairs.groupBy(col("node").as("id")).agg(count(lit(1)).as("deg"))
     val m = deg.count().toDouble
@@ -45,16 +52,27 @@ object FastRP {
     // scaled by iterWeights(0)
     val lCol = pow(col("deg") / (2.0 * m), beta)
     val v0 = math.sqrt(s)
+    val bucket = math.max(1, (2 * s).round)
+    val hashSql =
+      if (portable) s"pmod(pmod(id, $PolyP) * 1000003 + d * 999983 + $seed * 31 + 12345, $PolyP)"
+      else s"xxhash64($seed, id, d)"
+    // l·v0 = (deg/2m)^β · m^¼. For the default β = −1/2 this is
+    // sqrt(2m/deg)·m^¼ — sqrt and division are correctly-rounded IEEE ops,
+    // so Spark and DuckDB produce BIT-IDENTICAL values (pow() is not
+    // correctly rounded and differs between libm implementations — enough
+    // to flip a 6dp rounding in the oracle compare).
+    val lv0Sql =
+      if (beta == -0.5) s"(sqrt(${2.0 * m} / deg) * $v0)"
+      else s"(pow(deg / ${2.0 * m}, $beta) * $v0)"
     val init = deg.select(
       col("id"),
       col("deg"),
       expr(
         s"""transform(sequence(0, ${embeddingDim - 1}), d ->
-           |  CASE pmod(xxhash64($seed, id, d), ${math.max(1, (2 * s).round)})
-           |    WHEN 0 THEN  __l * $v0 * ${iterWeights.head}
-           |    WHEN 1 THEN -__l * $v0 * ${iterWeights.head}
-           |    ELSE cast(0.0 as double) END)""".stripMargin
-          .replace("__l", s"pow(deg / ${2.0 * m}, $beta)"))
+           |  CASE pmod($hashSql, $bucket)
+           |    WHEN 0 THEN  $lv0Sql * ${iterWeights.head}
+           |    WHEN 1 THEN -$lv0Sql * ${iterWeights.head}
+           |    ELSE cast(0.0 as double) END)""".stripMargin)
         .as("emb"))
 
     val result = SuperstepRunner.run(

@@ -60,6 +60,14 @@ object Multimodal {
    */
   object DecodeStub {
     val featureDim = 8
+
+    /** STUB — the batch kernel boundary. Real systems decode a BATCH of
+      * payloads per call (GPU codecs / model inference amortize per-call
+      * overhead across the batch); the stub applies the per-payload fake
+      * to each element so the batch plumbing is exercised end to end. */
+    def decodeFeaturesBatch(payloads: Array[Array[Byte]]): Array[Array[Float]] =
+      payloads.map(decodeFeatures)
+
     /** STUB — stands in for (decode → resize → feature-extract). */
     def decodeFeatures(payload: Array[Byte]): Array[Float] = {
       if (payload == null) return Array.fill(featureDim)(0f)
@@ -74,22 +82,28 @@ object Multimodal {
   }
 
   /**
-   * Batch feature extraction: per-partition iterator processing (the
-   * batch-UDF shape — at scale this is `mapInPandas` with an image library
-   * inside; here the kernel is [[DecodeStub]]). Adds `features:
-   * array<float>` and `n_bytes: long`.
+   * Batch feature extraction: per-partition iterator processing in
+   * `batchSize`-row batches (the `mapInPandas` batch-UDF shape: an
+   * iterator of batches in, an iterator of batches out; at scale the
+   * kernel is a codec/model batch call — here [[DecodeStub]]). Batches
+   * materialize one at a time, so per-task memory is O(batchSize·payload),
+   * not O(partition). Adds `features: array<float>` and `n_bytes: long`.
    */
-  def extractFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
+  def extractFeatures(spark: SparkSession, assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0)
     val schema = StructType(assets.schema.fields ++ Seq(
       StructField("features", ArrayType(FloatType), nullable = true),
       StructField("n_bytes", LongType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     assets.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val feats = DecodeStub.decodeFeatures(payload)
-        org.apache.spark.sql.Row.fromSeq(
-          r.toSeq ++ Seq(feats.toSeq, if (payload == null) 0L else payload.length.toLong))
+      rows.grouped(batchSize).flatMap { batch =>
+        val payloads = batch.iterator.map(_.getAs[Array[Byte]]("payload")).toArray
+        val feats = DecodeStub.decodeFeaturesBatch(payloads)
+        batch.iterator.zipWithIndex.map { case (r, i) =>
+          val payload = payloads(i)
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ Seq(feats(i).toSeq, if (payload == null) 0L else payload.length.toLong))
+        }
       }
     }(enc)
   }

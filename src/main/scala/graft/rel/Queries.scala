@@ -165,6 +165,109 @@ object Queries {
 
   /** k-core peel: enough rounds that the peel is a fixpoint at test scale
     * (extra rounds are no-ops once stable). */
+  /** SEIR/SI oracle (p=1, no recovery, incubation 1): label-correcting
+    * min-time relaxation — infected(v) = earliest event arrival with
+    * ts ≥ infected(u) + 1 — iterated `rounds` times (extra rounds are
+    * fixpoint no-ops). Seeds pinned to nodes {0, 1} at t=0. */
+  private def seirOracleSql(rounds: Int): String = {
+    val head =
+      s"""WITH ev AS (
+         |  SELECT user_id AS src, dst, epoch_us(ts)//1000 AS tms FROM (
+         |    SELECT user_id, ts, event_id,
+         |           lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+         |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+         |i0 AS MATERIALIZED (
+         |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS t
+         |  UNION ALL SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT))""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""i$k AS MATERIALIZED (
+         |  SELECT id, min(t) AS t FROM (
+         |    SELECT * FROM i${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, e.tms AS t
+         |    FROM ev e JOIN i${k - 1} p ON e.src = p.id AND e.tms >= p.t + 1)
+         |  GROUP BY id)""".stripMargin
+    }
+    val fin = s"SELECT id, t AS infected, t + 1 AS active FROM i$rounds"
+    (head +: steps).mkString(",\n") + "\n" + fin
+  }
+
+  /** FastRP oracle: replays `FastRP.run(embeddingDim=dim, ns=0.5,
+    * iterWeights=(1,1,0.5), portable=true)` — the portable polynomial
+    * projection draw, then two neighbour-average propagation iterations
+    * (w=1 each, divisor deg·(numIters+1)=3·deg) — entirely in DuckDB list
+    * arithmetic. Output = per-dimension doubles rounded to 6dp. */
+  private def fastRpOracleSql(dim: Int, seed: Long): String = {
+    val P = FastRP.PolyP
+    val head =
+      s"""WITH $graphBaseSql,
+         |deg AS (SELECT a AS id, count(*) AS deg FROM u GROUP BY a),
+         |p AS (SELECT count(*) AS m, sqrt(count(*)) AS s,
+         |             greatest(1, CAST(round(2 * sqrt(count(*))) AS BIGINT)) AS buck FROM deg),
+         |it0 AS MATERIALIZED (
+         |  SELECT d.id, d.deg,
+         |    list_transform(range(0, $dim), dd ->
+         |      CASE (((d.id % $P) * 1000003 + dd * 999983 + $seed * 31 + 12345) % $P) % p.buck
+         |        WHEN 0 THEN  sqrt(2.0 * p.m / d.deg) * sqrt(p.s) * 1.0
+         |        WHEN 1 THEN -(sqrt(2.0 * p.m / d.deg) * sqrt(p.s)) * 1.0
+         |        ELSE 0.0 END) AS emb
+         |  FROM deg d, p)""".stripMargin
+    val steps = (1 to 2).map { k =>
+      s"""nb$k AS MATERIALIZED (
+         |  SELECT u.a AS id, t.i AS dim_i, sum(s$k.emb[t.i]) AS sv
+         |  FROM u JOIN it${k - 1} s$k ON s$k.id = u.b
+         |  CROSS JOIN range(1, ${dim + 1}) t(i)
+         |  GROUP BY 1, 2),
+         |it$k AS MATERIALIZED (
+         |  SELECT n.id, n.deg,
+         |    CASE WHEN ns.nsum IS NULL THEN n.emb
+         |    ELSE list_transform(range(1, ${dim + 1}),
+         |      i -> n.emb[i] + ns.nsum[i] * (1.0 / (n.deg * 3.0))) END AS emb
+         |  FROM it${k - 1} n LEFT JOIN (
+         |    SELECT id, list(sv ORDER BY dim_i) AS nsum FROM nb$k GROUP BY id) ns
+         |    ON ns.id = n.id)""".stripMargin
+    }
+    val fin =
+      s"SELECT id, " +
+        (0 until dim).map(i => s"round(emb[${i + 1}], 6) + 0.0 AS d$i").mkString(", ") +
+        s" FROM it2"
+    (head +: steps).mkString(",\n") + "\n" + fin
+  }
+
+  /** Betweenness oracle via the pair-dependency closed form: an iterated
+    * level-synchronous BFS builds all-pairs (dist, σ), then
+    * BC(v) = Σ_{s≠v≠t} σ_sv·σ_vt/σ_st over triples whose distances add up —
+    * algebraically identical to Brandes' accumulation. `levels` must be ≥
+    * the graph diameter (extra levels are no-ops). Directed out-edges +
+    * 1/((n−1)(n−2)) normalization, matching algos/Betweenness. */
+  private def betweennessOracleSql(levels: Int): String = {
+    val head =
+      s"""WITH $graphBaseSql,
+         |bfs0 AS MATERIALIZED (SELECT id AS s, id AS v, 0 AS dist, 1.0 AS sigma FROM nodes)""".stripMargin
+    val steps = (1 to levels).map { k =>
+      s"""bfs$k AS MATERIALIZED (
+         |  SELECT * FROM bfs${k - 1}
+         |  UNION ALL
+         |  SELECT f.s, e.dst AS v, $k AS dist, sum(f.sigma) AS sigma
+         |  FROM bfs${k - 1} f JOIN e ON e.src = f.v
+         |  WHERE f.dist = ${k - 1}
+         |    AND NOT EXISTS (SELECT 1 FROM bfs${k - 1} p2 WHERE p2.s = f.s AND p2.v = e.dst)
+         |  GROUP BY f.s, e.dst)""".stripMargin
+    }
+    val fin =
+      s"""SELECT n.id, round(coalesce(x.bc, 0) / ((nn.n - 1.0) * (nn.n - 2.0)), 6) AS betweenness
+         |FROM nodes n
+         |CROSS JOIN (SELECT count(*) AS n FROM nodes) nn
+         |LEFT JOIN (
+         |  SELECT a.v AS id, sum(a.sigma * b.sigma / c.sigma) AS bc
+         |  FROM bfs$levels a
+         |  JOIN bfs$levels b ON b.s = a.v
+         |  JOIN bfs$levels c ON c.s = a.s AND c.v = b.v
+         |  WHERE a.dist + b.dist = c.dist AND a.s <> a.v AND b.s <> b.v AND a.s <> b.v
+         |  GROUP BY a.v) x ON x.id = n.id""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + fin
+  }
+
   private def kcoreOracleSql(k: Int, rounds: Int): String = {
     val head =
       s"""WITH $graphBaseSql,
@@ -915,19 +1018,24 @@ object Queries {
 
     (
       "q_graph_fastrp",
-      // embedding stringified: the driver's pandas compare can't hash arrays
-      (s, d) => FastRP.run(s, eventGraph(s, d), embeddingDim = 8)
-        .select(
-          col("id"),
-          array_join(expr("transform(emb, x -> cast(round(x, 6) as string))"), ",").as("emb")),
-      None),
+      // portable arithmetic projection hash → DuckDB replays the whole
+      // embedding (init draw + both propagation iterations) in SQL.
+      // Per-dimension double columns (the driver compare can't hash array
+      // cells); `+ 0.0` normalizes any -0.0 from rounding on either side.
+      (s, d) => {
+        val emb = FastRP.run(s, eventGraph(s, d), embeddingDim = 8, portable = true)
+        emb.select(
+          col("id") +: (0 until 8).map(i =>
+            (round(element_at(col("emb"), i + 1), 6) + lit(0.0)).as(s"d$i")): _*)
+      },
+      Some(fastRpOracleSql(dim = 8, seed = 42L))),
 
     // ---- iterative graph ops, oracle-replayed where SQL-expressible ----
     (
       "q_graph_betweenness",
       (s, d) => graft.algos.Betweenness.run(s, eventGraph(s, d), normalized = true)
         .select(col("id"), round(col("betweenness"), 6).as("betweenness")),
-      None),
+      Some(betweennessOracleSql(levels = 8))),
     (
       "q_graph_kcore",
       (s, d) => KCore.coreSet(s, eventGraph(s, d), KCore.Config(k = 4)),
@@ -1020,6 +1128,23 @@ object Queries {
               when(col("count") > 0, concat_ws(":", col("motif_id"), col("count"))))),
             ",").as("nonzero")),
       None),
+
+    (
+      "q_graph_seir",
+      // deterministic temporal SEIR (epidemics.rs:182) pinned to the SI
+      // deterministic slice (p=1, no recovery, incubation 1): infection =
+      // earliest time-respecting arrival — fully SQL-replayable. The
+      // stochastic slice (p<1, Exp rates) is hash-deterministic and pinned
+      // by EpidemicsSpec instead.
+      (s, d) => {
+        import s.implicits._
+        val seeds = Seq(0L, 1L).toDF("id")
+        graft.algos.Epidemics.run(
+          s, eventGraph(s, d), seeds,
+          graft.algos.Epidemics.Config(infectionProb = 1.0, initialInfection = 0L))
+          .select(col("id"), col("infected"), col("active"))
+      },
+      Some(seirOracleSql(rounds = 25))),
 
     (
       "q_node_type_subgraph",

@@ -127,10 +127,12 @@ class MlSpec extends SparkSpec {
     val row = feats.filter(col("payload").isNotNull).limit(1).collect()(0)
     assert(row.getSeq[Float](row.fieldIndex("features")).length == Multimodal.DecodeStub.featureDim)
     assert(row.getAs[Long]("n_bytes") > 0)
-    // determinism of the stub path
+    // determinism of the stub path, invariant to the batch boundary
     val a = Multimodal.extractFeatures(spark, assets).orderBy("asset_id").collect()
     val b = Multimodal.extractFeatures(spark, assets).orderBy("asset_id").collect()
     assert(a.sameElements(b))
+    val c = Multimodal.extractFeatures(spark, assets, batchSize = 7).orderBy("asset_id").collect()
+    assert(a.sameElements(c), "results must not depend on batch size")
     val frames = Multimodal.sampleFramePlan(assets, everyMs = 10000, maxFrames = 5)
     assert(frames.groupBy("asset_id").count().agg(max("count")).first().getLong(0) <= 5)
     val resize = Multimodal.resizePlan(assets, 256, 256).collect()
