@@ -129,6 +129,21 @@ object Bench {
     results += "triangles" -> tTri
     extras += "triangle_count" -> triCount.toDouble
 
+    // --- Louvain on the RA graph (bounded: 3 levels × 8 rounds — community
+    // structure on random attachment is weak, the bound keeps the timing a
+    // throughput measure rather than a convergence lottery) ---
+    val (_, tLouvain) = time(
+      graft.algos.Louvain
+        .run(spark, ra, graft.algos.Louvain.Config(maxLevels = 3, maxLocalRounds = 8))
+        .count())
+    results += "louvain" -> tLouvain
+
+    // --- temporal 3-node motif census (global 40-dim) on the RA graph;
+    // ts = attachment step, so delta=5000 windows span real event overlap ---
+    val (_, tMotifs) = time(
+      graft.algos.TemporalMotifs.global(spark, ra, deltaMs = 5000L).count())
+    results += "temporal_motifs" -> tMotifs
+
     // --- one relational headline on the provided testdata ---
     val (_, tRel) = time(SparkEntry.queries("q_agg_groupby")(spark, sfDir).count())
     results += "q_agg_groupby" -> tRel

@@ -1256,6 +1256,38 @@ object Queries {
           |  round(coalesce((SELECT max(s) FROM stable), 0)
           |        / ((SELECT n FROM nc) * ((SELECT n FROM nc) - 1) / 2.0), 6) AS coefficient""".stripMargin)),
 
+    (
+      "q_text_search",
+      // full-text search (the reference's Tantivy layer, search/searcher.rs):
+      // DataFrame inverted index + BM25 disjunctive scoring, replayed in
+      // DuckDB end to end. k bounds nothing here (≫ corpus) so the row set
+      // is the exact disjunctive term match — no top-k boundary to flip on
+      // float noise.
+      (s, d) => {
+        val idx = graft.search.TextSearch.buildIndex(t(s, d, "documents"), "doc_id", "text")
+        graft.search.TextSearch.searchRanked(idx, Seq("spark", "join", "window"), k = 1000000)
+          .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |                     t -> len(t) > 0) AS tk
+          |  FROM documents),
+          |postings AS (
+          |  SELECT doc_id, u.term AS term, count(*) AS tf, any_value(len(tk)) AS doc_len
+          |  FROM toks, unnest(tk) AS u(term) GROUP BY doc_id, u.term),
+          |stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+          |                 sum(tf) / count(DISTINCT doc_id) AS avg_len FROM postings),
+          |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings
+          |          WHERE term IN ('spark', 'join', 'window') GROUP BY term)
+          |SELECT p.doc_id,
+          |       round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * p.tf * 2.2 /
+          |                 (p.tf + 1.2 * (0.25 + 0.75 * p.doc_len / s.avg_len))), 6) AS score
+          |FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s
+          |WHERE p.term IN ('spark', 'join', 'window')
+          |GROUP BY p.doc_id""".stripMargin)),
+
     // ---- dedup / similarity over documents + embeddings ----
     (
       "q_dedup_minhash_lsh",

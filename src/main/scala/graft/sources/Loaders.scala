@@ -79,6 +79,16 @@ object Loaders {
   def edgesFromJson(spark: SparkSession, path: String, cols: EdgeColumns): TemporalGraph =
     TemporalGraph(edgesFromDataFrame(spark.read.json(path), cols))
 
+  /** Edge-deletions load (reference load_edge_deletions_from_parquet,
+    * io/parquet_loaders.rs:298; edge metadata variant :252): the same
+    * ColumnNames contract, normalized to the engine edge-event schema, for
+    * the deletions side of [[graft.graph.PersistentGraph]]. */
+  def deletionsFromDataFrame(df: DataFrame, cols: EdgeColumns): DataFrame =
+    edgesFromDataFrame(df, cols)
+
+  def deletionsFromParquet(spark: SparkSession, path: String, cols: EdgeColumns): DataFrame =
+    deletionsFromDataFrame(spark.read.parquet(path), cols)
+
   /** Node dimension load (reference load_nodes_from_parquet,
     * io/parquet_loaders.rs:44): id, optional time + node type + props. */
   def nodesFromDataFrame(

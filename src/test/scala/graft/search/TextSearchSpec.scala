@@ -1,0 +1,49 @@
+package graft.search
+
+import graft.SparkSpec
+
+class TextSearchSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "A quick brown dog"),
+      (3L, "Lazy afternoons, lazy dogs... LAZY!"),
+      (4L, "Completely unrelated text about Spark engines"),
+      (5L, "fox fox fox"))
+      .toDF("doc_id", "text")
+  }
+
+  test("tokenizer: lowercase alphanumeric runs (Tantivy simple+lowercase semantics)") {
+    import spark.implicits._
+    val toks = Seq(("Hello, World! x2 ", "")).toDF("t", "_")
+      .select(TextSearch.tokenize(org.apache.spark.sql.functions.col("t")))
+      .first().getSeq[String](0)
+    assert(toks == Seq("hello", "world", "x2"))
+  }
+
+  test("conjunctive search with pagination") {
+    val idx = TextSearch.buildIndex(corpus, "doc_id", "text")
+    val both = TextSearch.searchAll(idx, Seq("lazy", "dog"), limit = 10, offset = 0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(both == Seq(1L)) // doc 3 has "dogs", not "dog" — no stemming, like the raw term query
+    val page1 = TextSearch.searchAll(idx, Seq("quick"), limit = 1, offset = 0)
+      .collect().map(_.getLong(0)).toSeq
+    val page2 = TextSearch.searchAll(idx, Seq("quick"), limit = 1, offset = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(page1 == Seq(1L) && page2 == Seq(2L))
+  }
+
+  test("BM25 ranking prefers high-tf short docs and rare terms") {
+    val idx = TextSearch.buildIndex(corpus, "doc_id", "text")
+    val ranked = TextSearch.searchRanked(idx, Seq("fox"), k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    // doc 5 is all fox (tf=3, len 3); doc 1 mentions it once in a long doc
+    assert(ranked == Seq(5L, 1L))
+    val lazyDog = TextSearch.searchRanked(idx, Seq("lazy", "dog"), k = 5)
+      .collect().map(r => r.getLong(0))
+    // docs with either term, ALL of 1,2,3 match at least one
+    assert(lazyDog.toSet == Set(1L, 2L, 3L))
+  }
+}
