@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.TemporalGraph
-import graft.algos.{BipartiteProjection, Components, ConnectedComponents, FastRP, Hits, KCore, LabelPropagation, Metrics, PageRank, Paths, Scc, Triangles}
+import graft.algos.{BipartiteProjection, Components, ConnectedComponents, FastRP, Hits, KCore, LabelPropagation, Louvain, Metrics, PageRank, Paths, Scc, Triangles}
 import graft.ml.{Dedup, Similarity, TextAnalysis}
 
 /**
@@ -1287,6 +1287,71 @@ object Queries {
           |FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s
           |WHERE p.term IN ('spark', 'join', 'window')
           |GROUP BY p.doc_id""".stripMargin)),
+
+    (
+      "q_graph_modularity",
+      // the reference's standalone modularity value() (modularity.rs:391-403)
+      // for a deterministic partition (community = id mod 8): every input to
+      // the formula is an integer-valued double and the final expression is
+      // two IEEE divisions, so DuckDB replays it bit-exactly.
+      (s, d) => {
+        import s.implicits._
+        val g = eventGraph(s, d)
+        val assign = g.nodes.select(col("id"), pmod(col("id"), lit(8)).as("community"))
+        Seq(Louvain.modularityOf(s, g, assign)).toDF("r")
+          .select(round(col("r"), 6).as("modularity"))
+      },
+      Some(
+        s"""WITH e0 AS ($eventEdgesSql),
+           |e AS (SELECT DISTINCT src, dst FROM e0),
+           |p AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+           |             CAST(count(*) AS DOUBLE) AS w
+           |      FROM e WHERE src <> dst GROUP BY 1, 2),
+           |k AS (SELECT id, sum(w) AS k FROM
+           |        (SELECT a AS id, w FROM p UNION ALL SELECT b, w FROM p)
+           |      GROUP BY id),
+           |m2 AS (SELECT sum(k) AS m2 FROM k),
+           |intra AS (SELECT coalesce(sum(w * 2), 0) AS iw FROM p WHERE a % 8 = b % 8),
+           |kc AS (SELECT sum(kt * kt) AS kk FROM
+           |         (SELECT id % 8 AS c, sum(k) AS kt FROM k GROUP BY 1))
+           |SELECT round(intra.iw / m2.m2 - kc.kk / (m2.m2 * m2.m2), 6) AS modularity
+           |FROM intra, kc, m2""".stripMargin)),
+
+    (
+      "q_vector_search",
+      // end-to-end graph semantic search (vectors/vectorised_graph.rs):
+      // vectorise event-graph nodes (template → portable hash embedding)
+      // and rank by cosine to a text query. Every float op is IEEE-exact
+      // and evaluated in the same left-fold order on both sides, so the
+      // scores — and therefore the top-k membership — are bit-identical.
+      (s, d) => {
+        import graft.vectors.{HashEmbedder, Vectorise}
+        val vg = Vectorise(eventGraph(s, d), HashEmbedder(dim = 8, seed = 42L, portable = true))
+        vg.nodesBySimilarity("node 7 events 5", limit = 20).nodes
+          .select(col("id"), round(col("score"), 6).as("score"))
+      },
+      Some {
+        val emb = graft.vectors.HashEmbedder(dim = 8, seed = 42L, portable = true)
+        def fold0(body: String) =
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $body), (a, x) -> a + x)"
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, epoch_us(ts) // 1000 AS tsm FROM (
+           |    SELECT user_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+           |nr AS (SELECT id, count(*) AS n, min(tsm) AS e, max(tsm) AS l FROM
+           |  (SELECT src AS id, tsm FROM e0 UNION ALL SELECT dst, tsm FROM e0) GROUP BY id),
+           |docs AS (SELECT id, 'node ' || CAST(id AS VARCHAR) || ' events ' || CAST(n AS VARCHAR)
+           |  || ' span ' || CAST(e AS VARCHAR) || ' ' || CAST(l AS VARCHAR) AS doc FROM nr),
+           |de AS (SELECT id, ${emb.duckDbSql("doc")} AS emb FROM docs),
+           |qv AS (SELECT ${emb.duckDbSql("'node 7 events 5'")} AS qe),
+           |sc AS (SELECT id,
+           |  ${fold0("list_transform(range(0, 8), di -> emb[di + 1] * qe[di + 1])")}
+           |  / (sqrt(${fold0("list_transform(emb, v -> v * v)")})
+           |     * sqrt(${fold0("list_transform(qe, v -> v * v)")})) AS score
+           |  FROM de CROSS JOIN qv)
+           |SELECT id, round(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT 20""".stripMargin
+      }),
 
     // ---- dedup / similarity over documents + embeddings ----
     (
