@@ -1318,6 +1318,26 @@ object Queries {
            |FROM intra, kc, m2""".stripMargin)),
 
     (
+      "q_graph_layout",
+      // Fruchterman–Reingold force layout (layout/fruchterman_reingold.rs)
+      // on the event graph — grid (Barnes–Hut monopole) scale path.
+      // rows-only: 10 iterations of compounding float physics are not
+      // SQL-replayable (same class as the motif/louvain kernels); exactness
+      // vs the all-pairs model is proven in LayoutSpec.
+      (s, d) =>
+        graft.algos.Layout
+          .fruchtermanReingold(
+            s, eventGraph(s, d),
+            // dt sized for the event graph's density (explicit Euler with
+            // d² attraction diverges at dt = 0.1 here); cellSize ≪ the
+            // start box so the early compressed state never degenerates to
+            // an all-pairs near-field
+            graft.algos.Layout.Config(
+              iterations = 10, scale = 1.0, dt = 0.005, cooloff = 0.9, cellSize = 0.05))
+          .select(col("id"), round(col("x"), 6).as("x"), round(col("y"), 6).as("y")),
+      None),
+
+    (
       "q_vector_search",
       // end-to-end graph semantic search (vectors/vectorised_graph.rs):
       // vectorise event-graph nodes (template → portable hash embedding)
