@@ -130,4 +130,17 @@ object Metrics {
     }
     joined.select(col("id"), round(value, 6).as("balance"))
   }
+
+  /** Alternating boolean mask by node iteration order (the reference's
+    * test-only mock, algorithms/alternating_mask.rs:22: `i % 2 != 0` over
+    * node enumeration). The reference's order is VID insertion order; the
+    * deterministic analog here is ascending node id. A global row_number
+    * forces a total order — fine for a diagnostic mock, not a pattern for
+    * real operators. */
+  def alternatingMask(g: TemporalGraph): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    g.nodes.select(
+      col("id"),
+      (row_number().over(w) % 2 === 0).as("bool_col"))
+  }
 }

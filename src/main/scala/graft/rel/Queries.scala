@@ -1318,6 +1318,59 @@ object Queries {
            |FROM intra, kc, m2""".stripMargin)),
 
     (
+      "q_graph_alternating_mask",
+      // the reference's test-only mock algorithm (alternating_mask.rs:22)
+      (s, d) => Metrics.alternatingMask(eventGraph(s, d)),
+      Some(
+        s"""WITH e AS ($eventEdgesSql),
+           |n AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e))
+           |SELECT id, row_number() OVER (ORDER BY id) % 2 = 0 AS bool_col FROM n""".stripMargin)),
+
+    (
+      "q_graph_matching",
+      // max-weight matching (bipartite/max_weight_matching.rs — blossom is
+      // inherently sequential; this is the deterministic locally-dominant
+      // distributed counterpart) over the event graph weighted by directed
+      // event multiplicity. The greedy rounds are pure comparisons (no
+      // float arithmetic), so DuckDB replays them exactly as iterated CTEs.
+      (s, d) => {
+        val weighted = eventEdges(s, d)
+          .groupBy("src", "dst")
+          .agg(count(lit(1)).cast("double").as("weight"))
+        graft.algos.Matching
+          .locallyDominant(
+            s, TemporalGraph(weighted),
+            graft.algos.Matching.Config(weightCol = Some("weight"), maxRounds = 30))
+          .select(col("src"), col("dst"), col("weight").cast("long").as("weight"))
+      },
+      Some {
+        val rounds = 30
+        val steps = (1 to rounds).map { k =>
+          val r = s"r${k - 1}"
+          s"""pk$k AS MATERIALIZED (
+             |  SELECT id, first(partner ORDER BY w DESC, partner) AS pick FROM (
+             |    SELECT a AS id, b AS partner, w FROM $r
+             |    UNION ALL SELECT b, a, w FROM $r) GROUP BY id),
+             |nm$k AS MATERIALIZED (
+             |  SELECT r.a, r.b, r.w FROM $r r
+             |  JOIN pk$k pa ON pa.id = r.a JOIN pk$k pb ON pb.id = r.b
+             |  WHERE pa.pick = r.b AND pb.pick = r.a),
+             |m$k AS MATERIALIZED (SELECT * FROM m${k - 1} UNION ALL SELECT * FROM nm$k),
+             |r$k AS MATERIALIZED (
+             |  SELECT * FROM $r WHERE a NOT IN (SELECT a FROM nm$k UNION ALL SELECT b FROM nm$k)
+             |                     AND b NOT IN (SELECT a FROM nm$k UNION ALL SELECT b FROM nm$k))"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS ($eventEdgesSql),
+           |d0 AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e0 GROUP BY src, dst),
+           |r0 AS MATERIALIZED (SELECT least(src, dst) AS a, greatest(src, dst) AS b, max(w) AS w
+           |  FROM d0 WHERE src <> dst GROUP BY 1, 2),
+           |m0 AS (SELECT a, b, w FROM r0 WHERE false),
+           |$steps
+           |SELECT a AS src, b AS dst, CAST(w AS BIGINT) AS weight FROM m$rounds""".stripMargin
+      }),
+
+    (
       "q_graph_layout",
       // Fruchterman–Reingold force layout (layout/fruchterman_reingold.rs)
       // on the event graph — grid (Barnes–Hut monopole) scale path.
