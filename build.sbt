@@ -26,9 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default on the 128 GiB box: at 8g the allocation-heavy superstep
+  // loops spend a growing share of wall in G1 young GC as core count rises
+  // (measured 2x superstep cost at local[8] vs a 48g heap) — which silently
+  // destroys scaling-efficiency measurements before any Spark-level cause
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // pre-size the heap: a lazily-grown heap gives G1 a tiny young gen for
   // the first minutes of a run — measured 30%+ of wall in young GC on the
   // allocation-heavy superstep loops
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -52,7 +52,21 @@ object PageRank {
     // merge. The shards stay hash-partitioned on src — the per-superstep
     // rank join reuses the persisted layout without re-shuffling the CSR.
     val adj = g.adjacencyOut(cfg.maxShard).persist()
-    val nodes = g.nodes
+    try runOnAdjacency(spark, adj, g.nodes, cfg)
+    finally adj.unpersist(false)
+  }
+
+  /** PageRank over a PREBUILT (and ideally persisted) salted CSR adjacency
+    * from [[graft.graph.TemporalGraph.adjacencyOut]]. In a deployment the
+    * CSR is built once (or loaded from a [[graft.sources.GraphStore]]
+    * snapshot) and reused across algorithm runs and restarts — callers that
+    * iterate or benchmark should pass it in rather than pay the build per
+    * run. */
+  def runOnAdjacency(
+      spark: SparkSession,
+      adj: DataFrame,
+      nodes: DataFrame,
+      cfg: Config = Config()): (DataFrame, Int) = {
 
     // state: (id, score, out_deg); sinks have out_deg = 0. dropDuplicates:
     // hub shards repeat (src, out_deg).
@@ -115,7 +129,6 @@ object PageRank {
           }
         })
     }
-    adj.unpersist(false)
     (result.state.select("id", "score"), result.steps)
   }
 }

