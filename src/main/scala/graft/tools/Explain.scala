@@ -33,6 +33,13 @@ object Explain {
 
     println("==== pagerank superstep shape (msgs join + agg) ====")
     val g = TemporalGraph(EdgeBuilder.edges(t)).persistedLike()
+
+    println("==== BM25 search (postings semi-filter + broadcast stats) ====")
+    graft.SparkEntry.queries("q_text_search")(spark, sfDir).explain("formatted")
+
+    println("==== vector semantic search (windowless node top-k) ====")
+    graft.SparkEntry.queries("q_vector_search")(spark, sfDir).explain("formatted")
+
     spark.stop()
   }
 
