@@ -58,6 +58,27 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val extras = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // --- same-moment machine calibration (BENCH.md methodology, embedded):
+    // a pure-CPU busy-loop at 8 vs `cpus` threads measures the shared
+    // host's compute-scaling ceiling RIGHT NOW, and /proc/stat steal% the
+    // tenancy pressure — without these fields a round-over-round delta in
+    // the timings below cannot be told apart from neighbour load. Repeated
+    // after the bench (the ceiling drifts over a ~10-min run).
+    val hiThreads = cpus.toInt
+    val loThreads = math.max(1, hiThreads / 4)
+    val gcListener = new graft.bench.Calibration.StageMetricsListener
+
+    def calibrate(tag: String): Unit = {
+      val (thrLo, thrHi, ratio) = graft.bench.Calibration.cpuRatio(loThreads, hiThreads)
+      extras += s"calib_${loThreads}to${hiThreads}_$tag" -> ratio
+      extras += s"calib_eff_$tag" -> ratio / (hiThreads.toDouble / loThreads)
+      extras += s"calib_mops_per_thread_$tag" -> thrHi / hiThreads / 1e6
+      extras += s"steal_pct_$tag" -> graft.bench.Calibration.stealPct()
+      val _ = thrLo
+    }
+    calibrate("pre")
+    spark.sparkContext.addSparkListener(gcListener)
+
     // --- edge build over synthesized transcripts ---
     val nConvs = numConvsFor(sfDir)
     val transcripts = TranscriptGen.transcripts(spark, nConvs).persist()
@@ -147,6 +168,14 @@ object Bench {
     // --- one relational headline on the provided testdata ---
     val (_, tRel) = time(SparkEntry.queries("q_agg_groupby")(spark, sfDir).count())
     results += "q_agg_groupby" -> tRel
+
+    // post-run calibration + whole-bench GC/CPU attribution
+    calibrate("post")
+    val stageTotals = gcListener.snapshot()
+    extras += "gc_share" ->
+      (stageTotals("gcTimeMs").toDouble / math.max(stageTotals("runTimeMs"), 1L))
+    extras += "cpu_share" ->
+      (stageTotals("cpuTimeMs").toDouble / math.max(stageTotals("runTimeMs"), 1L))
 
     val qs = (results ++ extras).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.sum

@@ -18,8 +18,14 @@ import org.apache.spark.sql.functions._
  *    auth' = recv_hub / Σ recv_hub, hub' = recv_auth / Σ recv_auth;
  *  - stop when max |Δhub| ≤ 0.01 and max |Δauth| ≤ 0.01, or iteration cap.
  *
- * One shuffle per direction per superstep, diffs + totals folded into a
- * single aggregate over the materialized state.
+ * Per superstep the two message passes each join a PERSISTED, hub-salted
+ * CSR adjacency (out-CSR for the hub pass, in-CSR for the auth pass —
+ * [[TemporalGraph.adjacencyOut]]/[[TemporalGraph.adjacencyIn]]) against the
+ * state and explode: the big, static adjacency side stays hash-partitioned
+ * on its join key across supersteps so only the narrow state frame is ever
+ * re-exchanged (joining the raw edge pair table instead re-shuffles the
+ * whole edge set twice per superstep — the dominant steady-state cost).
+ * Diffs + normalization totals are folded into in-plan aggregates.
  */
 object Hits {
 
@@ -27,11 +33,13 @@ object Hits {
       maxIter: Int = 20,
       tol: Double = 0.01,
       checkpointDir: Option[String] = None,
-      checkpointEvery: Int = 10)
+      checkpointEvery: Int = 10,
+      maxShard: Int = graft.graph.TemporalGraph.DefaultMaxShard)
 
   /** @return (id, hub_score, auth_score). */
   def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame = {
-    val edges = g.simpleEdges.persist()
+    val adjOut = g.adjacencyOut(cfg.maxShard).persist()
+    val adjIn = g.adjacencyIn(cfg.maxShard).persist()
     val init = g.nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
 
     val result = SuperstepRunner.run(
@@ -39,13 +47,19 @@ object Hits {
       init,
       RunConfig(cfg.maxIter, cfg.checkpointDir, cfg.checkpointEvery, runId = "hits")) {
       (state, _) =>
-        val recvHub = edges
-          .join(state.select(col("id"), col("hub")), edges("src") === col("id"))
-          .groupBy(edges("dst").as("id"))
+        // hub mass flows src → dst: fan out each source's hub along its
+        // out-CSR shard rows (bounded by maxShard) and partially aggregate
+        // map-side before the groupBy(dst) exchange
+        val recvHub = adjOut
+          .join(state.select(col("id"), col("hub")), adjOut("src") === col("id"))
+          .select(explode(col("dsts")).as("id"), col("hub"))
+          .groupBy("id")
           .agg(sum("hub").as("recv_hub"))
-        val recvAuth = edges
-          .join(state.select(col("id"), col("auth")), edges("dst") === col("id"))
-          .groupBy(edges("src").as("id"))
+        // auth mass flows dst → src along the in-CSR
+        val recvAuth = adjIn
+          .join(state.select(col("id"), col("auth")), adjIn("dst") === col("id"))
+          .select(explode(col("srcs")).as("id"), col("auth"))
+          .groupBy("id")
           .agg(sum("auth").as("recv_auth"))
 
         val received = state
@@ -93,7 +107,8 @@ object Hits {
             }
           })
     }
-    edges.unpersist(false)
+    adjOut.unpersist(false)
+    adjIn.unpersist(false)
     result.state.select(col("id"), col("hub").as("hub_score"), col("auth").as("auth_score"))
   }
 }

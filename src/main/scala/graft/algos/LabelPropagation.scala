@@ -22,22 +22,27 @@ import org.apache.spark.sql.functions._
  *    as a required parameter; synchronous LPA can 2-cycle, so the cap is
  *    load-bearing).
  *
- * Spark plan per superstep: votes = neighbour-pair join + own-vote union →
- * `groupBy(node, label).count` (partial agg absorbs hub skew) →
- * `groupBy(node).agg(max(struct(votes, label)))` picks the winner — the
- * (count desc, label desc) tie-break as a single hash aggregate, one
- * exchange fewer than a row_number window.
+ * Spark plan per superstep: the persisted, hub-salted BOTH-direction CSR
+ * ([[TemporalGraph.adjacencyBoth]], hash-partitioned on node across
+ * supersteps) joins the state on its partitioning key — the big, static
+ * adjacency side is never re-exchanged; only the narrow state shuffles —
+ * and each node's label fans out to its neighbours via `explode`. Then
+ * votes + own-vote union → `groupBy(node, label).count` (partial agg
+ * absorbs hub skew) → `groupBy(node).agg(max(struct(votes, label)))` picks
+ * the winner — the (count desc, label desc) tie-break as a single hash
+ * aggregate, one exchange fewer than a row_number window.
  */
 object LabelPropagation {
 
   final case class Config(
       maxIter: Int = 20,
       checkpointDir: Option[String] = None,
-      checkpointEvery: Int = 5)
+      checkpointEvery: Int = 5,
+      maxShard: Int = graft.graph.TemporalGraph.DefaultMaxShard)
 
   /** @return (id, label); communities are the label-partition classes. */
   def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame = {
-    val pairs = g.undirectedPairs.persist()
+    val adj = g.adjacencyBoth(cfg.maxShard).persist()
     val init = g.nodes.select(col("id"), col("id").as("label"))
 
     val result = SuperstepRunner.run(
@@ -48,9 +53,13 @@ object LabelPropagation {
         checkpointDir = cfg.checkpointDir,
         checkpointEvery = cfg.checkpointEvery,
         runId = "lpa")) { (state, _) =>
-      val nbrVotes = pairs
-        .join(state.select(col("id"), col("label")), pairs("nbr") === col("id"))
-        .select(pairs("node").as("id"), col("label"))
+      // each node's PREVIOUS label is sent to all its distinct neighbours
+      // (symmetric adjacency ⇒ identical to "each node collects its
+      // neighbours' labels", but the static CSR side joins on its own
+      // partitioning key)
+      val nbrVotes = adj
+        .join(state.select(col("id"), col("label")), adj("node") === col("id"))
+        .select(explode(col("nbrs")).as("id"), col("label"))
       val ownVotes = state.select(col("id"), col("label"))
       val tally = nbrVotes
         .union(ownVotes)
@@ -81,7 +90,7 @@ object LabelPropagation {
           (changes == 0, Map("changes" -> changes.toDouble))
         })
     }
-    pairs.unpersist(false)
+    adj.unpersist(false)
     result.state.select("id", "label")
   }
 }

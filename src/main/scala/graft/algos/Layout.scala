@@ -57,7 +57,7 @@ object Layout {
 
   /** Hash-uniform double in [-half, half) derived from (seed, id, axis). */
   private def hashUniform(id: Column, axis: Int, seed: Long, half: Double): Column =
-    (expr(s"cast(pmod(xxhash64(${seed}L, $axis, id), 2000001) as double) / 1000000.0 - 1.0")
+    (expr(s"cast(pmod(xxhash64(${seed}L, $axis, id), 2000000) as double) / 1000000.0 - 1.0")
       * half).as(s"c$axis")
 
   /** @return (id, x, y) final positions. */

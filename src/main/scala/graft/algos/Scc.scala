@@ -42,7 +42,15 @@ object Scc {
 
   /** @return (id, label) with label = min node id of the SCC. */
   def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame = {
-    var edges = g.simpleEdges.filter(col("src") =!= col("dst")).persist()
+    // hash-partitioned on src and persisted: the color fixpoint joins this
+    // (static within the round) frame on src EVERY superstep — without the
+    // explicit repartition each superstep would pay a full exchange of the
+    // big edge table (the state side still shuffles, but it is the small,
+    // narrow side)
+    var edges = g.simpleEdges
+      .filter(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .persist()
     edges.count()
     var nodes = g.nodes.persist()
     var remaining = nodes.count()
@@ -57,7 +65,7 @@ object Scc {
       // -- 1. forward max-color fixpoint over the remaining subgraph --
       val colorInit = nodes.select(col("id"), col("id").as("c"))
       val e = edges
-      val colored = SuperstepRunner.run(
+      val colorRes = SuperstepRunner.run(
         spark,
         colorInit,
         RunConfig(cfg.maxIterPerPhase, cfg.checkpointDir, 25, runId = s"scc-color-$round")) {
@@ -78,18 +86,25 @@ object Scc {
               val changes = m.filter(col("changed")).count()
               (changes == 0, Map("changes" -> changes.toDouble))
             })
-      }.state.select("id", "c").persist()
+      }
+      val colored = colorRes.state.select("id", "c").persist()
       colored.count()
+      // the fixpoint's final superstep state is superseded by `colored` —
+      // free its checkpoint blocks now rather than waiting on the cleaner
+      org.apache.spark.sql.GraftSqlInternals.cachedRdd(colorRes.state).foreach(_.unpersist(false))
 
       // -- 2. multi-source backward reach from every root, within color --
       // reach state: (id, c, hit) — hit = can reach the root of its color
       val reachInit = colored.withColumn("hit", col("id") === col("c"))
-      // edges annotated with both endpoint colors once per round
+      // edges annotated with both endpoint colors once per round;
+      // hash-partitioned on dst — the backward-reach fixpoint joins this
+      // static frame on dst every superstep (same rationale as `edges`)
       val ec = e
         .join(colored.select(col("id").as("src"), col("c").as("sc")), Seq("src"))
         .join(colored.select(col("id").as("dst"), col("c").as("dc")), Seq("dst"))
         .filter(col("sc") === col("dc"))
         .select("src", "dst")
+        .repartition(col("dst"))
         .persist()
       ec.count()
       val reached = SuperstepRunner.run(
@@ -121,8 +136,15 @@ object Scc {
 
       val newly = reached.filter(col("hit")).select(col("id"), col("c").as("root")).persist()
       val nNew = newly.count()
-      assigned = assigned.unionByName(newly).persist()
-      assigned.count()
+      org.apache.spark.sql.GraftSqlInternals.cachedRdd(reached).foreach(_.unpersist(false))
+      // localCheckpoint: truncates the O(rounds) union lineage AND lets the
+      // previous round's accumulator blocks be freed now — the old
+      // persist-the-growing-union chain kept every round's overlapping copy
+      // cached for the whole run (localCheckpoint blocks aren't in the
+      // CacheManager, so the eager free goes through cachedRdd)
+      val prevAssigned = assigned
+      assigned = assigned.unionByName(newly).localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlInternals.cachedRdd(prevAssigned).foreach(_.unpersist(false))
 
       // shrink the working graph
       val prevNodes = nodes
@@ -133,19 +155,28 @@ object Scc {
         .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
+        .repartition(col("src"))
         .persist()
       edges.count()
       prevNodes.unpersist(false)
       prevEdges.unpersist(false)
       colored.unpersist(false)
       ec.unpersist(false)
+      newly.unpersist(false)
       require(nNew > 0 || remaining == 0, "SCC round made no progress")
     }
 
-    // canonicalize: label = min node id per component (roots are the max)
+    // canonicalize: label = min node id per component (roots are the max).
+    // The output is materialized so every internal cache (including the
+    // accumulated `assigned` checkpoint) can be freed here — after this
+    // call the only cached blocks left are the (|V|-row) result itself.
     val canon = assigned
       .groupBy("root")
       .agg(min("id").as("label"))
-    assigned.join(canon, Seq("root")).select("id", "label")
+    val out = assigned.join(canon, Seq("root")).select("id", "label").localCheckpoint(true)
+    org.apache.spark.sql.GraftSqlInternals.cachedRdd(assigned).foreach(_.unpersist(false))
+    edges.unpersist(false)
+    nodes.unpersist(false)
+    out
   }
 }

@@ -20,11 +20,25 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
  * memory-bandwidth ceiling — a real cluster adds bandwidth with every
  * executor, a single box does not).
  *
+ * Every core level is measured right after a same-moment pure-CPU
+ * calibration at that thread count ([[Calibration.cpuThroughput]]), so each
+ * pair's row carries the machine's own ceiling for that pair at that
+ * moment, plus the measured window's GC share (a GC-bound run is a JVM
+ * problem; a low-CPU-share run is a memory-path/tenancy problem).
+ *
  * Usage: runMain graft.bench.Scaling [numConvs] [supersteps] [pairs]
  *   pairs like "2:8,8:32"
  * Appends markdown rows to BENCH.md and prints one JSON line per pair.
  */
 object Scaling {
+
+  private final case class Level(
+      secs: Double,
+      edges: Long,
+      calThr: Double, // pure-CPU iters/sec at this thread count, same moment
+      gcShare: Double,
+      cpuShare: Double,
+      steal: Double)
 
   def main(args: Array[String]): Unit = {
     val numConvs = args.headOption.map(_.toLong).getOrElse(400000L)
@@ -44,26 +58,36 @@ object Scaling {
           "|---|---|---|---|---|---|---|---|---|---|\n").getBytes(StandardCharsets.UTF_8))
     }
     pairs.foreach { case (n, n4) =>
-      val (tN, edges) = measured(n)
-      val (t4N, _) = measured(n4)
-      val speedup = tN / t4N
-      val efficiency = speedup / (n4.toDouble / n)
-      val thrN = steps * edges / tN
-      val thr4N = steps * edges / t4N
+      val lo = measured(n)
+      val hi = measured(n4)
+      val speedup = lo.secs / hi.secs
+      val ideal = n4.toDouble / n
+      val efficiency = speedup / ideal
+      val ceiling = if (lo.calThr > 0) hi.calThr / lo.calThr / ideal else 0.0
+      val thrN = steps * lo.edges / lo.secs
+      val thr4N = steps * hi.edges / hi.secs
       println(
         s"""{"metric":"scaling_efficiency","value":$efficiency,"unit":"ratio","queries":{""" +
-          s""""cores_n":$n,"cores_4n":$n4,"t_n":$tN,"t_4n":$t4N,"speedup":$speedup,""" +
-          s""""edges":$edges,"supersteps":$steps,""" +
+          s""""cores_n":$n,"cores_4n":$n4,"t_n":${lo.secs},"t_4n":${hi.secs},"speedup":$speedup,""" +
+          s""""edges":${lo.edges},"supersteps":$steps,""" +
+          s""""calib_ceiling_eff":$ceiling,"gc_share_n":${lo.gcShare},"gc_share_4n":${hi.gcShare},""" +
+          s""""cpu_share_n":${lo.cpuShare},"cpu_share_4n":${hi.cpuShare},""" +
+          s""""steal_pct_n":${lo.steal},"steal_pct_4n":${hi.steal},""" +
           s""""edges_traversed_per_sec_n":$thrN,"edges_traversed_per_sec_4n":$thr4N}}""")
       val row =
-        s"| ${java.time.Instant.now()} | $numConvs convs / $edges edges | $steps supersteps | " +
-          f"$n→$n4 | $tN%.1f s | $t4N%.1f s | $speedup%.2fx | $efficiency%.2f | " +
+        s"| ${java.time.Instant.now()} | $numConvs convs / ${lo.edges} edges | $steps supersteps | " +
+          f"$n→$n4 | ${lo.secs}%.1f s | ${hi.secs}%.1f s | $speedup%.2fx | $efficiency%.2f " +
+          f"(machine ceiling $ceiling%.2f; gc ${lo.gcShare * 100}%.0f→${hi.gcShare * 100}%.0f%%) | " +
           f"${thrN / 1e6}%.2fM | ${thr4N / 1e6}%.2fM |\n"
       Files.write(bench, row.getBytes(StandardCharsets.UTF_8), StandardOpenOption.APPEND)
     }
   }
 
-  private def runAt(cores: Int, numConvs: Long, steps: Int): (Double, Long) = {
+  private def runAt(cores: Int, numConvs: Long, steps: Int): Level = {
+    // same-moment pure-CPU throughput at this thread count — the machine's
+    // own ceiling for this level (shared-tenant host; see BENCH.md)
+    val calThr = Calibration.cpuThroughput(cores, 3000L)
+    val steal = Calibration.stealPct()
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")
@@ -74,6 +98,8 @@ object Scaling {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new Calibration.StageMetricsListener
+    spark.sparkContext.addSparkListener(listener)
     // Only the edge table is persisted during prep: caching the transcripts
     // (full text strings) holds gigabytes of heap hostage.
     val transcripts = TranscriptGen.transcripts(spark, numConvs)
@@ -91,10 +117,12 @@ object Scaling {
     edges.unpersist(false)
     // warm-up pass (JIT + codegen) then the measured run on the same CSR
     PageRank.runOnAdjacency(spark, adj, nodes, PageRank.Config(maxIter = 2, tol = 0.0))._1.count()
+    val before = listener.snapshot()
     val t0 = System.nanoTime()
     PageRank.runOnAdjacency(spark, adj, nodes, PageRank.Config(maxIter = steps, tol = 0.0))._1.count()
     val secs = (System.nanoTime() - t0) / 1e9
+    val d = listener.delta(before)
     spark.stop()
-    (secs, nEdges)
+    Level(secs, nEdges, calThr, d("gcShare"), d("cpuShare"), steal)
   }
 }

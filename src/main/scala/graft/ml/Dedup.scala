@@ -145,27 +145,41 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 1000,
       portable: Boolean = false): DataFrame = {
-    val signed =
-      bandedSignatures(docs, idCol, textCol, shingleSize, numHashes, bands, portable).persist()
-
     // guardrail: drop pathologically hot buckets (boilerplate explosion);
     // the dropped buckets are observable via [[minHashLshDropped]]
-    val sized = signed.filter(col("bucket_n") <= maxBucket)
+    val sized = bandedSignatures(docs, idCol, textCol, shingleSize, numHashes, bands, portable)
+      .filter(col("bucket_n") <= maxBucket)
 
-    val l = sized.select(col("band"), col("bh"), col("id").as("a"), col("minhash").as("mha"))
-    val r = sized.select(col("band"), col("bh"), col("id").as("b"), col("minhash").as("mhb"))
-    val pairs = l
-      .join(r, Seq("band", "bh"))
-      .filter(col("a") < col("b"))
+    // Candidate pairs are generated WITHIN each bucket from a collected
+    // member array (bounded by maxBucket, so a bucket row is ≤ a few
+    // hundred KB) rather than a bucket self-join: the signatures are
+    // computed once on a single plan branch (the old two-branch self-join
+    // had to persist them — a cache leak in a long-lived session) and the
+    // whole pipeline pays ONE exchange on (band, bh), which the window,
+    // the groupBy and the pair fan-out all reuse.
+    val buckets = sized
+      .groupBy("band", "bh")
+      .agg(collect_list(struct(col("id"), col("minhash"))).as("mem"))
+      .filter(size(col("mem")) >= 2)
+
+    buckets
+      .select(explode(expr(
+        "flatten(transform(mem, (x, i) -> " +
+          "transform(slice(mem, i + 2, size(mem)), y -> named_struct('l', x, 'r', y))))"))
+        .as("p"))
       .select(
-        col("a"),
-        col("b"),
+        col("p.l.id").as("ia"),
+        col("p.l.minhash").as("mha"),
+        col("p.r.id").as("ib"),
+        col("p.r.minhash").as("mhb"))
+      .select(
+        least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"),
         (expr("size(filter(zip_with(mha, mhb, (x, y) -> x = y), v -> v))")
           .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .groupBy("a", "b")
       .agg(round(max("est_jaccard"), 6).as("est_jaccard"))
-    pairs
   }
 
   /**
@@ -222,36 +236,76 @@ object Dedup {
     }
   }
 
-  /** SimHash near-dup pairs: fingerprints within `maxHamming` bits, bucketed
-    * by `maxHamming + 1` bit segments of the fingerprint — by pigeonhole a
-    * pair differing in ≤ maxHamming bits has at least one segment with zero
-    * differing bits, so bucketing on exact segment values is recall-exact
-    * (unlike a fixed quarter split, which is only exact for distance ≤ 3). */
-  def simHashPairs(
+  /** The segmented fingerprint rows shared by [[simHashPairs]] and
+    * [[simHashDropped]]: (id, simhash, q, qh, bucket_n). */
+  private def segmentedSimHash(
       docs: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      maxHamming: Int = 3,
-      portable: Boolean = false): DataFrame = {
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      portable: Boolean): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming=$maxHamming out of [0, 32)")
     // segment i covers bits [floor(i·64/m), floor((i+1)·64/m))
     val segs = simHashSegments(maxHamming).map { case (i, start, mask) =>
       s"named_struct('q', $i, 'qh', shiftright(simhash, $start) & ${mask}L)"
     }
-    // persisted: both join sides read it and their plans differ by aliases,
-    // so exchange reuse can't dedupe the (expensive) fingerprint computation
-    val signed =
-      withSimHash(docs, textCol, portable).select(col(idCol).as("id"), col("simhash")).persist()
-    val segmented = signed.select(
-      col("id"),
-      col("simhash"),
-      explode(expr(s"array(${segs.mkString(", ")})")).as("qq"))
+    withSimHash(docs, textCol, portable)
+      .select(
+        col(idCol).as("id"),
+        col("simhash"),
+        explode(expr(s"array(${segs.mkString(", ")})")).as("qq"))
       .select(col("id"), col("simhash"), col("qq.q").as("q"), col("qq.qh").as("qh"))
-    val l = segmented.select(col("q"), col("qh"), col("id").as("a"), col("simhash").as("sa"))
-    val r = segmented.select(col("q"), col("qh"), col("id").as("b"), col("simhash").as("sb"))
-    l.join(r, Seq("q", "qh"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), expr("bit_count(sa ^ sb)").as("hamming"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q", "qh")))
+  }
+
+  /** Guardrail accounting for [[simHashPairs]]: segment buckets larger than
+    * `maxBucket` as (q, qh, bucket_n) — same first-class drop-report
+    * contract as [[minHashLshDropped]] (a hot segment value is the SimHash
+    * flavor of a boilerplate explosion). */
+  def simHashDropped(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000,
+      portable: Boolean = false): DataFrame =
+    segmentedSimHash(docs, idCol, textCol, maxHamming, portable)
+      .filter(col("bucket_n") > maxBucket)
+      .groupBy("q", "qh")
+      .agg(first("bucket_n").as("bucket_n"))
+
+  /** SimHash near-dup pairs: fingerprints within `maxHamming` bits, bucketed
+    * by `maxHamming + 1` bit segments of the fingerprint — by pigeonhole a
+    * pair differing in ≤ maxHamming bits has at least one segment with zero
+    * differing bits, so bucketing on exact segment values is recall-exact
+    * (unlike a fixed quarter split, which is only exact for distance ≤ 3).
+    * Segment buckets hotter than `maxBucket` are dropped (observable via
+    * [[simHashDropped]]); pairs are generated within each bucket from the
+    * collected member array — one fingerprint computation, one exchange on
+    * (q, qh), no persisted intermediate. */
+  def simHashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000,
+      portable: Boolean = false): DataFrame = {
+    val buckets = segmentedSimHash(docs, idCol, textCol, maxHamming, portable)
+      .filter(col("bucket_n") <= maxBucket)
+      .groupBy("q", "qh")
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("mem"))
+      .filter(size(col("mem")) >= 2)
+
+    buckets
+      .select(explode(expr(
+        "flatten(transform(mem, (x, i) -> " +
+          "transform(slice(mem, i + 2, size(mem)), y -> named_struct('l', x, 'r', y))))"))
+        .as("p"))
+      .select(
+        least(col("p.l.id"), col("p.r.id")).as("a"),
+        greatest(col("p.l.id"), col("p.r.id")).as("b"),
+        expr("bit_count(p.l.simhash ^ p.r.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy("a", "b")
       .agg(min("hamming").as("hamming"))

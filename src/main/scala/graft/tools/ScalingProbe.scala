@@ -1,13 +1,18 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import graft.bench.Calibration
 import graft.data.TranscriptGen
 import graft.graph.{EdgeBuilder, TemporalGraph}
 import graft.algos.PageRank
 
 /** Diagnostic for the scaling gate: one PageRank run at a given core count
   * with togglable skew-join / CSR-salting, per-superstep wall times on
-  * stderr (GRAFT_VERBOSE). Usage:
+  * stderr (GRAFT_VERBOSE), bracketed by same-moment pure-CPU calibrations,
+  * and a stage-metrics attribution of the measured window (GC share, CPU
+  * share, shuffle bytes) — the instrumentation that splits "the JVM is
+  * collecting" from "the box's memory path is saturated" when a core-count
+  * pair misses the ≥0.8 gate. Usage:
   *   SPARK_GRAFT_CPUS=8 PROBE_SKEW=true PROBE_MAXSHARD=131072 \
   *     runMain graft.tools.ScalingProbe [numConvs] [steps]
   */
@@ -27,14 +32,37 @@ object ScalingProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new Calibration.StageMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val (_, _, calPre) = Calibration.cpuRatio(math.max(1, cores / 4), cores)
+    println(f"[probe] calib_pre ${cores / 4}->${cores} ratio=$calPre%.2f steal=${Calibration.stealPct()}%.1f%%")
+
     val transcripts = TranscriptGen.transcripts(spark, numConvs)
     val edges = EdgeBuilder.edges(transcripts).persist()
     val g = TemporalGraph(edges)
+    // prebuilt persisted CSR — the measured quantity is superstep
+    // throughput, not adjacency build (BENCH.md methodology v2)
+    val adj = g.adjacencyOut(maxShard).persist()
+    val nodes = g.nodes.persist()
+    adj.count(); nodes.count()
     println(s"[probe] cores=$cores skew=$skew maxShard=$maxShard edges=${g.simpleEdges.count()}")
-    PageRank.run(spark, g, PageRank.Config(maxIter = 2, tol = 0.0, maxShard = maxShard)).count()
+    edges.unpersist(false)
+    PageRank.runOnAdjacency(spark, adj, nodes, PageRank.Config(maxIter = 2, tol = 0.0))._1.count()
+
+    val before = listener.snapshot()
     val t0 = System.nanoTime()
-    PageRank.run(spark, g, PageRank.Config(maxIter = steps, tol = 0.0, maxShard = maxShard)).count()
-    println(f"[probe] measured=${(System.nanoTime() - t0) / 1e9}%.1f s for $steps supersteps")
+    PageRank.runOnAdjacency(spark, adj, nodes, PageRank.Config(maxIter = steps, tol = 0.0))._1.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val d = listener.delta(before)
+    println(f"[probe] measured=$wall%.1f s for $steps supersteps")
+    println(
+      f"[probe] stages=${d("stages")}%.0f runTime=${d("runTimeMs") / 1000}%.1fs " +
+        f"gcShare=${d("gcShare") * 100}%.1f%% cpuShare=${d("cpuShare") * 100}%.1f%% " +
+        f"shufRead=${d("shuffleReadB") / 1e9}%.2fGB shufWrite=${d("shuffleWriteB") / 1e9}%.2fGB")
+
+    val (_, _, calPost) = Calibration.cpuRatio(math.max(1, cores / 4), cores)
+    println(f"[probe] calib_post ${cores / 4}->${cores} ratio=$calPost%.2f steal=${Calibration.stealPct()}%.1f%%")
     spark.stop()
   }
 }

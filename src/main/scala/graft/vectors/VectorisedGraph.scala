@@ -107,10 +107,25 @@ final case class VectorisedGraph(
 
   private def windowed(db: DataFrame, window: Option[(Long, Long)]): DataFrame =
     window match {
-      // an entity is in the window iff it has an event inside it
-      // (apply_window, vectors/utils.rs): [start, end)
-      case Some((s, e)) => db.filter(col("latest") >= s && col("earliest") < e)
-      case None         => db
+      // an entity is in the window iff it has an event INSIDE it
+      // (apply_window, vectors/utils.rs): [start, end). The stored
+      // earliest/latest bounds only give a necessary condition (an entity
+      // with events at t=10 and t=90 overlaps [35,50) but has no event in
+      // it), so the bounds act as a cheap prune and the exact membership is
+      // a semi-join against the windowed event table — the same per-event
+      // filter the frontier() path uses.
+      case Some((s, e)) =>
+        val pruned = db.filter(col("latest") >= s && col("earliest") < e)
+        val ev = graph.edges.filter(col("ts") >= s && col("ts") < e)
+        if (db.columns.contains("id")) {
+          val ids = ev
+            .select(col("src").as("id"))
+            .unionByName(ev.select(col("dst").as("id")))
+            .distinct()
+          pruned.join(ids, Seq("id"), "left_semi")
+        } else
+          pruned.join(ev.select("src", "dst").distinct(), Seq("src", "dst"), "left_semi")
+      case None => db
     }
 
   private def scored(db: DataFrame, query: String, window: Option[(Long, Long)]): DataFrame =
