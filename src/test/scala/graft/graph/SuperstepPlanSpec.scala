@@ -1,0 +1,141 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan contract for the iterative superstep shape: the persisted
+ * CSR adjacency (the big, static side) must NOT sit under a shuffle
+ * exchange in the per-superstep message join — its cached layout
+ * (hash-partitioned on the join key by construction, see
+ * [[TemporalGraph.adjacencyOut]]) is reused every superstep, and only the
+ * narrow state frame is exchanged. This is the steady-state cost model the
+ * scaling gate depends on; a regression here re-shuffles the whole edge
+ * set once (PageRank/LPA) or twice (HITS) per superstep.
+ *
+ * AQE and auto-broadcast are disabled inside these tests: at production
+ * scale the adjacency is far above any broadcast threshold, and the
+ * no-exchange property must hold for the shuffled-join path the big run
+ * takes (at toy scale Spark would otherwise just broadcast the CSR, which
+ * proves nothing about the steady-state shuffle shape).
+ */
+class SuperstepPlanSpec extends SparkSpec {
+
+  private def g: TemporalGraph = {
+    val triples = (1L to 400L).map(i => (i % 40, i % 37, 1000L + i))
+    TemporalGraph.fromTriples(spark, triples)
+  }
+
+  private def withShuffledJoins[A](body: => A): A = {
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  /** True if a shuffle exchange sits BETWEEN the cached adjacency scan and
+    * its nearest join ancestor — i.e. the adjacency side itself is being
+    * re-partitioned to satisfy the join. (Exchanges ABOVE the join — the
+    * message groupBy — are inherent and fine.) */
+  private def adjacencyReExchanged(plan: SparkPlan): Boolean = {
+    def pathToScan(p: SparkPlan): Option[List[SparkPlan]] =
+      if (p.isInstanceOf[InMemoryTableScanExec]) Some(List(p))
+      else p.children.view.flatMap(pathToScan).headOption.map(p :: _)
+    pathToScan(plan) match {
+      case Some(rootToScan) =>
+        val scanUpToJoin = rootToScan.reverse
+          .takeWhile(!_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+        scanUpToJoin.exists(_.isInstanceOf[ShuffleExchangeExec])
+      case None => true
+    }
+  }
+
+  private def assertAdjacencyStaysPut(msgAgg: DataFrame): Unit = {
+    val plan = msgAgg.queryExecution.executedPlan
+    assert(
+      plan.collectFirst { case s: InMemoryTableScanExec => s }.isDefined,
+      s"expected the persisted adjacency in the plan:\n$plan")
+    assert(
+      !adjacencyReExchanged(plan),
+      s"persisted adjacency must not be re-exchanged per superstep:\n$plan")
+  }
+
+  test("PageRank-shaped superstep reuses the out-CSR partitioning") {
+    withShuffledJoins {
+      val adj = g.adjacencyOut(1 << 17).persist()
+      adj.count()
+      val state = g.nodes.select(col("id"), lit(0.5).as("score")).localCheckpoint(true)
+      val msgs = adj
+        .join(state, adj("src") === state("id"))
+        .select(explode(col("dsts")).as("id"), (col("score") / col("out_deg")).as("w"))
+        .groupBy("id")
+        .agg(sum("w").as("msum"))
+      assertAdjacencyStaysPut(msgs)
+      adj.unpersist(true)
+    }
+  }
+
+  test("LPA superstep reuses the BOTH-CSR partitioning") {
+    withShuffledJoins {
+      val adj = g.adjacencyBoth(1 << 17).persist()
+      adj.count()
+      val state = g.nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
+      val tally = adj
+        .join(state, adj("node") === state("id"))
+        .select(explode(col("nbrs")).as("id"), col("label"))
+        .groupBy("id", "label")
+        .agg(count(lit(1)).as("votes"))
+      assertAdjacencyStaysPut(tally)
+      adj.unpersist(true)
+    }
+  }
+
+  test("HITS superstep reuses out-CSR and in-CSR partitioning") {
+    withShuffledJoins {
+      val adjOut = g.adjacencyOut(1 << 17).persist()
+      val adjIn = g.adjacencyIn(1 << 17).persist()
+      adjOut.count(); adjIn.count()
+      val state = g.nodes
+        .select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+        .localCheckpoint(true)
+      val recvHub = adjOut
+        .join(state.select(col("id"), col("hub")), adjOut("src") === col("id"))
+        .select(explode(col("dsts")).as("id"), col("hub"))
+        .groupBy("id")
+        .agg(sum("hub").as("recv_hub"))
+      val recvAuth = adjIn
+        .join(state.select(col("id"), col("auth")), adjIn("dst") === col("id"))
+        .select(explode(col("srcs")).as("id"), col("auth"))
+        .groupBy("id")
+        .agg(sum("auth").as("recv_auth"))
+      assertAdjacencyStaysPut(recvHub)
+      assertAdjacencyStaysPut(recvAuth)
+      adjOut.unpersist(true)
+      adjIn.unpersist(true)
+    }
+  }
+
+  test("in-CSR shards a planted in-hub and reassembles exactly") {
+    val hubEdges = (1 to 3000).map(i => (i.toLong, 0L, 1000L + i))
+    val hg = TemporalGraph.fromTriples(spark, hubEdges)
+    val adj = hg.adjacencyIn(256)
+    val shards = adj.filter(col("dst") === 0L)
+      .select(size(col("srcs")).as("n"), col("in_deg"))
+      .collect()
+    assert(shards.length == math.ceil(3000 / 256.0).toInt)
+    assert(shards.forall(_.getAs[Long]("in_deg") == 3000L))
+    val reassembled = adj.filter(col("dst") === 0L)
+      .select(explode(col("srcs")).as("s")).distinct().count()
+    assert(reassembled == 3000L)
+  }
+}
