@@ -31,13 +31,28 @@ import org.apache.spark.sql.functions._
  *    with the events of its three pairs → TriangleCounter with the
  *    reference's role mapping (v=x1, u=x2, w=x3).
  *
- * Scale notes: per-node star lists are Θ(degree) — the same hub caveat as
- * the reference's per-node event vec; the triangle stage joins each
- * triangle with its pair events (Θ(Σ_tri events-on-triangle) rows,
- * partitioned by triangle key). Event order is (ts, event_id) with
- * (dir, nbr) tie-breakers for determinism on colliding ids.
+ * Scale notes (power-law safe):
+ *  - triangles are enumerated DEGREE-ORIENTED (each undirected edge
+ *    directed from its (degree, id)-lower endpoint; wedges open at the
+ *    lowest-rank corner): per-key wedge candidates are bounded by the
+ *    oriented out-degree (O(√m) on any graph) instead of a hub's full
+ *    degree — an id-ordered enumeration puts O(deg²) wedge rows under one
+ *    hub join key;
+ *  - per-entity event lists (star centres, pairs — and hence triangles,
+ *    whose events are the union of three pairs) are capped at
+ *    `maxEventsPerEntity`: entities above the cap are EXCLUDED and
+ *    reported first-class by [[droppedEntities]] (the `Dedup.maxBucket` +
+ *    `*Dropped` guardrail pattern) — a 10⁸-event hub would otherwise
+ *    become one multi-GB `collect_list` row in a single task. Event order
+ *    is (ts, event_id) with (dir, nbr) tie-breakers for determinism on
+ *    colliding ids.
  */
 object TemporalMotifs {
+
+  /** Default per-entity event cap: 2^20 events ≈ tens of MB per collected
+    * row — big enough that real entities never hit it at test scales,
+    * small enough that one task cannot be handed a multi-GB row. */
+  val DefaultMaxEventsPerEntity: Int = 1 << 20
 
   // ---- counting kernels (three_node_motifs.rs:23-67, 76-190, 195-345) ----
   // dir encoding: 0 = incoming, 1 = outgoing.
@@ -244,14 +259,95 @@ object TemporalMotifs {
 
   // ---- Spark orchestration ----
 
+  /** Event counts per entity above the cap — the entities [[global]] /
+    * [[local]] EXCLUDE at that cap, as first-class output:
+    * (kind 'node'|'pair', a, b, n_events); b is null for nodes. Pair drops
+    * also remove the pair's triangles (a triangle's event list is the
+    * union of its three pairs' lists, so an uncapped pair would reappear
+    * there). */
+  def droppedEntities(
+      spark: SparkSession,
+      g: TemporalGraph,
+      maxEventsPerEntity: Int = DefaultMaxEventsPerEntity): DataFrame = {
+    val ev = g.edges.filter(col("src") =!= col("dst"))
+    heavyNodes(ev, maxEventsPerEntity)
+      .select(lit("node").as("kind"), col("node").as("a"), lit(null).cast("long").as("b"), col("n_events"))
+      .unionByName(
+        heavyPairs(ev, maxEventsPerEntity)
+          .select(lit("pair").as("kind"), col("a"), col("b"), col("n_events")))
+  }
+
+  /** Nodes with more than `cap` incident events: (node, n_events). */
+  private def heavyNodes(ev: DataFrame, cap: Int): DataFrame =
+    ev.select(col("src").as("node"))
+      .unionByName(ev.select(col("dst").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > cap)
+
+  /** Unordered pairs with more than `cap` events: (a, b, n_events). */
+  private def heavyPairs(ev: DataFrame, cap: Int): DataFrame =
+    ev.select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > cap)
+
+  /**
+   * Degree-oriented triangle enumeration over a canonical undirected edge
+   * set `(a, b)` (a < b, no self-loops): each edge is directed from its
+   * (degree, id)-lower endpoint, wedges open at the lowest-rank corner and
+   * close along the orientation — every triangle is produced exactly once
+   * and the per-join-key wedge fan-out is bounded by the oriented
+   * out-degree (O(√m)), not a hub's raw degree. Returns id-sorted corners
+   * (x1 < x2 < x3), the role layout the counting kernels expect.
+   */
+  private[algos] def orientedTriangles(und: DataFrame): DataFrame = {
+    val deg = und
+      .select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy("n")
+      .agg(count(lit(1)).as("d"))
+    val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("u"),
+        when(aLower, col("b")).otherwise(col("a")).as("v"),
+        when(aLower, col("db")).otherwise(col("da")).as("dv"))
+    val w1 = oriented.select(col("u"), col("v").as("w1"), col("dv").as("d1"))
+    val w2 = oriented.select(col("u"), col("v").as("w2"), col("dv").as("d2"))
+    val wedges = w1
+      .join(w2, Seq("u"))
+      .filter(col("d1") < col("d2") || (col("d1") === col("d2") && col("w1") < col("w2")))
+    wedges
+      .join(oriented.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"))
+      .select(
+        least(col("u"), col("w1"), col("w2")).as("x1"),
+        greatest(col("u"), col("w1"), col("w2")).as("x3"),
+        (col("u") + col("w1") + col("w2")).as("sum3"))
+      .select(col("x1"), (col("sum3") - col("x1") - col("x3")).as("x2"), col("x3"))
+  }
+
   /** Global 40-dim census. @return (motif_id 0..39, count). */
-  def global(spark: SparkSession, g: TemporalGraph, deltaMs: Long): DataFrame = {
+  def global(
+      spark: SparkSession,
+      g: TemporalGraph,
+      deltaMs: Long,
+      maxEventsPerEntity: Int = DefaultMaxEventsPerEntity): DataFrame = {
     import spark.implicits._
     val ev = g.edges
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), col("ts"), col("event_id"))
       .persist()
     ev.count()
+    // hub guard: entities above the event cap are excluded BEFORE any
+    // collect_list builds their (multi-GB) row; the exclusions are
+    // observable via [[droppedEntities]]. The heavy sets are tiny by
+    // construction (> 2^20 events each), so the guards are broadcast
+    // anti-joins — no extra shuffle on the event table.
+    val hn = broadcast(heavyNodes(ev, maxEventsPerEntity).select("node"))
+    val hp = broadcast(heavyPairs(ev, maxEventsPerEntity).select("a", "b"))
 
     // -- two-node block: one kernel run per unordered pair, mirrored --
     val pairEvents = ev
@@ -262,6 +358,7 @@ object TemporalMotifs {
           col("ts"),
           col("event_id"),
           when(col("src") < col("dst"), 1).otherwise(0).as("dir")).as("e"))
+      .join(hp, Seq("a", "b"), "left_anti")
       .groupBy("a", "b")
       .agg(sort_array(collect_list(col("e"))).as("evs"))
       .select(col("evs").as[Seq[(Long, Long, Int)]])
@@ -278,6 +375,7 @@ object TemporalMotifs {
       .unionByName(ev.select(
         col("dst").as("node"),
         struct(col("ts"), col("event_id"), lit(0).as("dir"), col("src").as("nbr")).as("e")))
+      .join(hn, Seq("node"), "left_anti")
       .groupBy("node")
       .agg(sort_array(collect_list(col("e"))).as("evs"))
       .select(col("evs").as[Seq[(Long, Long, Int, Long)]])
@@ -287,15 +385,13 @@ object TemporalMotifs {
       },
       24)
 
-    // -- triangle block: enumerate ordered triangles, join their pair events --
+    // -- triangle block: degree-oriented enumeration, join pair events --
     val und = ev
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .join(hp, Seq("a", "b"), "left_anti")
       .persist()
-    val e1 = und.select(col("a").as("x1"), col("b").as("x2"))
-    val e2 = und.select(col("a").as("x2"), col("b").as("x3"))
-    val e3 = und.select(col("a").as("x1"), col("b").as("x3"))
-    val tris = e1.join(e2, "x2" :: Nil).join(e3, Seq("x1", "x3"))
+    val tris = orientedTriangles(und)
 
     val pe = ev.select(
       least(col("src"), col("dst")).as("p"),
@@ -355,13 +451,20 @@ object TemporalMotifs {
    * @return (id, motif_id 0..39, count) — 40 rows per node, same slot
    *         layout as [[global]].
    */
-  def local(spark: SparkSession, g: TemporalGraph, deltaMs: Long): DataFrame = {
+  def local(
+      spark: SparkSession,
+      g: TemporalGraph,
+      deltaMs: Long,
+      maxEventsPerEntity: Int = DefaultMaxEventsPerEntity): DataFrame = {
     import spark.implicits._
     val ev = g.edges
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), col("ts"), col("event_id"))
       .persist()
     ev.count()
+    // hub guard — see [[global]]; exclusions observable via [[droppedEntities]]
+    val hn = broadcast(heavyNodes(ev, maxEventsPerEntity).select("node"))
+    val hp = broadcast(heavyPairs(ev, maxEventsPerEntity).select("a", "b"))
 
     // -- two-node block: one kernel per pair, credited to both endpoints --
     val pairEvents = ev
@@ -372,6 +475,7 @@ object TemporalMotifs {
           col("ts"),
           col("event_id"),
           when(col("src") < col("dst"), 1).otherwise(0).as("dir")).as("e"))
+      .join(hp, Seq("a", "b"), "left_anti")
       .groupBy("a", "b")
       .agg(sort_array(collect_list(col("e"))).as("evs"))
       .select(col("a").as[Long], col("b").as[Long], col("evs").as[Seq[(Long, Long, Int)]])
@@ -387,6 +491,7 @@ object TemporalMotifs {
       .unionByName(ev.select(
         col("dst").as("node"),
         struct(col("ts"), col("event_id"), lit(0).as("dir"), col("src").as("nbr")).as("e")))
+      .join(hn, Seq("node"), "left_anti")
       .groupBy("node")
       .agg(sort_array(collect_list(col("e"))).as("evs"))
       .select(col("node").as[Long], col("evs").as[Seq[(Long, Long, Int, Long)]])
@@ -399,11 +504,9 @@ object TemporalMotifs {
     val und = ev
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .join(hp, Seq("a", "b"), "left_anti")
       .persist()
-    val e1 = und.select(col("a").as("x1"), col("b").as("x2"))
-    val e2 = und.select(col("a").as("x2"), col("b").as("x3"))
-    val e3 = und.select(col("a").as("x1"), col("b").as("x3"))
-    val tris = e1.join(e2, "x2" :: Nil).join(e3, Seq("x1", "x3"))
+    val tris = orientedTriangles(und)
 
     val pe = ev.select(
       least(col("src"), col("dst")).as("p"),

@@ -121,4 +121,76 @@ class TemporalMotifsSpec extends SparkSpec {
     assert(tight < wide)
     assert(tight >= 0)
   }
+
+  test("degree-oriented triangle enumeration matches brute force (mid-id hub)") {
+    import spark.implicits._
+    // pseudo-random graph PLUS a hub whose id sits in the MIDDLE of the id
+    // range — the shape where the old id-ordered wedge join (x1<x2<x3 keyed
+    // on the middle id) put O(deg²) candidates under the hub's key
+    val rnd = new scala.util.Random(7)
+    val hub = 500L
+    val rand = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong + 940))
+    val hubEdges = (1 to 40).map(i => (hub, i.toLong)) ++ (960 to 999).map(i => (hub, i.toLong))
+    val all = (rand ++ hubEdges).filter(p => p._1 != p._2)
+    val canon = all.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val expected = {
+      val set = canon.toSet
+      val nodes = canon.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      (for {
+        i <- nodes; j <- nodes if j > i && set((i, j))
+        k <- nodes if k > j && set((j, k)) && set((i, k))
+      } yield (i, j, k)).toSet
+    }
+    val und = canon.toDF("a", "b")
+    val got = TemporalMotifs
+      .orientedTriangles(und)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("planted high-degree hub: census finishes with bounded wedge keys and matches structure") {
+    import spark.implicits._
+    // hub 50000 ↔ 100k leaves; leaves 1..100 chained in a ring, so each
+    // ring edge closes a triangle with the hub: exactly 100 triangles.
+    val n = 100000
+    val hub = 50000L // mid-range id: worst case for id-ordered enumeration
+    val hubEdges = (1 to n).filter(_ != hub.toInt).map(i => (hub, i.toLong, 10L + i))
+    val ring = (1 to 100).map(i => (i.toLong, (i % 100 + 1).toLong, 500000L + i))
+    val g = TemporalGraph.fromTriples(spark, hubEdges ++ ring)
+    val und = g.edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val tris = TemporalMotifs.orientedTriangles(und).collect()
+    assert(tris.length == 100, s"expected 100 hub-ring triangles, got ${tris.length}")
+    assert(tris.forall(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2)).contains(hub)))
+  }
+
+  test("event-cap guard drops hot entities with first-class accounting") {
+    import spark.implicits._
+    // node 1 has 30 incident events; pair (2,3) has 25 events
+    val hot = (1 to 30).map(i => (1L, (100 + i).toLong, i.toLong)) ++
+      (1 to 25).map(i => (2L, 3L, (1000 + i).toLong)) ++
+      Seq((4L, 5L, 2000L), (5L, 6L, 2001L), (4L, 6L, 2002L))
+    val g = TemporalGraph.fromTriples(spark, hot)
+
+    val dropped = TemporalMotifs.droppedEntities(spark, g, maxEventsPerEntity = 20)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    // node 1 (30 events) and pair (2,3) (25 events each endpoint ⇒ nodes
+    // 2,3 also above 20) must be reported
+    assert(dropped.contains(("node", 1L)))
+    assert(dropped.contains(("pair", 2L)))
+    assert(TemporalMotifs.droppedEntities(spark, g).count() == 0L) // default cap
+
+    // capped census still runs and the un-dropped triangle (4,5,6) survives
+    val census = TemporalMotifs.global(spark, g, deltaMs = 10, maxEventsPerEntity = 20)
+      .orderBy("motif_id").collect().map(_.getAs[Long]("count"))
+    val full = TemporalMotifs.global(spark, g, deltaMs = 10)
+      .orderBy("motif_id").collect().map(_.getAs[Long]("count"))
+    assert(census.slice(32, 40).sum == 1L, "triangle block keeps the clean triangle")
+    assert(full.sum >= census.sum, "uncapped census dominates the capped one")
+  }
 }
