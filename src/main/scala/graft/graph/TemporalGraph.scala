@@ -25,25 +25,83 @@ import org.apache.spark.sql.functions._
  *  - `window(start, end)` is end-exclusive event-semantics filtering
  *    (raphtory/src/db/api/view/time.rs:116; event_semantics.rs:30).
  */
-case class TemporalGraph(edges: DataFrame) {
+case class TemporalGraph(
+    edges: DataFrame,
+    viewStart: Option[Long] = None,
+    viewEnd: Option[Long] = None) {
 
-  // ---- temporal algebra (TimeOps, reference time.rs:93-210) ----
+  // ---- temporal algebra (TimeOps, reference time.rs:93-260) ----
 
-  /** Events in [startMs, endMs). */
+  /** Reported window start (reference `TimeOps::start`, time.rs:210) —
+    * None when unbounded. */
+  def start: Option[Long] = viewStart
+
+  /** Reported window end (exclusive; reference `TimeOps::end`). */
+  def end: Option[Long] = viewEnd
+
+  /** Window span end − start, None while either side is unbounded
+    * (reference `window_size`, time.rs:237-242). */
+  def windowSize: Option[Long] =
+    for (s <- viewStart; e <- viewEnd) yield e - s
+
+  /** Events in [startMs, endMs). Like the reference's `window`, the
+    * REPORTED bounds are set verbatim while the event set composes (a
+    * window over a window intersects the filters). */
   def window(startMs: Long, endMs: Long): TemporalGraph =
-    copy(edges.filter(col("ts") >= startMs && col("ts") < endMs))
+    copy(
+      edges.filter(col("ts") >= startMs && col("ts") < endMs),
+      viewStart = Some(startMs),
+      viewEnd = Some(endMs))
+
+  /** Narrow the start to max(startMs, current start) — never widens
+    * (reference `shrink_start`, time.rs:218-224). */
+  def shrinkStart(startMs: Long): TemporalGraph = {
+    val s = viewStart.fold(startMs)(math.max(_, startMs))
+    copy(edges.filter(col("ts") >= s), viewStart = Some(s))
+  }
+
+  /** Narrow the end to min(endMs, current end) (reference `shrink_end`). */
+  def shrinkEnd(endMs: Long): TemporalGraph = {
+    val e = viewEnd.fold(endMs)(math.min(_, endMs))
+    copy(edges.filter(col("ts") < e), viewEnd = Some(e))
+  }
+
+  /** Narrow both bounds (reference `shrink_window`, time.rs:231-235). */
+  def shrinkWindow(startMs: Long, endMs: Long): TemporalGraph =
+    shrinkStart(startMs).shrinkEnd(endMs)
 
   /** Events exactly at t (window [t, t+1)). */
   def at(t: Long): TemporalGraph = window(t, t + 1)
 
+  /** View of only the latest event time (reference `latest`,
+    * time.rs:256-262: `at(latest_time)`); unchanged view when empty. */
+  def latest(): TemporalGraph = latestTime().fold(this)(at)
+
   /** Events strictly before t (window [-inf, t)). */
-  def before(t: Long): TemporalGraph = copy(edges.filter(col("ts") < t))
+  def before(t: Long): TemporalGraph =
+    copy(edges.filter(col("ts") < t), viewEnd = Some(viewEnd.fold(t)(math.min(_, t))))
 
   /** Events strictly after t. */
-  def after(t: Long): TemporalGraph = copy(edges.filter(col("ts") > t))
+  def after(t: Long): TemporalGraph =
+    copy(
+      edges.filter(col("ts") > t),
+      viewStart = Some(viewStart.fold(t + 1)(math.max(_, t + 1))))
 
-  /** Event-semantics snapshot: everything up to and including t. */
-  def snapshotAt(t: Long): TemporalGraph = copy(edges.filter(col("ts") <= t))
+  /** Event-semantics snapshot: everything up to and including t — the
+    * reference's `snapshot_at` ≡ `before(t + 1)` for event graphs. */
+  def snapshotAt(t: Long): TemporalGraph = before(t + 1)
+
+  /** Reference `snapshot_latest`: a no-op for event-semantics graphs
+    * (time.rs:128-131). */
+  def snapshotLatest(): TemporalGraph = this
+
+  /** Materialized-filter analog of the reference's `CachedView`
+    * (cached_view.rs:38 caches the composed filter masks): persist the
+    * view's filtered edge table so downstream algorithms stop re-running
+    * the filter chain against the source. Call [[uncacheView]] when done. */
+  def cacheView(): TemporalGraph = copy(edges.persist())
+
+  def uncacheView(): TemporalGraph = copy(edges.unpersist(false))
 
   // ---- window sets (reference rolling/expanding, time.rs:147-210) ----
 

@@ -1683,7 +1683,156 @@ object Queries {
            |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
            |SELECT layer, count(*) AS n_edges, count(DISTINCT src) AS n_srcs
            |FROM e0 WHERE tsm <= 1705000000000
-           |GROUP BY layer""".stripMargin))
+           |GROUP BY layer""".stripMargin)),
+
+    // ---- view-composition interpreter (GraphQL apply_views analog) ----
+    (
+      "q_view_chain",
+      // ordered chain over the events link graph, then the sorted/paged
+      // edges resolver — the reference's apply_views contract
+      // (graph.rs:857-920) + edges page (nodes.rs:335-455): a window that
+      // is later SHRUNK (clamps, never widens), a layer exclusion, an
+      // exclusive `after`, node exclusions and a composite edge predicate.
+      (s, d) => {
+        import graft.graph.GraphViews
+        import graft.graph.GraphViews.ViewOp
+        val view = GraphViews.applyViews(
+          eventGraph(s, d),
+          Seq(
+            ViewOp.Window(1704240000000L, 1706227200000L), // [Jan 3, Jan 26)
+            ViewOp.ExcludeLayers(Seq("error")),
+            ViewOp.After(1704499200000L), // ts > Jan 6
+            ViewOp.ShrinkWindow(1704326400000L, 1705881600000L), // clamp end to Jan 22
+            ViewOp.ExcludeNodes(Seq(5L, 10L, 15L)),
+            ViewOp.EdgeFilter(pmod(col("src"), lit(7)) =!= 0)))
+        GraphViews
+          .edgesPage(
+            view,
+            sort = Seq(GraphViews.SortKey("ts", desc = true)),
+            offset = 5,
+            limit = 40)
+          .select(col("src"), col("dst"), col("ts"), col("event_id"), col("layer"))
+      },
+      Some(
+        """WITH e0 AS (
+          |  SELECT user_id AS src, dst, event_id, event_type AS layer,
+          |    epoch_us(ts) // 1000 AS tms FROM (
+          |    SELECT user_id, event_type, event_id, ts,
+          |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+          |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+          |f AS (
+          |  SELECT src, dst, tms AS ts, event_id, layer FROM e0
+          |  WHERE tms >= 1704240000000 AND tms < 1706227200000
+          |    AND layer <> 'error'
+          |    AND tms > 1704499200000
+          |    AND tms < 1705881600000
+          |    AND src NOT IN (5, 10, 15) AND dst NOT IN (5, 10, 15)
+          |    AND (src % 7) <> 0)
+          |SELECT src, dst, ts, event_id, layer FROM f
+          |ORDER BY ts DESC, src, dst, event_id
+          |LIMIT 40 OFFSET 5""".stripMargin)),
+
+    // ---- composite property-filter + prefix/fuzzy search (parity with
+    //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----
+    (
+      "q_text_search_filtered",
+      (s, d) => {
+        import graft.search.TextSearch
+        import graft.search.TextSearch.TermQuery
+        val docs = t(s, d, "documents")
+        val idx = TextSearch.buildIndex(docs, "doc_id", "text")
+        TextSearch
+          .searchFiltered(
+            docs,
+            "doc_id",
+            idx,
+            Seq(
+              TermQuery.Exact("spark"),
+              TermQuery.Prefix("win"),
+              TermQuery.Fuzzy("spork", 1)),
+            propertyFilter = Some(col("lang") === "en" && col("n_chars") >= 100),
+            limit = 25,
+            offset = 3)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |                     t -> len(t) > 0) AS tk
+          |  FROM documents),
+          |postings AS (SELECT DISTINCT doc_id, u.term AS term
+          |             FROM toks, unnest(tk) AS u(term)),
+          |c1 AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'spark'),
+          |c2 AS (SELECT DISTINCT doc_id FROM postings WHERE term LIKE 'win%'),
+          |c3 AS (SELECT DISTINCT doc_id FROM postings
+          |       WHERE levenshtein(term, 'spork') <= 1)
+          |SELECT d.doc_id, d.lang, d.source, d.n_chars
+          |FROM documents d
+          |JOIN c1 USING (doc_id) JOIN c2 USING (doc_id) JOIN c3 USING (doc_id)
+          |WHERE d.lang = 'en' AND d.n_chars >= 100
+          |ORDER BY doc_id
+          |LIMIT 25 OFFSET 3""".stripMargin)),
+
+    // ---- non-scalar property types end to end (SURVEY §1.2 mapping of
+    //      the reference Prop enum, prop_enum.rs:141-157: List → array<T>,
+    //      Map → map<string,T>, Decimal → decimal(p,s), NDTime →
+    //      timestamp_ntz), driven through the §2.2 predicate algebra's
+    //      list quantifiers (filtering.rs:385-404) ----
+    (
+      "q_prop_types",
+      (s, d) => {
+        import graft.rel.Predicates._
+        val li = t(s, d, "lineitem")
+        // Prop::Map needs unique keys: per (order, linenumber) max tax
+        // (linenumbers repeat in the synthetic data)
+        val taxmaps = li
+          .groupBy(col("l_orderkey").as("order_id"), col("l_linenumber"))
+          .agg(max(col("l_tax")).as("tax"))
+          .groupBy("order_id")
+          .agg(map_from_entries(
+            sort_array(collect_list(struct(col("l_linenumber"), col("tax"))))).as("taxmap"))
+        val props = li
+          .groupBy(col("l_orderkey").as("order_id"))
+          .agg(
+            sort_array(collect_list(col("l_quantity"))).as("quantities"), // Prop::List
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("total_price"), // Prop::Decimal
+            max(col("l_shipdate")).as("last_ship")) // Prop::NDTime
+          .join(taxmaps, Seq("order_id")) // Prop::Map
+        val pred =
+          F("quantities").any(_ > 45.0) &&
+            F("quantities").all(_ > 0.0) &&
+            Raw(col("total_price") > lit(new java.math.BigDecimal("50000.00")))
+        props
+          .filter(pred.compile)
+          .select(
+            col("order_id"),
+            F("quantities").len.as("n_items"),
+            element_at(col("quantities"), 1).as("q_first"),
+            element_at(col("quantities"), -1).as("q_last"),
+            array_max(col("quantities")).as("q_max"),
+            col("taxmap")(lit(3)).as("tax3"),
+            col("total_price"),
+            col("last_ship"))
+      },
+      Some(
+        """WITH props AS (
+          |  SELECT l_orderkey AS order_id,
+          |    list_sort(list(l_quantity)) AS quantities,
+          |    max(CASE WHEN l_linenumber = 3 THEN l_tax END) AS tax3,
+          |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+          |    max(l_shipdate) AS last_ship
+          |  FROM lineitem GROUP BY l_orderkey)
+          |SELECT order_id,
+          |  CAST(len(quantities) AS BIGINT) AS n_items,
+          |  quantities[1] AS q_first,
+          |  quantities[-1] AS q_last,
+          |  list_max(quantities) AS q_max,
+          |  tax3, total_price, last_ship
+          |FROM props
+          |WHERE len(list_filter(quantities, q -> q > 45.0)) > 0
+          |  AND len(list_filter(quantities, q -> q <= 0.0)) = 0
+          |  AND total_price > 50000.00""".stripMargin))
   )
 
   val all: Map[String, Q] = defs.map { case (n, q, _) => n -> q }.toMap

@@ -57,13 +57,75 @@ object TextSearch {
       .filter(col("nt") === uniq.length)
       .select("id")
       .orderBy("id")
-    // offset+limit rows ordered by id; the tail slice is the offset page.
-    // (A driver-side slice of a bounded top-k, not a full sort.)
-    val page = matched.limit(offset + limit).collect().drop(offset)
-    val session = index.sparkSession
-    session.createDataFrame(
-      session.sparkContext.parallelize(page.toIndexedSeq, 1),
-      matched.schema)
+    // offset/limit stay IN the plan (Spark's logical Offset + Limit fold
+    // into one bounded TakeOrdered at execution) — the result is never
+    // round-tripped through the driver, so offset ≫ 10⁵ costs a bounded
+    // top-k, not a driver materialization.
+    val page = if (offset > 0) matched.offset(offset) else matched
+    page.limit(limit)
+  }
+
+  // ---- composite / prefix / fuzzy search (searcher.rs:30-62 parity) ----
+
+  /** One term clause of a composite query — Tantivy's term / prefix /
+    * fuzzy query kinds (the reference's filter model feeds these through
+    * `NodeFilterExecutor`). */
+  sealed trait TermQuery
+  object TermQuery {
+    /** Exact token match. */
+    final case class Exact(term: String) extends TermQuery
+    /** Any token starting with `prefix` (Tantivy PhrasePrefix/RegexQuery
+      * slice). */
+    final case class Prefix(prefix: String) extends TermQuery
+    /** Any token within Levenshtein distance `maxDist` (Tantivy
+      * FuzzyTermQuery). The distance runs over the DISTINCT term
+      * dictionary — tiny relative to the postings, the same shape as
+      * Tantivy walking its FST — never over raw documents. */
+    final case class Fuzzy(term: String, maxDist: Int) extends TermQuery
+  }
+
+  /** Distinct doc ids with at least one token matching the clause. */
+  private def clauseIds(index: DataFrame, q: TermQuery): DataFrame = {
+    val matched = q match {
+      case TermQuery.Exact(t)    => index.filter(col("term") === t.toLowerCase)
+      case TermQuery.Prefix(p)   => index.filter(col("term").startsWith(p.toLowerCase))
+      case TermQuery.Fuzzy(t, d) =>
+        index.filter(levenshtein(col("term"), lit(t.toLowerCase)) <= d)
+    }
+    matched.select("id").distinct()
+  }
+
+  /**
+   * Composite search — the reference's `search_nodes(filter, limit,
+   * offset)` (searcher.rs:30-45) over a document table: the conjunction of
+   * term clauses (exact / prefix / fuzzy) AND an arbitrary property
+   * predicate over the table's columns (the [[graft.rel.Predicates]]
+   * algebra — the analog of the composite property-filter tree Tantivy
+   * evaluates against its per-property indexes). Results are the matching
+   * document rows, deterministically id-paginated.
+   *
+   * Plan shape: each clause is a semi-joinable id set off the postings
+   * (term-pruned — no corpus scan); the property predicate pushes into the
+   * document scan; the conjunction is a chain of semi-joins on id.
+   */
+  def searchFiltered(
+      docs: DataFrame,
+      idCol: String,
+      index: DataFrame,
+      clauses: Seq[TermQuery],
+      propertyFilter: Option[Column] = None,
+      limit: Int = Int.MaxValue,
+      offset: Int = 0): DataFrame = {
+    val filtered = propertyFilter.fold(docs)(docs.filter)
+    val matched = clauses.foldLeft(filtered) { (acc, q) =>
+      acc.join(
+        clauseIds(index, q).withColumnRenamed("id", idCol),
+        Seq(idCol),
+        "left_semi")
+    }
+    val sorted = matched.orderBy(col(idCol))
+    val page = if (offset > 0) sorted.offset(offset) else sorted
+    if (limit != Int.MaxValue) page.limit(limit) else page
   }
 
   /** BM25-ranked disjunctive search (k1 = 1.2, b = 0.75): score =

@@ -35,6 +35,37 @@ class TextSearchSpec extends SparkSpec {
     assert(page1 == Seq(1L) && page2 == Seq(2L))
   }
 
+  test("composite search: property filter + exact/prefix/fuzzy clauses (searcher.rs parity)") {
+    import org.apache.spark.sql.functions._
+    import TextSearch.TermQuery._
+    val docs = corpus.withColumn("lang", when(col("doc_id") <= 3, "en").otherwise("de"))
+    val idx = TextSearch.buildIndex(docs, "doc_id", "text")
+
+    // prefix: 'laz*' matches lazy (1, 3)
+    val prefix = TextSearch.searchFiltered(docs, "doc_id", idx, Seq(Prefix("laz")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(prefix == Set(1L, 3L))
+
+    // fuzzy: 'fix'~1 matches fox (1, 5)
+    val fuzzy = TextSearch.searchFiltered(docs, "doc_id", idx, Seq(Fuzzy("fix", 1)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fuzzy == Set(1L, 5L))
+
+    // conjunction of clauses AND property predicate
+    val composite = TextSearch.searchFiltered(
+      docs, "doc_id", idx,
+      Seq(Exact("quick"), Prefix("bro")),
+      propertyFilter = Some(col("lang") === "en"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(composite == Set(1L, 2L))
+
+    // deterministic id pagination
+    val page = TextSearch.searchFiltered(
+      docs, "doc_id", idx, Seq(Prefix("laz")), limit = 1, offset = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(page == Seq(3L))
+  }
+
   test("BM25 ranking prefers high-tf short docs and rare terms") {
     val idx = TextSearch.buildIndex(corpus, "doc_id", "text")
     val ranked = TextSearch.searchRanked(idx, Seq("fox"), k = 3)
