@@ -23,16 +23,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Driver heap: SPARK_DRIVER_MEM wins; otherwise derive from the box so the
+// default is portable — 32g on a >=64 GiB host (at 8g the allocation-heavy
+// superstep loops spend a growing share of wall in G1 young GC as core
+// count rises: measured 2x superstep cost at local[8] vs a 48g heap, which
+// silently destroys scaling-efficiency measurements), half of RAM (min 2g)
+// on smaller machines so sbt still starts.
+val driverHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val memGb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemTotal:") =>
+        (l.trim.split("\\s+")(1).toLong / (1024L * 1024L)).toInt }
+      .getOrElse(16)
+    catch { case _: Throwable => 16 }
+  if (memGb >= 64) "32g" else s"${math.max(2, memGb / 2)}g"
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32g default on the 128 GiB box: at 8g the allocation-heavy superstep
-  // loops spend a growing share of wall in G1 young GC as core count rises
-  // (measured 2x superstep cost at local[8] vs a 48g heap) — which silently
-  // destroys scaling-efficiency measurements before any Spark-level cause
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx$driverHeap",
   // pre-size the heap: a lazily-grown heap gives G1 a tiny young gen for
   // the first minutes of a run — measured 30%+ of wall in young GC on the
   // allocation-heavy superstep loops
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms$driverHeap",
 )

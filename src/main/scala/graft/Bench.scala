@@ -107,6 +107,10 @@ object Bench {
     }
     results += "pagerank_converge" -> tPrConv
     extras += "pagerank_converge_supersteps" -> convSteps.toDouble
+    // reference semantics: converged when Σ||Δ|| ≤ tol·n (pagerank.rs:143) —
+    // at small n the transcript chain graph self-converges in one superstep;
+    // the fixed-20 number below is the throughput metric
+    extras += "pagerank_converge_tol" -> 1e-6
 
     // --- PageRank, 20 forced supersteps (throughput metric) ---
     val fixedSteps = 20

@@ -127,6 +127,18 @@ object Matching {
    * Input edges must be oriented left→right (person → object); an edge in
    * the opposite orientation is flipped by the caller's bipartition.
    * Exact for integer weights (ε = 1/(n+1) < any weight gap).
+   *
+   * On ε-scaling (considered, deliberately NOT applied): classic ε-scaling
+   * (start ε at ~C/4, divide per phase, carry prices) bounds rounds to
+   * O(n log C) on large weight ranges, but it is UNSOUND for this variant,
+   * which allows persons to finalize UNMATCHED (the virtual null
+   * candidate): a price inflated by an earlier large-ε phase can sit on an
+   * unassigned object with no holder supporting it, making a person whose
+   * optimal partner that object is pick null and finalize — prices never
+   * fall, so the error is permanent. The sound fix is Bertsekas'
+   * asymmetric-auction profit floor (λ) mechanism; until that is needed,
+   * large-range instances should use [[locallyDominant]] (the ½-approx
+   * scale path) or pre-scale weights to a small integer range.
    * @return (src, dst, weight) matched pairs.
    */
   def auctionBipartite(

@@ -1812,7 +1812,10 @@ object Queries {
             element_at(col("quantities"), -1).as("q_last"),
             array_max(col("quantities")).as("q_max"),
             col("taxmap")(lit(3)).as("tax3"),
-            col("total_price"),
+            // decimal arithmetic throughout; final cast to double so both
+            // engines stringify identically at the driver gate (DuckDB's
+            // client converts DECIMAL to float64 on fetch)
+            col("total_price").cast("double").as("total_price"),
             col("last_ship"))
       },
       Some(
@@ -1828,7 +1831,7 @@ object Queries {
           |  quantities[1] AS q_first,
           |  quantities[-1] AS q_last,
           |  list_max(quantities) AS q_max,
-          |  tax3, total_price, last_ship
+          |  tax3, CAST(total_price AS DOUBLE) AS total_price, last_ship
           |FROM props
           |WHERE len(list_filter(quantities, q -> q > 45.0)) > 0
           |  AND len(list_filter(quantities, q -> q <= 0.0)) = 0
