@@ -43,12 +43,16 @@ import org.apache.spark.sql.functions._
  *    NOT recomputed from the new adjacency;
  *  - levels repeat until a level makes zero moves.
  *
- * Scale: each round is one pair⋈state message join, one (node, com)
- * partial-aggregated tally, one tiny (com) aggregate for Σ_tot joined back
- * — the same shuffle budget as LPA plus one broadcastable community-mass
- * join. Aggregation shrinks the graph geometrically, so level cost is
- * dominated by level 1. All iterative state flows through SuperstepRunner
- * (lineage truncation + checkpoint/resume lineage manifests).
+ * Scale: the per-level neighbour table is grouped into a salted weighted
+ * CSR (same sharding contract as [[TemporalGraph.adjacencyOut]]) that is
+ * persisted hash-partitioned on its join key, so each round's message join
+ * exchanges only the narrow (id, com, k) state frame — the big static
+ * adjacency side is never re-shuffled (the PageRank/HITS superstep
+ * pattern). Per round: one CSR⋈state join + explode, one (node, cand)
+ * partial-aggregated tally, one (com) aggregate for Σ_tot joined back.
+ * Aggregation shrinks the graph geometrically, so level cost is dominated
+ * by level 1. All iterative state flows through SuperstepRunner (lineage
+ * truncation + checkpoint/resume lineage manifests).
  */
 object Louvain {
 
@@ -167,9 +171,24 @@ object Louvain {
       m2: Double,
       cfg: Config,
       level: Int): (DataFrame, Boolean) = {
-    val biPairs = pairs
-      .select(col("a").as("node"), col("b").as("other"), col("w"))
-      .unionByName(pairs.select(col("b").as("node"), col("a").as("other"), col("w")))
+    // Salted weighted CSR keyed by the message SOURCE (`other`, whose
+    // community each neighbour reads): persisted hash-partitioned on the
+    // join key so the static adjacency is never re-exchanged across rounds
+    // — only the narrow state frame shuffles (TemporalGraph.adjacencyOut
+    // sharding contract; hubs split into ~maxShard-entry rows).
+    val maxShard = TemporalGraph.DefaultMaxShard
+    val bi = pairs
+      .select(col("a").as("other"), col("b").as("nbr"), col("w"))
+      .unionByName(pairs.select(col("b").as("other"), col("a").as("nbr"), col("w")))
+    val deg = bi.groupBy("other").agg(count(lit(1)).as("deg"))
+    val adj = bi
+      .join(deg, Seq("other"))
+      .withColumn(
+        "salt",
+        pmod(xxhash64(col("nbr")), greatest(ceil(col("deg") / maxShard.toDouble), lit(1L)))
+          .cast("int"))
+      .groupBy("other", "salt")
+      .agg(collect_list(struct(col("nbr"), col("w"))).as("entries"))
       .persist()
     val init = k.select(col("id"), col("id").as("com"), col("k"))
 
@@ -184,11 +203,13 @@ object Louvain {
         runId = s"louvain-l$level")) { (state, round) =>
       // Σ_tot per community (tiny: ≤ #communities rows; AQE broadcasts it)
       val ktot = state.groupBy(col("com")).agg(sum(col("k")).as("ktot"))
-      // w_i→c: weight from each node to each neighbouring community
-      val wcom = biPairs
+      // w_i→c: weight from each node to each neighbouring community — the
+      // CSR side stays put; only the (id, com) projection of state shuffles
+      val wcom = adj
         .join(state.select(col("id").as("other"), col("com").as("ocom")), Seq("other"))
-        .groupBy(col("node").as("id"), col("ocom").as("cand"))
-        .agg(sum(col("w")).as("w_cand"))
+        .select(col("ocom"), explode(col("entries")).as("e"))
+        .groupBy(col("e.nbr").as("id"), col("ocom").as("cand"))
+        .agg(sum(col("e.w")).as("w_cand"))
       // w_i→own-community (0 when no neighbour shares the node's community)
       val wOwn = wcom
         .select(col("id"), col("cand").as("com"), col("w_cand").as("w_old"))
@@ -240,7 +261,7 @@ object Louvain {
           (zeroStreak >= 2, Map("moves" -> moves.toDouble, "level" -> level.toDouble))
         })
     }
-    biPairs.unpersist(false)
+    adj.unpersist(false)
     (result.state.select(col("id"), col("com")), anyMove)
   }
 

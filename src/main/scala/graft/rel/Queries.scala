@@ -1215,6 +1215,45 @@ object Queries {
       None),
 
     (
+      "q_graph_louvain_cliques",
+      // Louvain on a provably-unique instance, giving the FULL distributed
+      // pipeline (weighted-CSR local moving + relabel + aggregation levels)
+      // a real DuckDB oracle: disjoint cliques over the event node set.
+      // Local moving only considers neighbour communities, so disconnected
+      // cliques can never merge; within a clique any split has an improving
+      // move (move a node from the smaller part to the larger: edge gain
+      // 2(b-a+1)/m2 dominates the O(k²/m2²) degree penalty with many
+      // cliques), so the unique fixpoint is one community per clique,
+      // labelled min member id — SQL-expressible. The arbitrary-graph entry
+      // above stays rows-only (heuristic fixpoint).
+      (s, d) => {
+        val ids = t(s, d, "events")
+          .select(col("user_id").cast("long").as("id")).distinct()
+        val nB = math.max(ids.count() / 5L, 2L) // ~5-node cliques
+        val bucketed = ids.withColumn("bucket", pmod(col("id"), lit(nB)))
+        val sized = bucketed.join(
+          bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+            .filter(col("cnt") >= 2).select("bucket"),
+          Seq("bucket"))
+        val ce = sized.select(col("bucket"), col("id").as("src"))
+          .join(sized.select(col("bucket"), col("id").as("dst")), Seq("bucket"))
+          .filter(col("src") < col("dst"))
+          .select(col("src"), col("dst"))
+          .withColumn("ts", lit(0L))
+          .withColumn("event_id", lit(0L))
+          .withColumn("layer", lit("_default"))
+        graft.algos.Louvain.run(s, TemporalGraph(ce))
+      },
+      Some(
+        """WITH ids AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS id FROM events),
+          |nb AS (SELECT greatest(count(*) // 5, 2) AS n FROM ids),
+          |b AS (SELECT id, id % (SELECT n FROM nb) AS bucket FROM ids),
+          |f AS (SELECT id, bucket,
+          |             count(*) OVER (PARTITION BY bucket) AS cnt,
+          |             min(id) OVER (PARTITION BY bucket) AS community FROM b)
+          |SELECT id, community FROM f WHERE cnt >= 2""".stripMargin)),
+
+    (
       "q_graph_rich_club",
       // temporal rich-club coefficient (temporal_rich_club_coefficient.rs:59;
       // Pedreschi et al. 2022): club = degree ≥ 5 in the aggregate graph,

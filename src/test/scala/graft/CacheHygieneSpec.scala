@@ -15,7 +15,11 @@ import org.apache.spark.sql.GraftSqlInternals
  */
 class CacheHygieneSpec extends SparkSpec {
 
-  private def persisted: Int = spark.sparkContext.getPersistentRDDs.size
+  /** Ids, not counts: suites share the session, and the ContextCleaner can
+    * asynchronously drop OTHER suites' unreachable cached RDDs mid-test —
+    * a count compare is racy against that; a new-ids set difference is not. */
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
 
   private def docs = {
     val session = spark
@@ -27,16 +31,16 @@ class CacheHygieneSpec extends SparkSpec {
   }
 
   test("minHashLsh leaves no persisted frames behind") {
-    val before = persisted
+    val before = persistedIds
     val pairs = Dedup.minHashLsh(docs, threshold = 0.5).collect()
     assert(pairs.nonEmpty)
-    assert(persisted == before, "minHashLsh must not leak cached frames")
+    assert((persistedIds -- before).isEmpty, "minHashLsh must not leak cached frames")
   }
 
   test("simHashPairs leaves no persisted frames behind") {
-    val before = persisted
+    val before = persistedIds
     Dedup.simHashPairs(docs, maxHamming = 8).collect()
-    assert(persisted == before, "simHashPairs must not leak cached frames")
+    assert((persistedIds -- before).isEmpty, "simHashPairs must not leak cached frames")
   }
 
   test("simHash hot buckets are dropped with first-class accounting") {
@@ -53,7 +57,7 @@ class CacheHygieneSpec extends SparkSpec {
   }
 
   test("SCC frees every internal cache; caller owns exactly the result") {
-    val before = persisted
+    val before = persistedIds
     // two 3-cycles joined by a one-way bridge + a tail chain
     val triples = Seq(
       (1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 3L),
@@ -65,9 +69,10 @@ class CacheHygieneSpec extends SparkSpec {
     assert(labels(1L) == labels(2L) && labels(2L) == labels(3L))
     assert(labels(4L) == labels(5L) && labels(5L) == labels(6L))
     assert(labels(1L) != labels(4L) && labels(7L) != labels(8L))
-    // the ONLY cached blocks left are the returned materialized result
-    assert(persisted == before + 1, "SCC must free all internal caches")
+    // the ONLY new cached block is the returned materialized result
+    val leaked = persistedIds -- before
+    assert(leaked.size == 1, s"SCC must free all internal caches (left: $leaked)")
     GraftSqlInternals.cachedRdd(out).foreach(_.unpersist(true))
-    assert(persisted == before, "releasing the result returns to baseline")
+    assert((persistedIds -- before).isEmpty, "releasing the result returns to baseline")
   }
 }

@@ -125,6 +125,37 @@ class SuperstepPlanSpec extends SparkSpec {
     }
   }
 
+  test("Louvain-shaped round reuses the weighted-CSR partitioning") {
+    withShuffledJoins {
+      // the per-level weighted CSR Louvain.localMoving builds: keyed by the
+      // message source, persisted, hash-partitioned by the groupBy
+      val pairs = g.canonicalUndirected.withColumn("w", lit(1.0))
+      val bi = pairs
+        .select(col("a").as("other"), col("b").as("nbr"), col("w"))
+        .unionByName(pairs.select(col("b").as("other"), col("a").as("nbr"), col("w")))
+      val deg = bi.groupBy("other").agg(count(lit(1)).as("deg"))
+      val adj = bi
+        .join(deg, Seq("other"))
+        .withColumn(
+          "salt",
+          pmod(xxhash64(col("nbr")), greatest(ceil(col("deg") / 65536.0), lit(1L))).cast("int"))
+        .groupBy("other", "salt")
+        .agg(collect_list(struct(col("nbr"), col("w"))).as("entries"))
+        .persist()
+      adj.count()
+      val state = g.nodes
+        .select(col("id"), col("id").as("com"), lit(1.0).as("k"))
+        .localCheckpoint(true)
+      val wcom = adj
+        .join(state.select(col("id").as("other"), col("com").as("ocom")), Seq("other"))
+        .select(col("ocom"), explode(col("entries")).as("e"))
+        .groupBy(col("e.nbr").as("id"), col("ocom").as("cand"))
+        .agg(sum(col("e.w")).as("w_cand"))
+      assertAdjacencyStaysPut(wcom)
+      adj.unpersist(true)
+    }
+  }
+
   test("in-CSR shards a planted in-hub and reassembles exactly") {
     val hubEdges = (1 to 3000).map(i => (i.toLong, 0L, 1000L + i))
     val hg = TemporalGraph.fromTriples(spark, hubEdges)
