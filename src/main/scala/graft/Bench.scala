@@ -73,6 +73,10 @@ object Bench {
       extras += s"calib_${loThreads}to${hiThreads}_$tag" -> ratio
       extras += s"calib_eff_$tag" -> ratio / (hiThreads.toDouble / loThreads)
       extras += s"calib_mops_per_thread_$tag" -> thrHi / hiThreads / 1e6
+      // memory-bandwidth ceiling — the probe the busy-loop is blind to
+      val (_, memHi, memR) = graft.bench.Calibration.memRatio(loThreads, hiThreads)
+      extras += s"calib_mem_eff_$tag" -> memR / (hiThreads.toDouble / loThreads)
+      extras += s"calib_mem_gbps_$tag" -> memHi / 1e9
       extras += s"steal_pct_$tag" -> graft.bench.Calibration.stealPct()
       val _ = thrLo
     }
@@ -112,14 +116,29 @@ object Bench {
     // the fixed-20 number below is the throughput metric
     extras += "pagerank_converge_tol" -> 1e-6
 
-    // --- PageRank, 20 forced supersteps (throughput metric) ---
+    // --- PageRank, 20 forced supersteps (throughput metric). Same timed
+    // content as before (CSR build inside the window, then the superstep
+    // loop), via runFull so the per-superstep walls are kept: the MEDIAN
+    // superstep is robust to a mid-run tenancy burst that poisons the total
+    // (observed: steps at ~1 s with a 7-step burst at 4-12 s while the
+    // bracketing pure-CPU calibrations read clean — BENCH.md r3 note) ---
     val fixedSteps = 20
-    val (_, tPrFixed) = time {
-      PageRank.run(spark, g, PageRank.Config(maxIter = fixedSteps, tol = 0.0)).count()
+    val (prFull, tPrFixed) = time {
+      val adjB = g.adjacencyOut(graft.graph.TemporalGraph.DefaultMaxShard).persist()
+      val r = PageRank.runFull(spark, adjB, g.nodes, PageRank.Config(maxIter = fixedSteps, tol = 0.0))
+      r.state.count()
+      adjB.unpersist(false)
+      r
     }
     results += "pagerank_fixed20" -> tPrFixed
     extras += "pagerank_supersteps_per_sec" -> fixedSteps / tPrFixed
     extras += "pagerank_edges_traversed_per_sec" -> fixedSteps.toDouble * nEdges / tPrFixed
+    val prWalls = prFull.metrics.flatMap(_.get("wallMs")).sorted
+    if (prWalls.nonEmpty) {
+      val med = prWalls(prWalls.size / 2) / 1000.0
+      extras += "pagerank_median_superstep_sec" -> med
+      extras += "pagerank_median_edges_traversed_per_sec" -> nEdges / med
+    }
 
     // --- WCC ---
     val (_, tWcc) = time(ConnectedComponents.run(spark, g).count())

@@ -67,6 +67,19 @@ object PageRank {
       adj: DataFrame,
       nodes: DataFrame,
       cfg: Config = Config()): (DataFrame, Int) = {
+    val r = runFull(spark, adj, nodes, cfg)
+    (r.state.select("id", "score"), r.steps)
+  }
+
+  /** As [[runOnAdjacency]], returning the full [[SuperstepRunner.RunResult]]
+    * — the per-superstep `wallMs` metrics let benches report a MEDIAN
+    * superstep time, robust to mid-run tenancy bursts on a shared host
+    * (a single burst poisons a total-wall metric; see BENCH.md). */
+  def runFull(
+      spark: SparkSession,
+      adj: DataFrame,
+      nodes: DataFrame,
+      cfg: Config = Config()): SuperstepRunner.RunResult = {
 
     // state: (id, score, out_deg); sinks have out_deg = 0. dropDuplicates:
     // hub shards repeat (src, out_deg).
@@ -129,6 +142,6 @@ object PageRank {
           }
         })
     }
-    (result.state.select("id", "score"), result.steps)
+    result
   }
 }

@@ -62,6 +62,48 @@ object Calibration {
     (tLo, tHi, if (tLo > 0) tHi / tLo else 0.0)
   }
 
+  /** Memory-streaming throughput (bytes/sec summed over `threads`): each
+    * thread sequentially folds a PRIVATE 64 MB long array — far beyond LLC,
+    * so the loop is bound by the shared memory path, not compute. This is
+    * the probe [[cpuRatio]] is blind to: a neighbour tenant hammering
+    * DRAM bandwidth leaves the register-only busy-loop untouched while
+    * halving every shuffle/scan on the box (observed r3: clean 0.98 CPU
+    * calibrations bracketing a bench whose middle ran 4× slow). */
+  def memThroughput(threads: Int, ms: Long): Double = {
+    val words = (64 << 20) / 8
+    val total = new AtomicLong(0L)
+    val ts = (1 to threads).map { i =>
+      val t = new Thread(() => {
+        val a = new Array[Long](words)
+        var j = 0
+        while (j < words) { a(j) = j + i; j += 1 }
+        val deadline = System.nanoTime() + ms * 1000000L
+        var acc = 0L
+        var n = 0L
+        while (System.nanoTime() < deadline) {
+          var k = 0
+          while (k < words) { acc += a(k); k += 1 }
+          n += words.toLong * 8L
+        }
+        total.addAndGet(n + (acc & 1L)) // fold acc in: loop must not be DCE'd
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    ts.foreach(_.join())
+    total.get().toDouble / (ms / 1000.0)
+  }
+
+  /** (bpsLo, bpsHi, ratio) of memory-streaming throughput at lo vs hi
+    * threads — the machine's bandwidth-scaling ceiling at this moment. */
+  def memRatio(lo: Int, hi: Int, msPerLevel: Long = 2000L): (Double, Double, Double) = {
+    memThroughput(2, 300L) // JIT + page-fault warm-up
+    val tLo = memThroughput(lo, msPerLevel)
+    val tHi = memThroughput(hi, msPerLevel)
+    (tLo, tHi, if (tLo > 0) tHi / tLo else 0.0)
+  }
+
   /** Steal% of total cpu time over a `ms` sample from /proc/stat (0.0 when
     * unavailable, e.g. non-Linux). */
   def stealPct(ms: Long = 1000L): Double = {

@@ -278,6 +278,46 @@ case class TemporalGraph(
         col("deg"))
   }
 
+  /** Per logical edge, the scalable history summary (reference
+    * `edge.history_counts` + `earliest_time`/`latest_time`,
+    * db/api/view/edge.rs): `(src, dst, earliest, latest, n_events)` — one
+    * hash aggregate, no arrays, safe at any multiplicity. */
+  def edgeHistoryStats: DataFrame =
+    edges
+      .groupBy("src", "dst")
+      .agg(
+        min(col("ts")).as("earliest"),
+        max(col("ts")).as("latest"),
+        count(lit(1)).as("n_events"))
+
+  /**
+   * Per logical edge, the event-time history itself (reference
+   * `edge.history()`): `(src, dst, history: array<long> ascending,
+   * earliest, latest, n_events, truncated)`. The array keeps the EARLIEST
+   * `maxEvents` timestamps — capped BEFORE collection (rank filter), so a
+   * hot multi-edge pair can never build an unbounded in-memory buffer;
+   * `n_events`/`latest` still report the full multiplicity and `truncated`
+   * flags capped rows first-class (the Dedup drop-report pattern).
+   */
+  def edgeHistory(maxEvents: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("src", "dst").orderBy("ts", "event_id")
+    val wAll = Window.partitionBy("src", "dst")
+    edges
+      .select(col("src"), col("dst"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_events", count(lit(1)).over(wAll))
+      .withColumn("latest", max(col("ts")).over(wAll))
+      .filter(col("rn") <= maxEvents)
+      .groupBy("src", "dst")
+      .agg(
+        sort_array(collect_list(col("ts"))).as("history"),
+        min(col("ts")).as("earliest"),
+        first(col("latest")).as("latest"),
+        first(col("n_events")).as("n_events"))
+      .withColumn("truncated", col("n_events") > maxEvents)
+  }
+
   /**
    * Salted CSR-style out-adjacency `(src, salt, dsts: array<long>, out_deg)`
    * over distinct out-neighbours — the Spark answer to the reference's

@@ -640,6 +640,30 @@ object Queries {
       Some(eventEdgesSql)),
 
     (
+      "q_edge_history",
+      // per-edge temporal history (reference edge.history()/history_counts/
+      // earliest_time/latest_time, db/api/view/edge.rs) — the capped array
+      // path with full-multiplicity stats; first 5 event times stringified
+      // for the compare
+      (s, d) => eventGraph(s, d).edgeHistory(maxEvents = 5)
+        .select(
+          col("src"), col("dst"),
+          array_join(transform(col("history"), _.cast("string")), ",").as("history5"),
+          col("earliest"), col("latest"), col("n_events")),
+      Some(
+        """WITH ee AS (
+          |  SELECT user_id AS src, dst, tms AS ts FROM (
+          |    SELECT user_id, epoch_us(ts)//1000 AS tms, event_type, event_id,
+          |           lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+          |    FROM events)
+          |  WHERE dst IS NOT NULL AND dst <> user_id)
+          |SELECT src, dst,
+          |  array_to_string(list_sort(list(ts))[1:5], ',') AS history5,
+          |  min(ts) AS earliest, max(ts) AS latest,
+          |  CAST(count(*) AS BIGINT) AS n_events
+          |FROM ee GROUP BY src, dst""".stripMargin)),
+
+    (
       "q_graph_degrees",
       // distinct-neighbour degrees, reference semantics (SURVEY §1.1)
       (s, d) => eventGraph(s, d).degrees,

@@ -57,6 +57,30 @@ class TimeOpsSpec extends SparkSpec {
     assert(empty.latest().countTemporalEdges() == 0)
   }
 
+  test("edgeHistory: per-edge sorted event times, capped with honest stats") {
+    // edge (1,2) has 4 events, (2,3) one
+    val multi = TemporalGraph.fromTriples(
+      spark,
+      Seq((1L, 2L, 40L), (1L, 2L, 10L), (1L, 2L, 30L), (1L, 2L, 20L), (2L, 3L, 5L)))
+    val full = multi.edgeHistory().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(full((1L, 2L)).getSeq[Long](2) == Seq(10L, 20L, 30L, 40L))
+    assert(full((1L, 2L)).getLong(3) == 10L && full((1L, 2L)).getLong(4) == 40L)
+    assert(full((1L, 2L)).getLong(5) == 4L && !full((1L, 2L)).getBoolean(6))
+    // capped at 2: array keeps the EARLIEST two, stats keep full multiplicity
+    val capped = multi.edgeHistory(maxEvents = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(capped((1L, 2L)).getSeq[Long](2) == Seq(10L, 20L))
+    assert(capped((1L, 2L)).getLong(4) == 40L && capped((1L, 2L)).getLong(5) == 4L)
+    assert(capped((1L, 2L)).getBoolean(6))
+    assert(!capped((2L, 3L)).getBoolean(6))
+    // stats-only path agrees
+    val stats = multi.edgeHistoryStats.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(stats((1L, 2L)).getLong(2) == 10L && stats((1L, 2L)).getLong(3) == 40L)
+    assert(stats((1L, 2L)).getLong(4) == 4L)
+  }
+
   test("cacheView materializes the composed filters and is releasable") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val cached = g.window(15, 45).layer("_default").cacheView()
