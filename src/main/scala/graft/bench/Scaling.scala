@@ -36,6 +36,7 @@ object Scaling {
       secs: Double,
       edges: Long,
       calThr: Double, // pure-CPU iters/sec at this thread count, same moment
+      memBps: Double, // memory-streaming bytes/sec at this thread count
       gcShare: Double,
       cpuShare: Double,
       steal: Double)
@@ -70,7 +71,10 @@ object Scaling {
         s"""{"metric":"scaling_efficiency","value":$efficiency,"unit":"ratio","queries":{""" +
           s""""cores_n":$n,"cores_4n":$n4,"t_n":${lo.secs},"t_4n":${hi.secs},"speedup":$speedup,""" +
           s""""edges":${lo.edges},"supersteps":$steps,""" +
-          s""""calib_ceiling_eff":$ceiling,"gc_share_n":${lo.gcShare},"gc_share_4n":${hi.gcShare},""" +
+          s""""calib_ceiling_eff":$ceiling,""" +
+          s""""mem_ceiling_eff":${if (lo.memBps > 0) hi.memBps / lo.memBps / ideal else 0.0},""" +
+          s""""mem_gbps_n":${lo.memBps / 1e9},"mem_gbps_4n":${hi.memBps / 1e9},""" +
+          s""""gc_share_n":${lo.gcShare},"gc_share_4n":${hi.gcShare},""" +
           s""""cpu_share_n":${lo.cpuShare},"cpu_share_4n":${hi.cpuShare},""" +
           s""""steal_pct_n":${lo.steal},"steal_pct_4n":${hi.steal},""" +
           s""""edges_traversed_per_sec_n":$thrN,"edges_traversed_per_sec_4n":$thr4N}}""")
@@ -87,6 +91,7 @@ object Scaling {
     // same-moment pure-CPU throughput at this thread count — the machine's
     // own ceiling for this level (shared-tenant host; see BENCH.md)
     val calThr = Calibration.cpuThroughput(cores, 3000L)
+    val memBps = Calibration.memThroughput(cores, 2000L)
     val steal = Calibration.stealPct()
     val spark = SparkSession
       .builder()
@@ -123,6 +128,6 @@ object Scaling {
     val secs = (System.nanoTime() - t0) / 1e9
     val d = listener.delta(before)
     spark.stop()
-    Level(secs, nEdges, calThr, d("gcShare"), d("cpuShare"), steal)
+    Level(secs, nEdges, calThr, memBps, d("gcShare"), d("cpuShare"), steal)
   }
 }

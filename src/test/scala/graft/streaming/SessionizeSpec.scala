@@ -62,6 +62,42 @@ class SessionizeSpec extends SparkSpec {
     assert(st2.pending.isEmpty)
   }
 
+  test("advance is arrival-order and batch-split invariant (200 random cases)") {
+    val rnd = new scala.util.Random(42)
+    for (iter <- 1 to 200) {
+      val n = 2 + rnd.nextInt(12)
+      val turns = (0 until n).map { i =>
+        val role = rnd.nextInt(3) match {
+          case 0 => "assistant"
+          case 1 => "tool"
+          case _ => "user"
+        }
+        val tool = if (rnd.nextBoolean()) Some(s"t${rnd.nextInt(2)}") else None
+        t(i, role = role, tool = tool)
+      }
+      // model: one in-order batch, flushed — equals the batch builder by
+      // the dense/tool tests above
+      val expected = advance(emptyState, turns, flush = true)._1
+        .sortBy(l => (l.src_turn_idx, l.layer))
+
+      // random arrival order, random batch split, flush at the end
+      var st = emptyState
+      val out = Seq.newBuilder[Sessionize.Link]
+      var rest = rnd.shuffle(turns.toList)
+      while (rest.nonEmpty) {
+        val k = 1 + rnd.nextInt(rest.size)
+        val (batch, tail) = rest.splitAt(k)
+        val (links, ns) = advance(st, batch, flush = false)
+        out ++= links
+        st = ns
+        rest = tail
+      }
+      out ++= advance(st, Seq.empty, flush = true)._1
+      val got = out.result().sortBy(l => (l.src_turn_idx, l.layer))
+      assert(got == expected, s"case $iter: turns=$turns")
+    }
+  }
+
   // ---- streaming end to end ----
 
   test("conversations split across micro-batch restarts match the batch builder") {
