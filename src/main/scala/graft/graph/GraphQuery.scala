@@ -1,0 +1,196 @@
+package graft.graph
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.rel.Predicates
+import graft.rel.Predicates._
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * Wire format for [[GraphViews]] — the request-document half of the
+ * reference's GraphQL surface (raphtory-graphql/src/model/graph/
+ * filtering.rs:54-95 `GraphViewCollection` + :340-404 property filters),
+ * without the HTTP server (scoped out, SURVEY §7.1): a remote caller or a
+ * saved query ships ONE JSON document; [[run]] parses it into the typed
+ * [[GraphViews.ViewOp]] chain + a [[Predicates.Pred]] tree and interprets
+ * it. Everything stays declarative — the parsed query compiles to a single
+ * Catalyst plan with full pushdown, exactly like the hand-written chain.
+ *
+ * Document shape (all fields camelCase; every op mirrors a
+ * GraphViewCollection variant):
+ * {{{
+ * { "view": [
+ *     {"op":"window","start":100,"end":200},
+ *     {"op":"layers","names":["reply"]},
+ *     {"op":"excludeNodes","ids":[5,10]},
+ *     {"op":"edgeFilter","filter":{"and":[
+ *        {"field":"layer","ne":"error"},
+ *        {"not":{"field":"src","in":[1,2]}}]}}],
+ *   "select": {"target":"edges",
+ *              "sort":[{"column":"ts","desc":true}],
+ *              "offset":5,"limit":40} }
+ * }}}
+ *
+ * Filter algebra (the JSON-expressible subset of [[Predicates]] — the same
+ * shape as the reference's GraphQL `FilterProperties` input): comparisons
+ * `eq/ne/gt/ge/lt/le`, strings `startsWith/endsWith/contains`, sets
+ * `in/notIn`, null tests `isSome/isNone`, list quantifiers `any/all` with
+ * one element-level comparison, and `and/or/not` composition. The
+ * closure-carrying `Quant`/`Raw` generality stays library-only.
+ */
+object GraphQuery {
+
+  final case class Selection(
+      target: String,
+      sort: Seq[GraphViews.SortKey],
+      offset: Int,
+      limit: Int)
+
+  final case class Spec(view: Seq[GraphViews.ViewOp], select: Selection)
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse a query document. Throws IllegalArgumentException with the
+    * offending fragment on malformed input. */
+  def parse(json: String): Spec = {
+    val root = mapper.readTree(json)
+    val ops = Option(root.get("view")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(parseOp)
+    val sel = Option(root.get("select")).map(parseSelect).getOrElse(
+      Selection("nodes", Seq.empty, 0, -1))
+    Spec(ops, sel)
+  }
+
+  /** Parse + interpret against a property graph; returns the selected
+    * page as a DataFrame. */
+  def run(pg: PropertyGraph, json: String): DataFrame = {
+    val spec = parse(json)
+    val viewed = GraphViews.applyViews(pg, spec.view)
+    // empty sort → each resolver's own deterministic default (nodes sort by
+    // id; edges by (src, dst) — edges carry no `id` column)
+    val sort = spec.select.sort
+    spec.select.target match {
+      case "nodes" =>
+        GraphViews.nodesPage(
+          viewed,
+          if (sort.nonEmpty) sort else Seq(GraphViews.SortKey("id")),
+          spec.select.offset, spec.select.limit)
+      case "edges" =>
+        GraphViews.edgesPage(
+          viewed.graph,
+          if (sort.nonEmpty) sort
+          else Seq(GraphViews.SortKey("src"), GraphViews.SortKey("dst")),
+          spec.select.offset, spec.select.limit)
+      case other => throw new IllegalArgumentException(s"unknown select.target: $other")
+    }
+  }
+
+  /** Graph-only convenience (node-dimension ops rejected by GraphViews). */
+  def run(g: TemporalGraph, json: String): DataFrame =
+    run(PropertyGraph(g, g.edges.sparkSession.range(0).select(
+      col("id"), lit(0L).as("ts"), lit(null).cast("string").as("node_type"))), json)
+
+  // ---- view ops ----
+
+  private def parseOp(n: JsonNode): GraphViews.ViewOp = {
+    import GraphViews.ViewOp._
+    def longs(field: String): Seq[Long] =
+      req(n, field).elements().asScala.map(_.asLong).toSeq
+    def strs(field: String): Seq[String] =
+      req(n, field).elements().asScala.map(_.asText).toSeq
+    req(n, "op").asText match {
+      case "defaultLayer"      => DefaultLayer
+      case "layers"            => Layers(strs("names"))
+      case "excludeLayers"     => ExcludeLayers(strs("names"))
+      case "subgraph"          => Subgraph(longs("ids"))
+      case "subgraphNodeTypes" => SubgraphNodeTypes(strs("types"))
+      case "excludeNodes"      => ExcludeNodes(longs("ids"))
+      case "window"            => Window(req(n, "start").asLong, req(n, "end").asLong)
+      case "at"                => At(req(n, "time").asLong)
+      case "latest"            => Latest
+      case "snapshotAt"        => SnapshotAt(req(n, "time").asLong)
+      case "snapshotLatest"    => SnapshotLatest
+      case "before"            => Before(req(n, "time").asLong)
+      case "after"             => After(req(n, "time").asLong)
+      case "shrinkWindow"      => ShrinkWindow(req(n, "start").asLong, req(n, "end").asLong)
+      case "shrinkStart"       => ShrinkStart(req(n, "start").asLong)
+      case "shrinkEnd"         => ShrinkEnd(req(n, "end").asLong)
+      case "nodeFilter"        => NodeFilter(parsePred(req(n, "filter")).compile)
+      case "edgeFilter"        => EdgeFilter(parsePred(req(n, "filter")).compile)
+      case other => throw new IllegalArgumentException(s"unknown view op: $other")
+    }
+  }
+
+  private def parseSelect(n: JsonNode): Selection = {
+    val sort = Option(n.get("sort")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(s => GraphViews.SortKey(
+        req(s, "column").asText,
+        Option(s.get("desc")).exists(_.asBoolean)))
+    Selection(
+      req(n, "target").asText,
+      sort,
+      Option(n.get("offset")).map(_.asInt).getOrElse(0),
+      Option(n.get("limit")).map(_.asInt).getOrElse(-1))
+  }
+
+  // ---- filter tree ----
+
+  /** JSON → [[Predicates.Pred]] (public: also useful for saved filters). */
+  def parsePred(n: JsonNode): Pred =
+    if (n.has("and")) n.get("and").elements().asScala.map(parsePred).reduce(And(_, _))
+    else if (n.has("or")) n.get("or").elements().asScala.map(parsePred).reduce(Or(_, _))
+    else if (n.has("not")) Not(parsePred(n.get("not")))
+    else leaf(n)
+
+  private val cmpOps = Seq("eq", "ne", "gt", "ge", "lt", "le")
+
+  private def leaf(n: JsonNode): Pred = {
+    val f = req(n, "field").asText
+    cmpOps.find(n.has) match {
+      case Some(op) => Cmp(f, op, value(n.get(op)))
+      case None =>
+        if (n.has("startsWith")) Str(f, "starts", n.get("startsWith").asText)
+        else if (n.has("endsWith")) Str(f, "ends", n.get("endsWith").asText)
+        else if (n.has("contains")) Str(f, "contains", n.get("contains").asText)
+        else if (n.has("in")) In(f, n.get("in").elements().asScala.map(value).toSeq, negated = false)
+        else if (n.has("notIn")) In(f, n.get("notIn").elements().asScala.map(value).toSeq, negated = true)
+        else if (n.has("isSome")) NullTest(f, some = n.get("isSome").asBoolean)
+        else if (n.has("isNone")) NullTest(f, some = !n.get("isNone").asBoolean)
+        else if (n.has("any")) Quant(f, exists = true, elemCmp(n.get("any")))
+        else if (n.has("all")) Quant(f, exists = false, elemCmp(n.get("all")))
+        else throw new IllegalArgumentException(s"unrecognized filter leaf: $n")
+    }
+  }
+
+  /** One element-level comparison for list quantifiers:
+    * `{"any": {"gt": 5}}`. */
+  private def elemCmp(n: JsonNode): Column => Column = {
+    val op = cmpOps.find(n.has).getOrElse(
+      throw new IllegalArgumentException(s"quantifier needs one of $cmpOps: $n"))
+    val v = lit(value(n.get(op)))
+    op match {
+      case "eq" => x => x === v
+      case "ne" => x => x =!= v
+      case "gt" => x => x > v
+      case "ge" => x => x >= v
+      case "lt" => x => x < v
+      case "le" => x => x <= v
+    }
+  }
+
+  private def value(v: JsonNode): Any =
+    if (v.isTextual) v.asText
+    else if (v.isBoolean) v.asBoolean
+    else if (v.isIntegralNumber) v.asLong
+    else if (v.isNumber) v.asDouble
+    else throw new IllegalArgumentException(s"unsupported literal: $v")
+
+  private def req(n: JsonNode, field: String): JsonNode =
+    Option(n.get(field)).getOrElse(
+      throw new IllegalArgumentException(s"missing '$field' in $n"))
+}

@@ -1795,6 +1795,49 @@ object Queries {
           |ORDER BY ts DESC, src, dst, event_id
           |LIMIT 40 OFFSET 5""".stripMargin)),
 
+    (
+      "q_view_chain_json",
+      // the SAME apply_views contract driven end to end through the JSON
+      // wire format (graph.GraphQuery — the GraphQL request-document analog,
+      // filtering.rs:54-95): parse → typed ViewOp chain + Pred tree →
+      // interpret → paged edges resolver
+      (s, d) => {
+        val json =
+          """{"view":[
+            |  {"op":"window","start":1704240000000,"end":1706227200000},
+            |  {"op":"excludeLayers","names":["error"]},
+            |  {"op":"after","time":1704499200000},
+            |  {"op":"shrinkWindow","start":1704326400000,"end":1705881600000},
+            |  {"op":"excludeNodes","ids":[5,10,15]},
+            |  {"op":"edgeFilter","filter":{"and":[
+            |     {"field":"layer","ne":"purchase"},
+            |     {"not":{"field":"src","in":[21,42]}}]}}],
+            | "select":{"target":"edges",
+            |           "sort":[{"column":"ts","desc":true}],
+            |           "offset":5,"limit":40}}""".stripMargin
+        graft.graph.GraphQuery.run(eventGraph(s, d), json)
+          .select(col("src"), col("dst"), col("ts"), col("event_id"), col("layer"))
+      },
+      Some(
+        """WITH e0 AS (
+          |  SELECT user_id AS src, dst, event_id, event_type AS layer,
+          |    epoch_us(ts) // 1000 AS tms FROM (
+          |    SELECT user_id, event_type, event_id, ts,
+          |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+          |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+          |f AS (
+          |  SELECT src, dst, tms AS ts, event_id, layer FROM e0
+          |  WHERE tms >= 1704240000000 AND tms < 1706227200000
+          |    AND layer <> 'error'
+          |    AND tms > 1704499200000
+          |    AND tms < 1705881600000
+          |    AND src NOT IN (5, 10, 15) AND dst NOT IN (5, 10, 15)
+          |    AND layer <> 'purchase'
+          |    AND src NOT IN (21, 42))
+          |SELECT src, dst, ts, event_id, layer FROM f
+          |ORDER BY ts DESC, src, dst, event_id
+          |LIMIT 40 OFFSET 5""".stripMargin)),
+
     // ---- composite property-filter + prefix/fuzzy search (parity with
     //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----
     (

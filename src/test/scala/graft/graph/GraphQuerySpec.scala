@@ -1,0 +1,106 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * The JSON wire format must interpret to exactly the same frames as the
+ * hand-written typed chain — parse → applyViews → resolver end to end,
+ * plus codec edge cases and errors.
+ */
+class GraphQuerySpec extends SparkSpec {
+
+  private def g: TemporalGraph =
+    TemporalGraph(
+      TemporalGraph.fromTriples(
+        spark,
+        Seq(
+          (1L, 2L, 10L), (2L, 3L, 20L), (3L, 4L, 30L),
+          (4L, 5L, 40L), (5L, 1L, 50L), (2L, 4L, 60L))).edges
+        .withColumn("layer", when(col("ts") > 35L, lit("late")).otherwise(lit("_default"))))
+
+  private def pg: PropertyGraph = {
+    val session = spark
+    import session.implicits._
+    val nodes = Seq(
+      (1L, 0L, "user", 0.9), (2L, 0L, "user", 0.2), (3L, 0L, "bot", 0.7),
+      (4L, 0L, "user", 0.4), (5L, 0L, "bot", 0.1))
+      .toDF("id", "ts", "node_type", "score")
+    PropertyGraph(g, nodes)
+  }
+
+  test("JSON chain equals the typed chain (edges)") {
+    val json =
+      """{"view":[
+        |  {"op":"window","start":15,"end":55},
+        |  {"op":"excludeLayers","names":["late"]},
+        |  {"op":"excludeNodes","ids":[4]},
+        |  {"op":"edgeFilter","filter":{"not":{"field":"src","in":[5]}}}],
+        | "select":{"target":"edges","sort":[{"column":"ts","desc":true}]}}""".stripMargin
+    val got = GraphQuery.run(g, json).select("src", "dst", "ts").collect().toSeq
+    import GraphViews.ViewOp._
+    val typed = GraphViews.edgesPage(
+      GraphViews.applyViews(
+        g,
+        Seq(
+          Window(15, 55),
+          ExcludeLayers(Seq("late")),
+          ExcludeNodes(Seq(4L)),
+          EdgeFilter(!col("src").isin(5L)))),
+      sort = Seq(GraphViews.SortKey("ts", desc = true)))
+      .select("src", "dst", "ts").collect().toSeq
+    assert(got == typed)
+    assert(got.map(_.getLong(2)) == Seq(20L)) // only edge 2->3 survives
+  }
+
+  test("JSON node filter with and/eq/gt narrows nodes and edges") {
+    val json =
+      """{"view":[
+        |  {"op":"nodeFilter","filter":{"and":[
+        |     {"field":"node_type","eq":"user"},
+        |     {"field":"score","gt":0.15}]}}],
+        | "select":{"target":"nodes","sort":[{"column":"deg","desc":true}],"limit":5}}""".stripMargin
+    // users with score > 0.15 = {1,2,4}; the INDUCED subgraph keeps edges
+    // 1->2 and 2->4, so all three appear in the node resolver
+    val ids = GraphQuery.run(pg, json).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L))
+    // tighter score cut {1,4}: no edge between 1 and 4 survives the induced
+    // subgraph, so the node resolver is empty — this engine's nodes are
+    // edge-derived (SURVEY §1.1 event model), so a filter that isolates
+    // every matching node yields an empty graph
+    val tight = json.replace("0.15", "0.3")
+    assert(GraphQuery.run(pg, tight).count() == 0L)
+  }
+
+  test("list quantifier and paging in the codec") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, Seq(1.0, 9.0)), (2L, Seq(2.0, 3.0)), (3L, Seq(8.0, 8.5)))
+      .toDF("id", "vals")
+    val pred = GraphQuery.parsePred(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"and":[{"field":"vals","any":{"gt":7.0}},
+          |        {"field":"vals","all":{"gt":0.5}}]}""".stripMargin))
+    val ids = docs.filter(pred.compile).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+  }
+
+  test("selection defaults and offset/limit") {
+    val json =
+      """{"view":[],"select":{"target":"edges","offset":2,"limit":2}}""".stripMargin
+    val rows = GraphQuery.run(g, json).select("src", "dst").collect()
+    assert(rows.length == 2)
+  }
+
+  test("malformed documents fail loudly") {
+    intercept[IllegalArgumentException](
+      GraphQuery.run(g, """{"view":[{"op":"teleport"}]}"""))
+    intercept[IllegalArgumentException](
+      GraphQuery.run(g, """{"view":[{"op":"window","start":1}]}"""))
+    intercept[IllegalArgumentException](
+      GraphQuery.run(g, """{"view":[],"select":{"target":"hyperedges"}}"""))
+    intercept[IllegalArgumentException](
+      GraphQuery.parse("""{"view":[{"op":"edgeFilter","filter":{"field":"x","like":"y"}}]}"""))
+  }
+}
