@@ -140,18 +140,35 @@ object Bench {
       extras += "pagerank_median_edges_traversed_per_sec" -> nEdges / med
     }
 
+    def medianWall(metrics: List[Map[String, Double]]): Option[Double] = {
+      val walls = metrics.flatMap(_.get("wallMs")).sorted
+      if (walls.isEmpty) None else Some(walls(walls.size / 2) / 1000.0)
+    }
+
     // --- WCC ---
-    val (_, tWcc) = time(ConnectedComponents.run(spark, g).count())
+    val (wccM, tWcc) = time {
+      val (df, m) = ConnectedComponents.runWithMetrics(spark, g)
+      df.count(); m
+    }
     results += "wcc" -> tWcc
+    medianWall(wccM).foreach(extras += "wcc_median_superstep_sec" -> _)
 
     // --- LPA (capped, synchronous) ---
-    val (_, tLpa) = time(LabelPropagation.run(spark, g, LabelPropagation.Config(maxIter = 10)).count())
+    val (lpaM, tLpa) = time {
+      val (df, m) = LabelPropagation.runWithMetrics(spark, g, LabelPropagation.Config(maxIter = 10))
+      df.count(); m
+    }
     results += "lpa" -> tLpa
+    medianWall(lpaM).foreach(extras += "lpa_median_superstep_sec" -> _)
 
     // --- HITS (fixed 10 supersteps; in-plan normalization totals) ---
-    val (_, tHits) = time(
-      graft.algos.Hits.run(spark, g, graft.algos.Hits.Config(maxIter = 10, tol = 0.0)).count())
+    val (hitsM, tHits) = time {
+      val (df, m) =
+        graft.algos.Hits.runWithMetrics(spark, g, graft.algos.Hits.Config(maxIter = 10, tol = 0.0))
+      df.count(); m
+    }
     results += "hits" -> tHits
+    medianWall(hitsM).foreach(extras += "hits_median_superstep_sec" -> _)
 
     // --- random-attachment graph (the reference's bench generator shape):
     // PageRank to 1e-6 convergence takes real supersteps here (hubs), so
@@ -176,11 +193,13 @@ object Bench {
     // --- Louvain on the RA graph (bounded: 3 levels × 8 rounds — community
     // structure on random attachment is weak, the bound keeps the timing a
     // throughput measure rather than a convergence lottery) ---
-    val (_, tLouvain) = time(
-      graft.algos.Louvain
-        .run(spark, ra, graft.algos.Louvain.Config(maxLevels = 3, maxLocalRounds = 8))
-        .count())
+    val (louvainM, tLouvain) = time {
+      val (df, m) = graft.algos.Louvain.runWithMetrics(
+        spark, ra, graft.algos.Louvain.Config(maxLevels = 3, maxLocalRounds = 8))
+      df.count(); m
+    }
     results += "louvain" -> tLouvain
+    medianWall(louvainM).foreach(extras += "louvain_median_round_sec" -> _)
 
     // --- temporal 3-node motif census (global 40-dim) on the RA graph;
     // ts = attachment step, so delta=5000 windows span real event overlap ---

@@ -36,7 +36,15 @@ object ConnectedComponents {
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 5)
 
-  def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame = {
+  def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame =
+    runWithMetrics(spark, g, cfg)._1
+
+  /** As [[run]], also returning the per-superstep metrics (incl. `wallMs`)
+    * so benches can report burst-robust medians (BENCH.md r3 note). */
+  def runWithMetrics(
+      spark: SparkSession,
+      g: TemporalGraph,
+      cfg: Config = Config()): (DataFrame, List[Map[String, Double]]) = {
     val nodes = g.nodes.persist()
     val init = g.canonicalUndirected.select(col("a"), col("b")) // a < b, no self-loops
 
@@ -102,6 +110,6 @@ object ConnectedComponents {
       .join(stars, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     nodes.unpersist(false)
-    labels
+    (labels, result.metrics)
   }
 }

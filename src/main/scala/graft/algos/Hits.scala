@@ -37,7 +37,14 @@ object Hits {
       maxShard: Int = graft.graph.TemporalGraph.DefaultMaxShard)
 
   /** @return (id, hub_score, auth_score). */
-  def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame = {
+  def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame =
+    runWithMetrics(spark, g, cfg)._1
+
+  /** As [[run]], also returning per-superstep metrics (incl. `wallMs`). */
+  def runWithMetrics(
+      spark: SparkSession,
+      g: TemporalGraph,
+      cfg: Config = Config()): (DataFrame, List[Map[String, Double]]) = {
     val adjOut = g.adjacencyOut(cfg.maxShard).persist()
     val adjIn = g.adjacencyIn(cfg.maxShard).persist()
     val init = g.nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
@@ -109,6 +116,8 @@ object Hits {
     }
     adjOut.unpersist(false)
     adjIn.unpersist(false)
-    result.state.select(col("id"), col("hub").as("hub_score"), col("auth").as("auth_score"))
+    (
+      result.state.select(col("id"), col("hub").as("hub_score"), col("auth").as("auth_score")),
+      result.metrics)
   }
 }

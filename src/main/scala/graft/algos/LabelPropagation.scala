@@ -41,7 +41,14 @@ object LabelPropagation {
       maxShard: Int = graft.graph.TemporalGraph.DefaultMaxShard)
 
   /** @return (id, label); communities are the label-partition classes. */
-  def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame = {
+  def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame =
+    runWithMetrics(spark, g, cfg)._1
+
+  /** As [[run]], also returning per-superstep metrics (incl. `wallMs`). */
+  def runWithMetrics(
+      spark: SparkSession,
+      g: TemporalGraph,
+      cfg: Config = Config()): (DataFrame, List[Map[String, Double]]) = {
     val adj = g.adjacencyBoth(cfg.maxShard).persist()
     val init = g.nodes.select(col("id"), col("id").as("label"))
 
@@ -91,6 +98,6 @@ object LabelPropagation {
         })
     }
     adj.unpersist(false)
-    result.state.select("id", "label")
+    (result.state.select("id", "label"), result.metrics)
   }
 }

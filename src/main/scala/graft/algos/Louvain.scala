@@ -65,7 +65,16 @@ object Louvain {
       checkpointDir: Option[String] = None)
 
   /** @return (id, community) — community = min original member node id. */
-  def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame = {
+  def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame =
+    runWithMetrics(spark, g, cfg)._1
+
+  /** As [[run]], also returning every local-moving round's metrics across
+    * all levels (incl. `wallMs` and `level`). */
+  def runWithMetrics(
+      spark: SparkSession,
+      g: TemporalGraph,
+      cfg: Config = Config()): (DataFrame, List[Map[String, Double]]) = {
+    var allMetrics = List.empty[Map[String, Double]]
     def truncate(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftSqlInternals.resetStats(df.localCheckpoint(true))
 
@@ -108,13 +117,15 @@ object Louvain {
     // mapping original node -> current-level node
     var mapping = truncate(g.nodes.select(col("id").as("orig"), col("id").as("node")))
 
-    if (m2 <= 0.0) return mapping.select(col("orig").as("id"), col("node").as("community"))
+    if (m2 <= 0.0)
+      return (mapping.select(col("orig").as("id"), col("node").as("community")), allMetrics)
 
     var level = 0
     var outerMoved = true
     while (outerMoved && level < cfg.maxLevels) {
       level += 1
-      val (assign, movedAtLevel) = localMoving(spark, pairs, k, m2, cfg, level)
+      val (assign, movedAtLevel, levelMetrics) = localMoving(spark, pairs, k, m2, cfg, level)
+      allMetrics = allMetrics ++ levelMetrics
       outerMoved = movedAtLevel
       if (movedAtLevel) {
         // canonical community label = min member id (deterministic compact)
@@ -159,18 +170,18 @@ object Louvain {
         k = newK
       }
     }
-    mapping.select(col("orig").as("id"), col("node").as("community"))
+    (mapping.select(col("orig").as("id"), col("node").as("community")), allMetrics)
   }
 
   /** One level of synchronous parity-gated local moving.
-    * @return (assignment (id, com), whether any node moved) */
+    * @return (assignment (id, com), whether any node moved, round metrics) */
   private def localMoving(
       spark: SparkSession,
       pairs: DataFrame,
       k: DataFrame,
       m2: Double,
       cfg: Config,
-      level: Int): (DataFrame, Boolean) = {
+      level: Int): (DataFrame, Boolean, List[Map[String, Double]]) = {
     // Salted weighted CSR keyed by the message SOURCE (`other`, whose
     // community each neighbour reads): persisted hash-partitioned on the
     // join key so the static adjacency is never re-exchanged across rounds
@@ -262,7 +273,7 @@ object Louvain {
         })
     }
     adj.unpersist(false)
-    (result.state.select(col("id"), col("com")), anyMove)
+    (result.state.select(col("id"), col("com")), anyMove, result.metrics)
   }
 
   /**
