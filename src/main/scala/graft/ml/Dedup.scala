@@ -65,16 +65,29 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       portable: Boolean = false): DataFrame = {
+    // The variable-length STRING hash of each shingle is computed ONCE into
+    // a base array (__hs, its own projection — CollapseProject does not
+    // inline non-cheap aliases, so codegen evaluates it once per row); the
+    // per-h family then maps cheap integer ops over longs. The naive form
+    // (string hash inside the h-loop) pays numHashes× the string hashing —
+    // measured 32× redundant work dominating LSH wall time. For the
+    // portable family this hoist is exactly the algebra the DuckDB oracle
+    // replays (identical values); the xxhash64 family derives h_i from a
+    // base hash (xxhash64(base, h)) — equally valid MinHash, 32× cheaper.
     val sh = docs.withColumn("__shingles", shingles(textCol, shingleSize))
+    val baseExpr =
+      if (portable) s"transform(__shingles, s -> ${polyHashSql("s")})"
+      else "transform(__shingles, s -> xxhash64(s))"
     val minhashExpr =
       if (portable)
         s"transform(sequence(0, ${numHashes - 1}), h -> array_min(" +
-          s"transform(transform(__shingles, s -> ${polyHashSql("s")}), " +
-          s"x -> ((1 + h * 1000003) * x + h * 999983 + 12345) % $PolyP)))"
+          s"transform(__hs, x -> ((1 + h * 1000003) * x + h * 999983 + 12345) % $PolyP)))"
       else
         s"transform(sequence(0, ${numHashes - 1}), " +
-          "h -> array_min(transform(__shingles, s -> xxhash64(s, h))))"
-    sh.withColumn("minhash", expr(minhashExpr)).drop("__shingles")
+          "h -> array_min(transform(__hs, x -> xxhash64(x, h))))"
+    sh.withColumn("__hs", expr(baseExpr))
+      .withColumn("minhash", expr(minhashExpr))
+      .drop("__shingles", "__hs")
   }
 
   /**
@@ -211,17 +224,22 @@ object Dedup {
                |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin))
         .drop("__th")
     } else
-      docs.withColumn(
-        "simhash",
-        expr(
-          s"""aggregate(
-             |  sequence(0, 63),
-             |  cast(0 as bigint),
-             |  (acc, bit) -> acc + CASE WHEN
-             |    aggregate(split($textCol, '\\\\s+'), 0,
-             |      (v, tok) -> v + CASE WHEN (shiftright(xxhash64(tok), bit) & 1) = 1
-             |                      THEN 1 ELSE -1 END) > 0
-             |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin))
+      // token hash hoisted out of the bit loop (identical values — pure
+      // CSE): the naive form re-split and re-hashed every token 64×
+      docs
+        .withColumn("__th", expr(s"transform(split($textCol, '\\\\s+'), tok -> xxhash64(tok))"))
+        .withColumn(
+          "simhash",
+          expr(
+            s"""aggregate(
+               |  sequence(0, 63),
+               |  cast(0 as bigint),
+               |  (acc, bit) -> acc + CASE WHEN
+               |    aggregate(__th, 0,
+               |      (v, h) -> v + CASE WHEN (shiftright(h, bit) & 1) = 1
+               |                      THEN 1 ELSE -1 END) > 0
+               |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin))
+        .drop("__th")
 
   /** Pigeonhole segment layout for [[simHashPairs]]: (index, startBit,
     * mask) for maxHamming+1 segments over the 64-bit fingerprint —

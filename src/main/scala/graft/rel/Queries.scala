@@ -1663,6 +1663,71 @@ object Queries {
           |     / greatest(length(regexp_split_to_array(text, '\s+')), 1)) * 0.3, 6)
           |  AS quality
           |FROM documents""".stripMargin)),
+
+    (
+      "q_pipeline_corpus",
+      // a composed training-data pipeline as ONE declarative plan: exact
+      // dedup (normalized fingerprint, min doc_id survives) → language
+      // gate (n-gram heuristic = 'en') → quality gate (score ≥ 0.5) →
+      // per-true-label corpus stats. Floating aggregates restricted to
+      // order-independent min/max; token totals are integer sums.
+      (s, d) => {
+        val txt = concat(lit(" "), lower(col("text")), lit(" "))
+        val predLang = when(txt.contains(" the ") || txt.contains(" and "), "en")
+          .when(txt.contains(" der ") || txt.contains(" und "), "de")
+          .when(txt.contains(" le ") || txt.contains(" et "), "fr")
+          .when(txt.contains(" el ") || txt.contains(" y "), "es")
+          .otherwise("unknown")
+        val enriched = t(s, d, "documents").select(
+          col("doc_id"),
+          col("lang"),
+          md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"),
+          predLang.as("pred_lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val keepIds = enriched.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        enriched
+          .join(keepIds, Seq("doc_id"), "left_semi")
+          .filter(col("pred_lang") === "en" && col("quality") >= 0.5)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            min("quality").as("min_quality"),
+            max("quality").as("max_quality"))
+      },
+      Some(
+        """WITH enriched AS (
+          |  SELECT doc_id, lang,
+          |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+          |    CASE
+          |      WHEN ' ' || lower(text) || ' ' LIKE '% the %'
+          |        OR ' ' || lower(text) || ' ' LIKE '% and %' THEN 'en'
+          |      WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+          |        OR ' ' || lower(text) || ' ' LIKE '% und %' THEN 'de'
+          |      WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+          |        OR ' ' || lower(text) || ' ' LIKE '% et %' THEN 'fr'
+          |      WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+          |        OR ' ' || lower(text) || ' ' LIKE '% y %' THEN 'es'
+          |      ELSE 'unknown' END AS pred_lang,
+          |    round(
+          |      (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.4
+          |      + (length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0
+          |         / greatest(length(text), 1)) * 0.3
+          |      + (length(list_distinct(regexp_split_to_array(lower(text), '\s+'))) * 1.0
+          |         / greatest(length(regexp_split_to_array(text, '\s+')), 1)) * 0.3, 6)
+          |      AS quality,
+          |    length(string_split(text, ' ')) AS n_tokens
+          |  FROM documents),
+          |keep AS (SELECT min(doc_id) AS doc_id FROM enriched GROUP BY fp),
+          |kept AS (
+          |  SELECT e.* FROM enriched e JOIN keep k ON e.doc_id = k.doc_id
+          |  WHERE e.pred_lang = 'en' AND e.quality >= 0.5)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          |  min(quality) AS min_quality, max(quality) AS max_quality
+          |FROM kept GROUP BY lang""".stripMargin)),
     (
       "q_text_analyze",
       (s, d) => TextAnalysis.analyze(t(s, d, "documents"))
