@@ -32,11 +32,16 @@ object Dedup {
       .groupBy(md5(regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")).as("fp"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
 
-  /** Word k-shingles of a text column (by name) as array<string>. */
+  /** Word k-shingles of a text column (by name) as array<string>.
+    * The token array is bound ONCE through a single-element transform
+    * lambda — writing `split(...)` inline in the per-shingle lambda would
+    * re-split the whole text for every shingle index, O(text²) per
+    * document (measured dominating LSH wall time before the hoist). */
   def shingles(textColName: String, k: Int): Column =
     expr(
-      s"transform(sequence(0, greatest(size(split($textColName, '\\\\s+')) - $k, 0)), " +
-        s"i -> array_join(slice(split($textColName, '\\\\s+'), i + 1, $k), ' '))")
+      s"element_at(transform(array(split($textColName, '\\\\s+')), toks -> " +
+        s"transform(sequence(0, greatest(size(toks) - $k, 0)), " +
+        s"i -> array_join(slice(toks, i + 1, $k), ' '))), 1)")
 
   /** Portable-hash parameters: a polynomial rolling hash over character
     * codes mod a ~2^30 prime, indexed hash family h_i(x) = (a_i·x + b_i)
