@@ -58,10 +58,15 @@ final case class HashEmbedder(dim: Int = 16, seed: Long = 42L, portable: Boolean
        |         (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % 1000000007L))""".stripMargin
 
   def embed(docCol: String): Column =
+    // token values bound ONCE via a single-element transform lambda —
+    // inlining tokenValuesSql in the per-dimension lambda would re-tokenize
+    // and re-hash the whole text dim times per document (value-identical
+    // hoist; the DuckDB replay is unaffected)
     expr(
-      s"""transform(sequence(0, ${dim - 1}), i ->
-         |  aggregate(${tokenValuesSql(docCol)}, cast(0.0 as double),
-         |    (acc, v) -> acc + ${compSql("v", "i")}))""".stripMargin)
+      s"""element_at(transform(array(${tokenValuesSql(docCol)}), tv ->
+         |  transform(sequence(0, ${dim - 1}), i ->
+         |    aggregate(tv, cast(0.0 as double),
+         |      (acc, v) -> acc + ${compSql("v", "i")}))), 1)""".stripMargin)
 
   /** DuckDB SQL fragment computing the identical embedding of a text
     * expression — only meaningful when `portable = true`; exposed so oracle
