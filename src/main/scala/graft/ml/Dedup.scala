@@ -360,4 +360,48 @@ object Dedup {
             greatest(size(array_union(col("sha"), col("shb"))), lit(1)),
           6).as("jaccard"))
   }
+
+  /**
+   * Dedup clustering — the "keep one copy" stage of a corpus pipeline:
+   * connected components over a near-dup pair graph (from [[minHashLsh]],
+   * [[simHashPairs]], [[graft.ml.Similarity.cosineNearDupPairs]], …), with
+   * a deterministic representative per cluster (longest text, then
+   * smallest id — the usual keep-the-most-complete-copy rule).
+   *
+   * Components run on the PAIR graph only (tiny next to the corpus — only
+   * documents that hit a candidate pair appear), via the same
+   * alternating-star contraction as [[graft.algos.ConnectedComponents]];
+   * the full document table is then labelled with one left join.
+   * Singletons keep their own id as cluster.
+   *
+   * @param pairs candidate duplicate pairs, columns (a, b)
+   * @return one row per document: (idCol, cluster, cluster_n, keep)
+   */
+  def dupClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val g = graft.graph.TemporalGraph(
+      pairs.select(
+        col("a").as("src"),
+        col("b").as("dst"),
+        lit(0L).as("ts"),
+        lit(0L).as("event_id"),
+        lit("_dup").as("layer")))
+    val comp = graft.algos.ConnectedComponents.run(spark, g)
+    val labeled = docs
+      .select(col(idCol).as("id"), length(col(textCol)).cast("long").as("len"))
+      .join(comp.select(col("id"), col("label")), Seq("id"), "left")
+      .select(col("id"), col("len"), coalesce(col("label"), col("id")).as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col("len").desc, col("id"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+    labeled
+      .withColumn("cluster_n", count(lit(1)).over(cw))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("id").as(idCol), col("cluster"), col("cluster_n"), col("keep"))
+  }
 }

@@ -195,4 +195,86 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .distinct()
   }
+
+  /**
+   * IVF-style approximate nearest neighbours (inverted file with sampled
+   * pivots): the coarse quantizer is `nCells` pivot vectors chosen
+   * deterministically (the corpus rows with the smallest id-hash — a
+   * seedable sample, no training iterations so the whole pipeline is
+   * replayable); every corpus vector is assigned to its nearest pivot's
+   * cell; a query probes only its `nProbe` nearest cells and exact-reranks
+   * those cells' members.
+   *
+   * The 100 TB shape: pivots are one broadcast (nCells rows); assignment is
+   * a map-side argmax over the broadcast pivots folded by a partial
+   * aggregate (the shuffle carries one row per corpus vector, not
+   * nCells — `max(struct(cos, −prank))` keeps the combine associative with
+   * the deterministic smallest-prank tie-break); the probe reads
+   * ~nProbe/nCells of the corpus instead of all of it. Recall/latency
+   * trade-off is (nCells, nProbe), exactly IVF-Flat's.
+   *
+   * @return (query_id, neighbor_id, cos, rank) with rank ≤ k per query
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    // deterministic pivot sample: nCells smallest (hash, id); the portable
+    // family is an LCG over the id (pure integer SQL DuckDB replays
+    // verbatim), the default is xxhash64
+    val pivotHash =
+      if (portable) expr(s"($idCol * 1103515245 + 12345) % 1000000007")
+      else xxhash64(lit(seed), col(idCol))
+    val sampled = corpus
+      .select(col(idCol).as("pid"), col(vecCol).as("pv"), pivotHash.as("h"))
+      .orderBy(col("h"), col("pid"))
+      .limit(nCells)
+    val pivots = broadcast(
+      sampled
+        .withColumn("prank", row_number().over(Window.orderBy(col("h"), col("pid"))))
+        .drop("h"))
+    // ^ the global-order window runs on nCells rows only (post-limit)
+
+    // cell assignment: argmax cosine over the broadcast pivots; the struct
+    // max is ties-deterministic (higher cos, then smaller prank) and
+    // partial-aggregates map-side, so the exchange carries |corpus| rows
+    val assigned = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .crossJoin(pivots)
+      .select(
+        col("cid"), col("cv"),
+        struct(cosine("cv", "pv").as("pcos"), (-col("prank")).as("nrank")).as("cand"))
+      .groupBy("cid")
+      .agg(first(col("cv")).as("cv"), max(col("cand")).as("best"))
+      .select(col("cid"), col("cv"), (-col("best.nrank")).as("cell"))
+
+    // probe: each query's nProbe nearest cells
+    val qw = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("prank"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(pivots)
+      .select(col("query_id"), col("qv"), col("prank"), cosine("qv", "pv").as("pcos"))
+      .withColumn("qrn", row_number().over(qw))
+      .filter(col("qrn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("prank").as("cell"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("cid"))
+      .select(col("query_id"), col("cid").as("neighbor_id"), cosine("qv", "cv").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(col("cos"), 6).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
 }

@@ -88,6 +88,105 @@ object Queries {
   // ^ single-SELECT DISTINCT: under WITH RECURSIVE, DuckDB 1.0 parses a
   //   top-level "a UNION b" CTE body as base/step and skips the dedup
 
+  /**
+   * Brute-force temporal-motif CTEs: the sliding-window kernels in
+   * [[graft.algos.TemporalMotifs]] count position-ordered event triples
+   * i1<i2<i3 (per entity, ordered by (ts, event_id)) with t3 − t1 ≤ delta,
+   * classified by neighbour-equality / role patterns — a definition that is
+   * directly relational at oracle scale. The kernel ⇄ brute-force
+   * equivalence is property-tested in `TemporalMotifsBruteForceSpec`
+   * (200–400 random instances per kernel), so this SQL replays the exact
+   * semantics:
+   *  - `two_triples`: per unordered pair, slot = direction triple seen from
+   *    the min endpoint (each triple later credited to both perspectives,
+   *    the max endpoint direction-mirrored: slot 7 − m);
+   *  - `star_triples`: per centre, triples where EXACTLY one of the three
+   *    neighbour equalities holds (nb1=nb2 → pre block 0–7, nb1=nb3 → mid
+   *    8–15, nb2=nb3 → post 16–23; all-equal triples are the two-node
+   *    motifs — the kernel path subtracts them, the strict condition here
+   *    never counts them);
+   *  - `tri_triples`: per id-sorted triangle (x1<x2<x3; roles v=x1, u=x2,
+   *    w=x3 as in the reference's global_temporal_three_node_motifs.rs
+   *    :188-226), triples with exactly one u–v event and one event on each
+   *    w-pair, slot by the u–v event's position (uv-last/first/middle
+   *    formulas read off the kernel's preSum/postSum/midSum indices).
+   * Every multiply-referenced CTE is MATERIALIZED — DuckDB otherwise
+   * re-inlines it per reference and the plan grows multiplicatively.
+   */
+  private def motifBaseSql(deltaMs: Long): String =
+    s"""ev AS MATERIALIZED (
+       |  SELECT user_id AS src, dst, epoch_us(ts)//1000 AS tms, event_id
+       |  FROM (SELECT user_id, event_type, ts, event_id,
+       |               lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+       |        FROM events)
+       |  WHERE dst IS NOT NULL AND dst <> user_id),
+       |nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+       |  SELECT src AS id FROM ev UNION ALL SELECT dst AS id FROM ev)),
+       |pair_ev AS MATERIALIZED (
+       |  SELECT least(src,dst) AS a, greatest(src,dst) AS b, tms,
+       |         CASE WHEN src < dst THEN 1 ELSE 0 END AS dir,
+       |         row_number() OVER (PARTITION BY least(src,dst), greatest(src,dst)
+       |                            ORDER BY tms, event_id) AS rn
+       |  FROM ev),
+       |two_triples AS MATERIALIZED (
+       |  SELECT e1.a, e1.b, 4*e1.dir + 2*e2.dir + e3.dir AS m
+       |  FROM pair_ev e1
+       |  JOIN pair_ev e2 ON e2.a=e1.a AND e2.b=e1.b AND e2.rn > e1.rn AND e2.tms - e1.tms <= $deltaMs
+       |  JOIN pair_ev e3 ON e3.a=e1.a AND e3.b=e1.b AND e3.rn > e2.rn AND e3.tms - e1.tms <= $deltaMs),
+       |star_ev AS MATERIALIZED (
+       |  SELECT node, nbr, dir, tms,
+       |         row_number() OVER (PARTITION BY node ORDER BY tms, event_id) AS rn
+       |  FROM (SELECT src AS node, dst AS nbr, 1 AS dir, tms, event_id FROM ev
+       |        UNION ALL SELECT dst, src, 0, tms, event_id FROM ev)),
+       |star_triples AS MATERIALIZED (
+       |  SELECT e1.node,
+       |         CASE WHEN e1.nbr = e2.nbr THEN 0 WHEN e1.nbr = e3.nbr THEN 8 ELSE 16 END
+       |           + 4*e1.dir + 2*e2.dir + e3.dir AS m
+       |  FROM star_ev e1
+       |  JOIN star_ev e2 ON e2.node=e1.node AND e2.rn > e1.rn AND e2.tms - e1.tms <= $deltaMs
+       |  JOIN star_ev e3 ON e3.node=e1.node AND e3.rn > e2.rn AND e3.tms - e1.tms <= $deltaMs
+       |  WHERE (CAST(e1.nbr = e2.nbr AS INT) + CAST(e1.nbr = e3.nbr AS INT)
+       |       + CAST(e2.nbr = e3.nbr AS INT)) = 1),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM ev),
+       |tri AS MATERIALIZED (
+       |  SELECT t1.a AS x1, t1.b AS x2, t2.b AS x3
+       |  FROM und t1 JOIN und t2 ON t2.a = t1.b JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b),
+       |tri_pairs AS MATERIALIZED (
+       |  SELECT x1,x2,x3, x1 AS p, x2 AS q FROM tri
+       |  UNION ALL SELECT x1,x2,x3, x2, x3 FROM tri
+       |  UNION ALL SELECT x1,x2,x3, x1, x3 FROM tri),
+       |tri_ev AS MATERIALIZED (
+       |  SELECT tp.x1, tp.x2, tp.x3, e.tms,
+       |         CASE WHEN e.src <> tp.x3 AND e.dst <> tp.x3 THEN 1 ELSE 0 END AS uv,
+       |         CASE WHEN e.src = tp.x3 THEN (CASE WHEN e.dst = tp.x2 THEN 0 ELSE 1 END)
+       |              WHEN e.dst = tp.x3 THEN (CASE WHEN e.src = tp.x2 THEN 0 ELSE 1 END)
+       |              WHEN e.src = tp.x2 THEN 1 ELSE 0 END AS uorv,
+       |         CASE WHEN e.src = tp.x3 THEN 0
+       |              WHEN e.dst = tp.x3 THEN 1
+       |              WHEN e.src = tp.x2 THEN 1 ELSE 0 END AS dir,
+       |         row_number() OVER (PARTITION BY tp.x1,tp.x2,tp.x3 ORDER BY e.tms, e.event_id) AS rn
+       |  FROM tri_pairs tp
+       |  JOIN ev e ON least(e.src,e.dst) = tp.p AND greatest(e.src,e.dst) = tp.q),
+       |tri_triples AS MATERIALIZED (
+       |  SELECT e1.x1, e1.x2, e1.x3,
+       |         CASE
+       |           WHEN e3.uv = 1 THEN
+       |             (CASE WHEN e1.uorv = e3.dir THEN 1 ELSE 0 END) + 4*(1-e1.dir) + 2*(1-e2.dir)
+       |           WHEN e1.uv = 1 THEN
+       |             (CASE WHEN e2.uorv = e1.dir THEN 0 ELSE 4 END) + 2*e2.dir + (1-e3.dir)
+       |           ELSE
+       |             (CASE WHEN e1.uorv = e2.dir THEN 0 ELSE 2 END) + 4*e1.dir + e3.dir
+       |         END AS m
+       |  FROM tri_ev e1
+       |  JOIN tri_ev e2 ON e2.x1=e1.x1 AND e2.x2=e1.x2 AND e2.x3=e1.x3
+       |                AND e2.rn > e1.rn AND e2.tms - e1.tms <= $deltaMs
+       |  JOIN tri_ev e3 ON e3.x1=e1.x1 AND e3.x2=e1.x2 AND e3.x3=e1.x3
+       |                AND e3.rn > e2.rn AND e3.tms - e1.tms <= $deltaMs
+       |  WHERE e1.uv + e2.uv + e3.uv = 1
+       |    AND (CASE WHEN e1.uv = 0 THEN e1.uorv ELSE 0 END
+       |       + CASE WHEN e2.uv = 0 THEN e2.uorv ELSE 0 END
+       |       + CASE WHEN e3.uv = 0 THEN e3.uorv ELSE 0 END) = 1)""".stripMargin
+
   /** Fixed-iteration PageRank (semantics of algos/PageRank: teleport +
     * damped in-neighbour mass + sink mass from the previous iteration). */
   private def pageRankOracleSql(iters: Int, damping: Double): String = {
@@ -297,6 +396,41 @@ object Queries {
        |             / 1000000.0 - 1.0))) > 0
        |      THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END)) AS sig
        |  FROM embeddings, range(0, $bands) t(b))""".stripMargin
+
+  /** MinHash+LSH pipeline CTEs under the portable polynomial family
+    * (shingling → signatures → banding → sized buckets), shared by
+    * `q_dedup_minhash_lsh` and `q_dedup_clusters`. */
+  private val minHashCtesSql =
+    s"""tok AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_transform(range(1, greatest(len(tk) - 3, 0) + 2),
+       |    i -> array_to_string(tk[i:i+2], ' ')) AS shingles FROM tok),
+       |hv AS (
+       |  SELECT doc_id, list_transform(shingles,
+       |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(s, ''), c -> CAST(ascii(c) % 65536 AS BIGINT))),
+       |         (acc, c) -> (acc * 31 + c) % ${graft.ml.Dedup.PolyP})) AS hv FROM sh),
+       |mh AS (
+       |  SELECT doc_id, list_transform(range(0, 32),
+       |    h -> list_min(list_transform(hv,
+       |      x -> ((1 + h * 1000003) * x + h * 999983 + 12345) % ${graft.ml.Dedup.PolyP}))) AS minhash
+       |  FROM hv),
+       |banded AS (
+       |  SELECT doc_id, minhash, t.b AS band,
+       |    list_reduce(list_prepend(CAST(42 AS BIGINT), minhash[t.b*4+1 : t.b*4+4]),
+       |      (acc, x) -> (acc * 31 + x) % ${graft.ml.Dedup.PolyBandP}) AS bh
+       |  FROM mh, range(0, 8) t(b)),
+       |sized AS (SELECT *, count(*) OVER (PARTITION BY band, bh) AS bucket_n FROM banded),
+       |ok AS (SELECT * FROM sized WHERE bucket_n <= 1000)""".stripMargin
+
+  /** Final pair select over [[minHashCtesSql]] (threshold 0.4). */
+  private val minHashPairsSql =
+    """SELECT a, b, round(max(est), 6) AS est_jaccard FROM (
+      |  SELECT l.doc_id AS a, r.doc_id AS b,
+      |    len(list_filter(list_zip(l.minhash, r.minhash), z -> z[1] = z[2])) / 32.0 AS est
+      |  FROM ok l JOIN ok r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+      |WHERE est >= 0.4 GROUP BY a, b""".stripMargin
 
   private val cosineSql =
     """list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
@@ -1130,19 +1264,36 @@ object Queries {
       "q_graph_temporal_motifs",
       // global 40-dim temporal 3-node motif census (Paranjape et al.;
       // reference global_temporal_three_node_motifs.rs:267) at delta = 2h.
-      // Kernel-based — not SQL-expressible; golden-tested against the
-      // reference fixture in TemporalMotifsSpec.
+      // Golden-tested against the reference fixture in TemporalMotifsSpec;
+      // oracle = brute-force triple enumeration (see motifBaseSql — kernel
+      // equivalence property-tested in TemporalMotifsBruteForceSpec).
       (s, d) => graft.algos.TemporalMotifs.global(s, eventGraph(s, d), deltaMs = 7200000L),
-      None),
+      Some(
+        s"""WITH ${motifBaseSql(7200000L)},
+           |counts AS (
+           |  SELECT m AS motif_id, count(*) AS c FROM star_triples GROUP BY m
+           |  UNION ALL
+           |  SELECT 24 + m, count(*) FROM (
+           |    SELECT m FROM two_triples UNION ALL SELECT 7 - m FROM two_triples
+           |  ) t GROUP BY m
+           |  UNION ALL
+           |  SELECT 32 + m, count(*) FROM tri_triples GROUP BY m)
+           |SELECT CAST(r.range AS INT) AS motif_id,
+           |       CAST(coalesce(sum(c.c), 0) AS BIGINT) AS count
+           |FROM range(40) r LEFT JOIN counts c ON c.motif_id = r.range
+           |GROUP BY r.range""".stripMargin)),
 
     (
       "q_graph_temporal_motifs_local",
       // per-node 40-dim census (local_temporal_three_node_motifs.rs:333):
-      // star motifs credit the centre, two-node motifs both endpoints,
-      // triangle motifs all three corners. Kernel-based — golden-tested
-      // against the reference's test_local_motif fixture. Emitted as one
-      // row per node with the nonzero slots joined, so the driver compare
-      // can hash it.
+      // star motifs credit the centre, two-node motifs both endpoints
+      // (max endpoint direction-mirrored: slot 7 − m), triangle motifs all
+      // three corners. Golden-tested against the reference's
+      // test_local_motif fixture; oracle = the same brute-force triples
+      // credited per node. Emitted as one row per node with the nonzero
+      // slots joined, so the driver compare can hash it (the oracle's
+      // string_agg orders by the STRING value — Spark's sort_array over
+      // "motif:count" strings is lexicographic).
       (s, d) => graft.algos.TemporalMotifs.local(s, eventGraph(s, d), deltaMs = 7200000L)
         .groupBy(col("id"))
         .agg(
@@ -1151,7 +1302,27 @@ object Queries {
             sort_array(collect_list(
               when(col("count") > 0, concat_ws(":", col("motif_id"), col("count"))))),
             ",").as("nonzero")),
-      None),
+      Some(
+        s"""WITH ${motifBaseSql(7200000L)},
+           |node_counts AS (
+           |  SELECT node AS id, m AS motif_id, count(*) AS c FROM star_triples GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT id, 24 + m, count(*) FROM (
+           |    SELECT a AS id, m FROM two_triples UNION ALL SELECT b, 7 - m FROM two_triples
+           |  ) t GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT id, 32 + m, count(*) FROM (
+           |    SELECT x1 AS id, m FROM tri_triples
+           |    UNION ALL SELECT x2, m FROM tri_triples
+           |    UNION ALL SELECT x3, m FROM tri_triples
+           |  ) t GROUP BY 1, 2)
+           |SELECT n.id,
+           |       CAST(coalesce(sum(c.c), 0) AS BIGINT) AS total,
+           |       coalesce(string_agg(
+           |         CASE WHEN c.c > 0 THEN c.motif_id || ':' || c.c END, ','
+           |         ORDER BY (c.motif_id || ':' || c.c)), '') AS nonzero
+           |FROM nodes n LEFT JOIN node_counts c ON c.id = n.id
+           |GROUP BY n.id""".stripMargin)),
 
     (
       "q_graph_seir",
@@ -1497,34 +1668,38 @@ object Queries {
       // bucket join → jaccard-estimate verify END TO END (xxhash64 stays
       // the default family for production use; MlSpec covers its recall)
       (s, d) => Dedup.minHashLsh(t(s, d, "documents"), threshold = 0.4, portable = true),
+      Some(s"WITH $minHashCtesSql\n$minHashPairsSql")),
+    (
+      "q_dedup_clusters",
+      // corpus dedup clustering — the "keep one copy" pipeline stage: LSH
+      // candidate pairs → connected components over the pair graph →
+      // deterministic representative (longest text, then smallest id).
+      // DuckDB replays the whole thing: pair pipeline (portable hash
+      // family) + recursive min-label closure + the same window rule.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.dupClusters(
+          docs,
+          Dedup.minHashLsh(docs, threshold = 0.4, portable = true).select("a", "b"))
+      },
       Some(
-        s"""WITH tok AS (
-           |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
-           |sh AS (
-           |  SELECT doc_id, list_transform(range(1, greatest(len(tk) - 3, 0) + 2),
-           |    i -> array_to_string(tk[i:i+2], ' ')) AS shingles FROM tok),
-           |hv AS (
-           |  SELECT doc_id, list_transform(shingles,
-           |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |           list_transform(string_split(s, ''), c -> CAST(ascii(c) % 65536 AS BIGINT))),
-           |         (acc, c) -> (acc * 31 + c) % ${Dedup.PolyP})) AS hv FROM sh),
-           |mh AS (
-           |  SELECT doc_id, list_transform(range(0, 32),
-           |    h -> list_min(list_transform(hv,
-           |      x -> ((1 + h * 1000003) * x + h * 999983 + 12345) % ${Dedup.PolyP}))) AS minhash
-           |  FROM hv),
-           |banded AS (
-           |  SELECT doc_id, minhash, t.b AS band,
-           |    list_reduce(list_prepend(CAST(42 AS BIGINT), minhash[t.b*4+1 : t.b*4+4]),
-           |      (acc, x) -> (acc * 31 + x) % ${Dedup.PolyBandP}) AS bh
-           |  FROM mh, range(0, 8) t(b)),
-           |sized AS (SELECT *, count(*) OVER (PARTITION BY band, bh) AS bucket_n FROM banded),
-           |ok AS (SELECT * FROM sized WHERE bucket_n <= 1000)
-           |SELECT a, b, round(max(est), 6) AS est_jaccard FROM (
-           |  SELECT l.doc_id AS a, r.doc_id AS b,
-           |    len(list_filter(list_zip(l.minhash, r.minhash), z -> z[1] = z[2])) / 32.0 AS est
-           |  FROM ok l JOIN ok r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
-           |WHERE est >= 0.4 GROUP BY a, b""".stripMargin)),
+        s"""WITH RECURSIVE $minHashCtesSql,
+           |pr AS MATERIALIZED (SELECT a, b FROM ($minHashPairsSql)),
+           |ud AS MATERIALIZED (SELECT a, b FROM (
+           |  SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr)),
+           |r(id, m) AS (
+           |  SELECT a, b FROM ud
+           |  UNION
+           |  SELECT r.id, ud.b FROM r JOIN ud ON ud.a = r.m),
+           |comp AS (SELECT id, least(id, min(m)) AS cluster FROM r GROUP BY id),
+           |lab AS (
+           |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+           |         length(d.text) AS len
+           |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+           |SELECT doc_id, cluster,
+           |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n,
+           |  (row_number() OVER (PARTITION BY cluster ORDER BY len DESC, doc_id) = 1) AS keep
+           |FROM lab""".stripMargin)),
     (
       "q_dedup_simhash",
       // portable 63-bit SimHash + pigeonhole segment buckets, replayed by
@@ -1622,6 +1797,55 @@ object Queries {
            |  FROM cands
            |  JOIN embeddings qe ON qe.vec_id = query_id
            |  JOIN embeddings ce ON ce.vec_id = neighbor_id),
+           |ranked AS (SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+           |FROM ranked WHERE rank <= 5""".stripMargin)),
+    (
+      "q_sim_ivf_topk",
+      // IVF-style ANN: deterministic sampled pivots (portable LCG id-hash)
+      // → nearest-pivot cell assignment → nProbe-cell probe → exact
+      // re-rank. DuckDB replays pivots, assignment argmax and re-rank with
+      // the identical IEEE double folds (same pattern as the FastRP /
+      // cosine oracles).
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 3), k = 5,
+          nCells = 16, nProbe = 4, portable = true)
+      },
+      Some(
+        s"""WITH piv AS MATERIALIZED (
+           |  SELECT pid, pv, row_number() OVER (ORDER BY h, pid) AS prank
+           |  FROM (SELECT vec_id AS pid, embedding AS pv,
+           |          (vec_id * 1103515245 + 12345) % 1000000007 AS h
+           |        FROM embeddings ORDER BY h, pid LIMIT 16)),
+           |pcos AS MATERIALIZED (
+           |  SELECT c.vec_id AS cid, p.prank,
+           |    list_sum(list_transform(list_zip(c.embedding, p.pv),
+           |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           |    / (sqrt(list_sum(list_transform(c.embedding,
+           |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+           |     * sqrt(list_sum(list_transform(p.pv,
+           |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+           |  FROM embeddings c, piv p),
+           |assigned AS MATERIALIZED (
+           |  SELECT cid, cell FROM (
+           |    SELECT cid, prank AS cell,
+           |      row_number() OVER (PARTITION BY cid ORDER BY cos DESC, prank) AS arn
+           |    FROM pcos) WHERE arn = 1),
+           |probes AS (
+           |  SELECT cid AS query_id, cell FROM (
+           |    SELECT cid, prank AS cell,
+           |      row_number() OVER (PARTITION BY cid ORDER BY cos DESC, prank) AS qrn
+           |    FROM pcos WHERE cid < 3) WHERE qrn <= 4),
+           |scored AS (
+           |  SELECT pr.query_id, a.cid AS neighbor_id, $cosineSql AS cos
+           |  FROM probes pr JOIN assigned a ON a.cell = pr.cell
+           |  JOIN embeddings qe ON qe.vec_id = pr.query_id
+           |  JOIN embeddings ce ON ce.vec_id = a.cid
+           |  WHERE pr.query_id <> a.cid),
            |ranked AS (SELECT query_id, neighbor_id, cos,
            |    row_number() OVER (PARTITION BY query_id
            |      ORDER BY cos DESC, neighbor_id) AS rank

@@ -86,6 +86,46 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("dup clusters: components over pair graph, longest-text representative") {
+    import spark.implicits._
+    // pairs chain 1–2 and 2–3 into one cluster; 4 pairs with nobody
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Dedup.dupClusters(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Long]("cluster_n"), r.getAs[Boolean]("keep"))))
+      .toMap
+    // cluster = min member id; doc 3 is the longest text ("yesterday") → keep
+    assert(out(1L) == ((1L, 3L, false)))
+    assert(out(2L) == ((1L, 3L, false)))
+    assert(out(3L) == ((1L, 3L, true)))
+    // singletons cluster to themselves and are kept
+    assert(out(4L) == ((4L, 1L, true)))
+    assert(out(5L) == ((5L, 1L, true)))
+    assert(out(6L) == ((6L, 1L, true)))
+  }
+
+  test("IVF top-k: probed-cell results carry exact cosines; full probe = brute force") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(vecs, queries, k = 5).collect()
+    val bruteMap = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val ivf = Similarity.ivfTopK(vecs, queries, k = 5, nCells = 8, nProbe = 2).collect()
+    assert(ivf.nonEmpty, "IVF must produce candidates at 8 cells / 2 probes")
+    // every IVF hit's cosine is the exact cosine (re-rank is exact)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteMap.get(key).foreach(exact => assert(math.abs(exact - r.getDouble(2)) < 1e-9))
+    }
+
+    // probing ALL cells degenerates to exact brute-force top-k
+    val full = Similarity.ivfTopK(vecs, queries, k = 5, nCells = 8, nProbe = 8).collect()
+    assert(full.length == brute.length)
+    val fullSet = full.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(fullSet == bruteSet, "nProbe = nCells must equal brute force")
+  }
+
   test("guardrail drops are observable, not silent") {
     import spark.implicits._
     // 30 identical docs → every (band, bucket) is hot at maxBucket = 10
