@@ -73,4 +73,163 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprint(col(textCol)))
       .withColumn("pred_lang", langId(col(textCol)))
       .withColumn("quality", qualityScore(col(textCol)))
+
+  /**
+   * Gopher-style repetition signals (Rae et al. 2021 §A1.1): per document,
+   *  - `dup_line_frac` / `dup_line_char_frac`: fraction of lines (and of
+   *    their characters) that are repeats of an earlier identical line;
+   *  - `top_2gram_char_frac` / `top_3gram_char_frac`: characters covered by
+   *    the most frequent word n-gram (occurrences × n-gram length / doc
+   *    length);
+   *  - `dup_5gram_char_frac`: characters covered by 5-grams occurring more
+   *    than once (overlaps counted per occurrence, so boilerplate-heavy
+   *    docs can exceed 1 — threshold accordingly).
+   *
+   * The n-gram tallies run as explode → partial-agg groupBy on
+   * (doc, n, gram) — the 100 TB shape (map-side combine, one shuffle keyed
+   * by gram), NOT a per-row O(tokens²) most-frequent-element lambda.
+   *
+   * @return (idCol, n_chars, dup_line_frac, dup_line_char_frac,
+   *         top_2gram_char_frac, top_3gram_char_frac, dup_5gram_char_frac)
+   */
+  def repetitionSignals(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = docs.select(
+      col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      split(col(textCol), "\n").as("lines"))
+    val lineSignals = lines
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_dlines", size(array_distinct(col("lines"))).cast("long"))
+      .withColumn("chars_all", expr(
+        "aggregate(transform(lines, l -> length(l)), 0L, (s, v) -> s + v)"))
+      .withColumn("chars_distinct", expr(
+        "aggregate(transform(array_distinct(lines), l -> length(l)), 0L, (s, v) -> s + v)"))
+      .select(
+        col("id"), col("n_chars"),
+        round((col("n_lines") - col("n_dlines")).cast("double") /
+          greatest(col("n_lines"), lit(1L)), 6).as("dup_line_frac"),
+        round((col("chars_all") - col("chars_distinct")).cast("double") /
+          greatest(col("n_chars"), lit(1L)), 6).as("dup_line_char_frac"))
+
+    def gramDf(n: Int) = docs.select(
+      col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("nc"),
+      lit(n).as("n"),
+      explode(Dedup.shingles(textCol, n)).as("g"))
+    val counted = gramDf(2)
+      .unionByName(gramDf(3))
+      .unionByName(gramDf(5))
+      .groupBy("id", "n", "g")
+      .agg(count(lit(1)).as("cnt"), first(col("nc")).as("nc"))
+    def topFrac(n: Int) = round(
+      coalesce(max(when(col("n") === n, col("cnt") * length(col("g")))), lit(0L))
+        .cast("double") / greatest(first(col("nc")), lit(1L)), 6)
+    val gramSignals = counted
+      .groupBy("id")
+      .agg(
+        topFrac(2).as("top_2gram_char_frac"),
+        topFrac(3).as("top_3gram_char_frac"),
+        round(
+          coalesce(sum(when(col("n") === 5 && col("cnt") >= 2, col("cnt") * length(col("g")))),
+            lit(0L)).cast("double") / greatest(first(col("nc")), lit(1L)), 6)
+          .as("dup_5gram_char_frac"))
+
+    lineSignals
+      .join(gramSignals, Seq("id"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** The stopwords Gopher's "minimum stopword" rule checks for. */
+  private val gopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style word-level quality signals and the combined pass rule
+   * (Rae et al. 2021 §A1.1): word count in [minWords, maxWords], mean word
+   * length in [3, 10], symbol-to-word ratio (# and …) < 0.1, < 90% of
+   * lines bullet-led, < 30% ellipsis-ended, > 80% of words with an
+   * alphabetic character, ≥ 2 of the 8 required stopwords present.
+   * All pure column expressions.
+   */
+  def gopherSignals(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Long = 50L,
+      maxWords: Long = 100000L): DataFrame = {
+    val words = split(col(textCol), "\\s+")
+    val lines = split(col(textCol), "\n")
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val nWords = size(words).cast("long")
+    val out = docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(
+        expr(s"aggregate(transform(split($textCol, '\\\\s+'), w -> length(w)), 0L, (s, v) -> s + v)")
+          .cast("double") / greatest(nWords, lit(1L)), 6).as("mean_word_len"),
+      round(
+        (regexp_count(col(textCol), lit("#")) +
+          regexp_count(col(textCol), lit("\\.\\.\\.")) +
+          regexp_count(col(textCol), lit("…"))).cast("double") /
+          greatest(nWords, lit(1L)), 6).as("symbol_word_ratio"),
+      round(
+        expr(s"size(filter(split($textCol, '\n'), l -> trim(l) rlike '^[-*•]'))")
+          .cast("double") / greatest(size(lines), lit(1)), 6).as("bullet_line_frac"),
+      round(
+        expr(s"size(filter(split($textCol, '\n'), l -> l rlike '\\\\.\\\\.\\\\.$$|…$$'))")
+          .cast("double") / greatest(size(lines), lit(1)), 6).as("ellipsis_line_frac"),
+      round(
+        expr(s"size(filter(split($textCol, '\\\\s+'), w -> w rlike '[a-zA-Z]'))")
+          .cast("double") / greatest(nWords, lit(1L)), 6).as("alpha_word_frac"),
+      gopherStopwords
+        .map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+        .reduce(_ + _).cast("long").as("stopword_hits"))
+    out.withColumn(
+      "gopher_pass",
+      col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_word_ratio") < 0.1 &&
+        col("bullet_line_frac") < 0.9 &&
+        col("ellipsis_line_frac") < 0.3 &&
+        col("alpha_word_frac") > 0.8 &&
+        col("stopword_hits") >= 2L)
+  }
+
+  /**
+   * C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep lines with
+   * at least `minWordsPerLine` words that (optionally) end in terminal
+   * punctuation, and drop lines containing a curly brace, "lorem ipsum" or
+   * "javascript". Returns the document with its cleaned text and the
+   * kept/total line accounting (the drops are the observable, per the
+   * repo-wide guardrail rule).
+   *
+   * @return (idCol, n_lines, n_kept, clean_text)
+   */
+  def c4Clean(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWordsPerLine: Int = 5,
+      requireTerminalPunct: Boolean = true): DataFrame = {
+    val punctCond =
+      if (requireTerminalPunct) " AND trim(l) rlike '[.!?\"]$'" else ""
+    // plain-string concatenation: Scala "\\n"/"\\\\s+" emit the SQL
+    // literals '\n'/'\\s+', which the SQL parser unescapes to a newline
+    // and the \s+ regex (the s-interpolator would process escapes even in
+    // triple quotes and mangle the double backslash)
+    val keepExpr =
+      "filter(split(" + textCol + ", '\\n'), " +
+        "l -> size(split(trim(l), '\\\\s+')) >= " + minWordsPerLine +
+        punctCond +
+        " AND NOT l like '%{%' AND NOT lower(l) like '%lorem ipsum%'" +
+        " AND NOT lower(l) like '%javascript%')"
+    docs.select(
+      col(idCol),
+      size(split(col(textCol), "\n")).cast("long").as("n_lines"),
+      size(expr(keepExpr)).cast("long").as("n_kept"),
+      array_join(expr(keepExpr), "\n").as("clean_text"))
+  }
 }

@@ -1889,6 +1889,113 @@ object Queries {
           |FROM documents""".stripMargin)),
 
     (
+      "q_text_repetition",
+      // Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate
+      // lines + top/duplicated word-n-gram character coverage; the n-gram
+      // tallies are explode → partial-agg groupBy (map-side combine), not
+      // per-row quadratic lambdas
+      (s, d) => TextAnalysis.repetitionSignals(t(s, d, "documents")),
+      Some(
+        """WITH base AS MATERIALIZED (
+          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          |         string_split(text, chr(10)) AS lines,
+          |         regexp_split_to_array(text, '\s+') AS tk
+          |  FROM documents),
+          |linesig AS (
+          |  SELECT doc_id, n_chars,
+          |    round((len(lines) - len(list_distinct(lines))) * 1.0
+          |          / greatest(len(lines), 1), 6) AS dup_line_frac,
+          |    round((list_sum(list_transform(lines, l -> length(l)))
+          |           - list_sum(list_transform(list_distinct(lines), l -> length(l)))) * 1.0
+          |          / greatest(n_chars, 1), 6) AS dup_line_char_frac
+          |  FROM base),
+          |grams AS MATERIALIZED (
+          |  SELECT doc_id, n_chars, ns.n AS n,
+          |    unnest(list_transform(range(1, greatest(len(tk) - ns.n, 0) + 2),
+          |      i -> array_to_string(tk[i:i+ns.n-1], ' '))) AS g
+          |  FROM base, (VALUES (2), (3), (5)) ns(n)),
+          |counted AS MATERIALIZED (
+          |  SELECT doc_id, n, g, count(*) AS cnt, first(n_chars) AS nc
+          |  FROM grams GROUP BY doc_id, n, g),
+          |gramsig AS (
+          |  SELECT doc_id,
+          |    round(coalesce(max(CASE WHEN n = 2 THEN cnt * length(g) END), 0) * 1.0
+          |          / greatest(first(nc), 1), 6) AS top_2gram_char_frac,
+          |    round(coalesce(max(CASE WHEN n = 3 THEN cnt * length(g) END), 0) * 1.0
+          |          / greatest(first(nc), 1), 6) AS top_3gram_char_frac,
+          |    round(coalesce(sum(CASE WHEN n = 5 AND cnt >= 2 THEN cnt * length(g) END), 0) * 1.0
+          |          / greatest(first(nc), 1), 6) AS dup_5gram_char_frac
+          |  FROM counted GROUP BY doc_id)
+          |SELECT l.doc_id, l.n_chars, l.dup_line_frac, l.dup_line_char_frac,
+          |       g.top_2gram_char_frac, g.top_3gram_char_frac, g.dup_5gram_char_frac
+          |FROM linesig l JOIN gramsig g USING (doc_id)""".stripMargin)),
+
+    (
+      "q_text_gopher",
+      // Gopher word-level quality rules + combined pass flag
+      (s, d) => TextAnalysis.gopherSignals(t(s, d, "documents")),
+      Some(
+        """WITH base AS MATERIALIZED (
+          |  SELECT doc_id, text,
+          |    regexp_split_to_array(text, '\s+') AS words,
+          |    string_split(text, chr(10)) AS lines,
+          |    ' ' || lower(text) || ' ' AS padded
+          |  FROM documents),
+          |sig AS (
+          |  SELECT doc_id,
+          |    CAST(len(words) AS BIGINT) AS n_words,
+          |    round(list_sum(list_transform(words, w -> length(w))) * 1.0
+          |          / greatest(len(words), 1), 6) AS mean_word_len,
+          |    round((len(regexp_extract_all(text, '#'))
+          |           + len(regexp_extract_all(text, '\.\.\.'))
+          |           + len(regexp_extract_all(text, '…'))) * 1.0
+          |          / greatest(len(words), 1), 6) AS symbol_word_ratio,
+          |    round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0
+          |          / greatest(len(lines), 1), 6) AS bullet_line_frac,
+          |    round(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$|…$'))) * 1.0
+          |          / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+          |    round(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0
+          |          / greatest(len(words), 1), 6) AS alpha_word_frac,
+          |    CAST((CASE WHEN contains(padded, ' the ') THEN 1 ELSE 0 END
+          |        + CASE WHEN contains(padded, ' be ') THEN 1 ELSE 0 END
+          |        + CASE WHEN contains(padded, ' to ') THEN 1 ELSE 0 END
+          |        + CASE WHEN contains(padded, ' of ') THEN 1 ELSE 0 END
+          |        + CASE WHEN contains(padded, ' and ') THEN 1 ELSE 0 END
+          |        + CASE WHEN contains(padded, ' that ') THEN 1 ELSE 0 END
+          |        + CASE WHEN contains(padded, ' have ') THEN 1 ELSE 0 END
+          |        + CASE WHEN contains(padded, ' with ') THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS stopword_hits
+          |  FROM base)
+          |SELECT *,
+          |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+          |   AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+          |   AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+          |   AND stopword_hits >= 2) AS gopher_pass
+          |FROM sig""".stripMargin)),
+
+    (
+      "q_text_c4_clean",
+      // C4-style line filter; the synthetic documents have no newlines or
+      // terminal punctuation, so the oracle instance gates on word count
+      // only (minWords=40 over the 1-line docs → informative variance);
+      // the full punctuation/junk rules are covered by MlSpec
+      (s, d) => TextAnalysis.c4Clean(
+        t(s, d, "documents"), minWordsPerLine = 40, requireTerminalPunct = false),
+      Some(
+        """WITH k AS (
+          |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+          |    list_filter(string_split(text, chr(10)), l ->
+          |      len(regexp_split_to_array(trim(l), '\s+')) >= 40
+          |      AND NOT contains(l, '{')
+          |      AND NOT contains(lower(l), 'lorem ipsum')
+          |      AND NOT contains(lower(l), 'javascript')) AS kept
+          |  FROM documents)
+          |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+          |       CAST(len(kept) AS BIGINT) AS n_kept,
+          |       coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+          |FROM k""".stripMargin)),
+
+    (
       "q_pipeline_corpus",
       // a composed training-data pipeline as ONE declarative plan: exact
       // dedup (normalized fingerprint, min doc_id survives) → language

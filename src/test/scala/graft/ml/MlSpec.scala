@@ -126,6 +126,56 @@ class MlSpec extends SparkSpec {
     assert(fullSet == bruteSet, "nProbe = nCells must equal brute force")
   }
 
+  test("repetition signals: duplicate lines and boilerplate n-grams") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "a b\na b\nc d"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(d).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    // doc 2: 3 lines, "a b" repeated → dup_line_frac 1/3; dup chars 3 of 11
+    assert(math.abs(r(2L).getAs[Double]("dup_line_frac") - 0.333333) < 1e-9)
+    assert(math.abs(r(2L).getAs[Double]("dup_line_char_frac") - 3.0 / 11).abs < 1e-5)
+    // doc 1: five identical "spam spam" 2-grams (9 chars) over 29 chars
+    assert(math.abs(r(1L).getAs[Double]("top_2gram_char_frac") - 45.0 / 29) < 1e-5)
+    // doc 1: two identical 5-grams (24 chars each)
+    assert(math.abs(r(1L).getAs[Double]("dup_5gram_char_frac") - 48.0 / 29) < 1e-5)
+    // doc 3: nothing repeats
+    assert(r(3L).getAs[Double]("dup_line_frac") == 0.0)
+    assert(r(3L).getAs[Double]("dup_5gram_char_frac") == 0.0)
+  }
+
+  test("gopher signals: pass rule accepts prose, rejects bullet spam") {
+    import spark.implicits._
+    val prose = (Seq.fill(10)("the quick brown fox jumps over and over with that energy").mkString(" "))
+    val bullets = (1 to 12).map(i => s"- bullet item number $i goes here with that and the").mkString("\n")
+    val d = Seq((1L, prose), (2L, bullets)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherSignals(d).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(r(1L).getAs[Long]("n_words") == 110L) // 11 words × 10 repeats
+    assert(r(1L).getAs[Long]("stopword_hits") >= 2L)
+    assert(r(1L).getAs[Boolean]("gopher_pass"), s"prose should pass: ${r(1L)}")
+    assert(r(2L).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(!r(2L).getAs[Boolean]("gopher_pass"), "bullet spam must fail")
+  }
+
+  test("c4 cleaning keeps punctuated >=5-word lines, drops junk") {
+    import spark.implicits._
+    val d = Seq((1L,
+      "This is a good sentence with punctuation.\n" +
+        "short line\n" +
+        "bad javascript line here right today.\n" +
+        "Another proper sentence appears right here.")).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(d).collect().head
+    assert(r.getAs[Long]("n_lines") == 4L)
+    assert(r.getAs[Long]("n_kept") == 2L)
+    val clean = r.getAs[String]("clean_text")
+    assert(clean.startsWith("This is a good") && clean.endsWith("right here."))
+    assert(!clean.contains("javascript") && !clean.contains("short line"))
+  }
+
   test("guardrail drops are observable, not silent") {
     import spark.implicits._
     // 30 identical docs → every (band, bucket) is hot at maxBucket = 10
