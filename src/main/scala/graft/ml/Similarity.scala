@@ -277,4 +277,117 @@ object Similarity {
         round(col("cos"), 6).as("cos"),
         col("rank").cast("long").as("rank"))
   }
+
+  /**
+   * Product-quantization ANN (Jégou et al., "Product Quantization for
+   * Nearest Neighbor Search", TPAMI 2011): vectors are split into `m`
+   * subspaces, each subspace quantized to the nearest of `kCodes`
+   * codewords (L2); a query computes one additive distance table per
+   * subspace (ADC) and scans only compact codes — `m` small ints per
+   * vector instead of the full embedding — then exact-reranks the
+   * `shortlist` best candidates by true cosine.
+   *
+   * Codewords are the subvectors of `kCodes` deterministically-sampled
+   * corpus rows (the same portable id-hash sample as [[ivfTopK]]'s
+   * pivots — no k-means training loop, so the whole pipeline is
+   * oracle-replayable; plug a trained codebook into the same joins for
+   * production recall).
+   *
+   * The 100 TB shape: the codebook is one broadcast (kCodes rows); the
+   * encode pass partial-aggregates map-side (shuffle carries one row per
+   * vector); the ADC scan is `m` broadcast hash joins over the code
+   * columns plus a fixed-order `d_0 + … + d_{m−1}` sum (kept as singleton
+   * conditional columns, NOT a float groupBy sum, so the addition order —
+   * and hence the replay — is deterministic).
+   *
+   * @return (query_id, neighbor_id, cos, rank) with rank ≤ k per query
+   */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 4,
+      kCodes: Int = 16,
+      shortlist: Int = 50,
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    val codeHash =
+      if (portable) expr(s"($idCol * 1103515245 + 12345) % 1000000007")
+      else xxhash64(lit(seed), col(idCol))
+    val codebook = broadcast(
+      corpus
+        .select(col(idCol).as("code_id"), col(vecCol).as("codev"), codeHash.as("h"))
+        .orderBy(col("h"), col("code_id"))
+        .limit(kCodes)
+        .withColumn("crank", row_number().over(Window.orderBy(col("h"), col("code_id"))))
+        .drop("h"))
+    // ^ the global-order window runs on kCodes rows only (post-limit)
+
+    /** Per-subspace squared L2 distances between `a` and `b` as an
+      * array<double> of length m (sub = dim/m consecutive components
+      * each; fixed-order left fold per subspace). */
+    def subDists(a: String, b: String): Column = expr(
+      s"transform(sequence(0, ${m - 1}), j -> aggregate(" +
+        s"zip_with(slice($a, j * (size($a) div $m) + 1, size($a) div $m), " +
+        s"slice($b, j * (size($a) div $m) + 1, size($a) div $m), " +
+        "(x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), " +
+        "cast(0.0 as double), (s, v) -> s + v))")
+
+    // encode: per corpus vector, per subspace, the argmin codeword; the
+    // min(struct(dist, crank)) aggregates partial map-side and breaks
+    // ties on the smaller code rank
+    val encDists = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .crossJoin(codebook)
+      .select(col("cid"), col("crank"), subDists("cv", "codev").as("ds"))
+    val codeCols = (0 until m).map(j =>
+      min(struct(col("ds").getItem(j).as("d"), col("crank").as("r")))
+        .getField("r").as(s"code_$j"))
+    val codes = encDists
+      .groupBy("cid")
+      .agg(codeCols.head, codeCols.tail: _*)
+
+    // query distance tables (ADC): per query × codeword, the m sub-dists
+    val dtab = broadcast(
+      queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .crossJoin(codebook)
+        .select(col("query_id"), col("qv"), col("crank"), subDists("qv", "codev").as("ds")))
+
+    // ADC scan: m broadcast lookups, one per code column; the approximate
+    // distance is the fixed-order sum of the m singleton columns
+    val scanned = (0 until m).foldLeft(codes) { (acc, j) =>
+      val lut = broadcast(dtab.select(
+        col("query_id"),
+        col("crank").as(s"code_$j"),
+        col("ds").getItem(j).as(s"d_$j")))
+      // the first lookup fans each corpus row out to the |queries| side;
+      // the rest join on (query_id, code_j)
+      acc.join(lut, if (j == 0) Seq(s"code_$j") else Seq("query_id", s"code_$j"))
+    }
+    val approx = scanned
+      .withColumn("approx_dist", (0 until m).map(j => col(s"d_$j")).reduce(_ + _))
+    val sw = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("cid"))
+    val short = approx
+      .filter(col("query_id") =!= col("cid"))
+      .withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("cid"))
+
+    // exact rerank of the shortlist
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    short
+      .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), Seq("cid"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("cid").as("neighbor_id"), cosine("qv", "cv").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(col("cos"), 6).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
 }

@@ -1853,6 +1853,77 @@ object Queries {
            |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
            |FROM ranked WHERE rank <= 5""".stripMargin)),
     (
+      "q_sim_pq_topk",
+      // product-quantization ANN (Jégou et al. 2011): 4 subspaces × 16
+      // sampled codewords, ADC shortlist 50, exact rerank top-5. The
+      // oracle replays codebook sampling, per-subspace argmin encoding,
+      // the additive distance tables and the rerank with IEEE-identical
+      // folds (fixed-order d0+d1+d2+d3, never a float groupBy sum).
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        Similarity.pqTopK(vecs, vecs.filter(col("vec_id") < 3), k = 5,
+          m = 4, kCodes = 16, shortlist = 50, portable = true)
+      },
+      Some {
+        def ds(a: String, b: String) =
+          s"""list_transform(range(0, 4), j -> list_sum(list_transform(
+             |      range(0, len($a)//4), i ->
+             |        (CAST($a[j*(len($a)//4)+i+1] AS DOUBLE)
+             |          - CAST($b[j*(len($a)//4)+i+1] AS DOUBLE))
+             |      * (CAST($a[j*(len($a)//4)+i+1] AS DOUBLE)
+             |          - CAST($b[j*(len($a)//4)+i+1] AS DOUBLE)))))""".stripMargin
+        s"""WITH cb AS MATERIALIZED (
+           |  SELECT code_id, codev, row_number() OVER (ORDER BY h, code_id) AS crank
+           |  FROM (SELECT vec_id AS code_id, embedding AS codev,
+           |          (vec_id * 1103515245 + 12345) % 1000000007 AS h
+           |        FROM embeddings ORDER BY h, code_id LIMIT 16)),
+           |encd AS MATERIALIZED (
+           |  SELECT c.vec_id AS cid, b.crank,
+           |    ${ds("c.embedding", "b.codev")} AS ds
+           |  FROM embeddings c, cb b),
+           |ecode AS MATERIALIZED (
+           |  SELECT cid, j, crank AS code FROM (
+           |    SELECT cid, t.j AS j, crank,
+           |      row_number() OVER (PARTITION BY cid, t.j ORDER BY ds[t.j+1], crank) AS rn
+           |    FROM encd, range(0, 4) t(j)) WHERE rn = 1),
+           |codes AS MATERIALIZED (
+           |  SELECT cid,
+           |    max(CASE WHEN j = 0 THEN code END) AS code_0,
+           |    max(CASE WHEN j = 1 THEN code END) AS code_1,
+           |    max(CASE WHEN j = 2 THEN code END) AS code_2,
+           |    max(CASE WHEN j = 3 THEN code END) AS code_3
+           |  FROM ecode GROUP BY cid),
+           |dtab AS MATERIALIZED (
+           |  SELECT q.vec_id AS query_id, b.crank,
+           |    ${ds("q.embedding", "b.codev")} AS ds
+           |  FROM embeddings q, cb b WHERE q.vec_id < 3),
+           |approx AS MATERIALIZED (
+           |  SELECT d0.query_id, c.cid,
+           |    d0.ds[1] + d1.ds[2] + d2.ds[3] + d3.ds[4] AS approx_dist
+           |  FROM codes c
+           |  JOIN dtab d0 ON d0.crank = c.code_0
+           |  JOIN dtab d1 ON d1.query_id = d0.query_id AND d1.crank = c.code_1
+           |  JOIN dtab d2 ON d2.query_id = d0.query_id AND d2.crank = c.code_2
+           |  JOIN dtab d3 ON d3.query_id = d0.query_id AND d3.crank = c.code_3
+           |  WHERE d0.query_id <> c.cid),
+           |short AS (
+           |  SELECT query_id, cid FROM (
+           |    SELECT query_id, cid,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, cid) AS srn
+           |    FROM approx) WHERE srn <= 50),
+           |scored AS (
+           |  SELECT s.query_id, s.cid AS neighbor_id, $cosineSql AS cos
+           |  FROM short s
+           |  JOIN embeddings qe ON qe.vec_id = s.query_id
+           |  JOIN embeddings ce ON ce.vec_id = s.cid),
+           |ranked AS (SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+           |FROM ranked WHERE rank <= 5""".stripMargin
+      }),
+    (
       "q_sim_cosine_neardup",
       // 8 bands × 4 bits at threshold 0.35: non-trivial candidate recall on
       // the synthetic embeddings (4×8 bands at 0.5 found nothing — a 0-row

@@ -126,6 +126,26 @@ class MlSpec extends SparkSpec {
     assert(fullSet == bruteSet, "nProbe = nCells must equal brute force")
   }
 
+  test("PQ top-k: ADC shortlist carries exact rerank cosines; full shortlist = brute force") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(vecs, queries, k = 5).collect()
+    val bruteMap = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val pq = Similarity.pqTopK(vecs, queries, k = 5, m = 4, kCodes = 8, shortlist = 50).collect()
+    assert(pq.length == 15, "3 queries × 5 with shortlist 50 over 500 vectors")
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteMap.get(key).foreach(exact => assert(math.abs(exact - r.getDouble(2)) < 1e-9))
+    }
+
+    // shortlist covering the whole corpus degenerates to exact brute force
+    val full = Similarity.pqTopK(vecs, queries, k = 5, m = 4, kCodes = 8, shortlist = 1000000).collect()
+    val fullSet = full.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(fullSet == bruteSet, "shortlist = corpus must equal brute force")
+  }
+
   test("repetition signals: duplicate lines and boilerplate n-grams") {
     import spark.implicits._
     val d = Seq(
