@@ -54,6 +54,18 @@ object GraftSqlInternals {
     }
   }
 
+  /** Wrap a Catalyst [[catalyst.expressions.Expression]] as a user-facing
+    * [[Column]] (Spark 4 moved Column onto ColumnNode, so the classic
+    * `new Column(expr)` constructor is gone; `ExpressionUtils.column` is the
+    * supported internal bridge). Used by `graft.functions` to expose native
+    * codegen expressions without a per-session FunctionRegistry round-trip. */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Inverse bridge: the Catalyst expression behind a classic [[Column]]. */
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** The materialized RDD behind a (checkpointed) LogicalRDD plan, if any —
     * used by the superstep runner to unpersist the previous superstep's
     * state eagerly. Waiting for the ContextCleaner instead lets cached
