@@ -65,6 +65,31 @@ object TextSearch {
     page.limit(limit)
   }
 
+  /** Keyset-paginated conjunctive search: the next `limit` matches with
+    * `id > afterId` (pass the last id of the previous page; None = first
+    * page). Deep paging the offset way still sorts and skips every
+    * preceding match; here the cursor is a plain filter on the postings
+    * scan — it prunes BELOW the group-by, so page 10⁶ costs the same
+    * bounded top-k as page 1. Mirrors Tantivy's searcher resuming from a
+    * doc-id cursor rather than re-walking skipped hits. */
+  def searchAllAfter(
+      index: DataFrame,
+      terms: Seq[String],
+      limit: Int,
+      afterId: Option[Any] = None): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val uniq = terms.map(_.toLowerCase).distinct
+    val base = index.filter(col("term").isin(uniq: _*))
+    val pruned = afterId.fold(base)(a => base.filter(col("id") > lit(a)))
+    pruned
+      .groupBy("id")
+      .agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") === uniq.length)
+      .select("id")
+      .orderBy("id")
+      .limit(limit)
+  }
+
   // ---- composite / prefix / fuzzy search (searcher.rs:30-62 parity) ----
 
   /** One term clause of a composite query — Tantivy's term / prefix /

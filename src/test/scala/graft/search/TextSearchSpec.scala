@@ -35,6 +35,30 @@ class TextSearchSpec extends SparkSpec {
     assert(page1 == Seq(1L) && page2 == Seq(2L))
   }
 
+  test("keyset pagination walks the same pages as offset, cursor prunes the scan") {
+    val idx = TextSearch.buildIndex(corpus, "doc_id", "text")
+    val page1 = TextSearch.searchAllAfter(idx, Seq("quick"), limit = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(page1 == Seq(1L))
+    val page2 = TextSearch.searchAllAfter(idx, Seq("quick"), limit = 1, afterId = Some(page1.last))
+      .collect().map(_.getLong(0)).toSeq
+    assert(page2 == Seq(2L))
+    val page3 = TextSearch.searchAllAfter(idx, Seq("quick"), limit = 1, afterId = Some(page2.last))
+      .collect().map(_.getLong(0)).toSeq
+    assert(page3.isEmpty)
+    // the cursor is a pushable filter: on a parquet-backed index it must
+    // reach the scan as a pushed filter (below the aggregate, below the
+    // shuffle), so deep pages prune at the source
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts-keyset").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val diskIdx = spark.read.parquet(dir)
+    val physical = TextSearch.searchAllAfter(diskIdx, Seq("quick"), limit = 1, afterId = Some(1L))
+      .queryExecution.executedPlan.toString
+    assert(
+      physical.contains("GreaterThan(id,1)"),
+      s"cursor not pushed to the parquet scan:\n$physical")
+  }
+
   test("composite search: property filter + exact/prefix/fuzzy clauses (searcher.rs parity)") {
     import org.apache.spark.sql.functions._
     import TextSearch.TermQuery._
