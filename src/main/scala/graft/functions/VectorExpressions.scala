@@ -51,32 +51,88 @@ object VectorExpressions {
 
   def cosineSim(a: String, b: String): Column = cosineSim(col(a), col(b))
 
-  /** Register `graft_cosine(a, b)` in a session's function registry so the
-    * kernel is reachable from `spark.sql(...)` text too. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_cosine"),
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.{BooleanType, IntegerType => IntT, LongType => LongT}
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntT) => v
+    case Literal(v: Long, LongT) => v.toInt
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntT) => v.toLong
+    case Literal(v: Long, LongT) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+  private def litBool(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case _ => throw new IllegalArgumentException(s"$what must be a boolean literal")
+  }
+  private def arity(children: Seq[Expression], n: Int, sig: String): Unit =
+    require(children.size == n, s"$sig takes exactly $n arguments")
+
+  /** Every native kernel as a SQL-registrable (name, info, builder) triple —
+    * shared by [[register]] and [[GraftExtensions]]. Config arguments
+    * (hash counts, seeds, family flags) must be literals: they are
+    * constructor parameters of the expression, fixed at plan time. */
+  private[functions] val sqlFunctions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => {
-        require(children.size == 2, "graft_cosine(a, b) takes exactly two arguments")
-        CosineSimilarity(children.head, children(1))
-      })
+      (c: Seq[Expression]) => {
+        arity(c, 2, "graft_cosine(a, b)")
+        CosineSimilarity(c.head, c(1))
+      }),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (c: Seq[Expression]) => {
+        arity(c, 3, "graft_minhash(baseHashes, numHashes, portable)")
+        MinHashSignature(c.head, litInt(c(1), "numHashes"), litBool(c(2), "portable"))
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (c: Seq[Expression]) => {
+        arity(c, 2, "graft_simhash(tokenHashes, portable)")
+        SimHash64(c.head, litBool(c(1), "portable"))
+      }),
+    (FunctionIdentifier("graft_plane_sig"),
+      new ExpressionInfo(classOf[PlaneSignature].getName, "graft_plane_sig"),
+      (c: Seq[Expression]) => {
+        arity(c, 5, "graft_plane_sig(vec, band, bits, seed, portable)")
+        PlaneSignature(c.head, c(1), litInt(c(2), "bits"), litLong(c(3), "seed"),
+          litBool(c(4), "portable"))
+      }),
+    (FunctionIdentifier("graft_hash_embed"),
+      new ExpressionInfo(classOf[HashEmbed].getName, "graft_hash_embed"),
+      (c: Seq[Expression]) => {
+        arity(c, 4, "graft_hash_embed(tokenValues, dim, seed, portable)")
+        HashEmbed(c.head, litInt(c(1), "dim"), litLong(c(2), "seed"), litBool(c(3), "portable"))
+      }),
+    (FunctionIdentifier("graft_eq_count"),
+      new ExpressionInfo(classOf[ArrayEqCount].getName, "graft_eq_count"),
+      (c: Seq[Expression]) => {
+        arity(c, 2, "graft_eq_count(a, b)")
+        ArrayEqCount(c.head, c(1))
+      }))
+
+  /** Register every native kernel (`graft_cosine`, `graft_minhash`,
+    * `graft_simhash`, `graft_plane_sig`, `graft_hash_embed`,
+    * `graft_eq_count`) in a session's function registry so they are
+    * reachable from `spark.sql(...)` text too. */
+  def register(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
 /** `SparkSessionExtensions` installer — enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`;
-  * injects the native vector kernels into every session built from that
+  * injects the native kernels into every session built from that
   * config (the spark-submit / cluster path, where calling
   * [[VectorExpressions.register]] by hand is awkward). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => {
-        require(children.size == 2, "graft_cosine(a, b) takes exactly two arguments")
-        CosineSimilarity(children.head, children(1))
-      }))
+    VectorExpressions.sqlFunctions.foreach(ext.injectFunction)
 }
 
 /**

@@ -55,7 +55,7 @@ object Dedup {
   val PolyBandP = 998244353L
 
   /** SQL for the polynomial character hash of string expression `s`. */
-  private[ml] def polyHashSql(s: String): String =
+  private[graft] def polyHashSql(s: String): String =
     s"aggregate(split($s, ''), cast(0 as bigint), " +
       s"(acc, c) -> (acc * 31 + pmod(ascii(c), 65536)) % $PolyP)"
 
@@ -83,17 +83,25 @@ object Dedup {
     val baseExpr =
       if (portable) s"transform(__shingles, s -> ${polyHashSql("s")})"
       else "transform(__shingles, s -> xxhash64(s))"
-    val minhashExpr =
-      if (portable)
-        s"transform(sequence(0, ${numHashes - 1}), h -> array_min(" +
-          s"transform(__hs, x -> ((1 + h * 1000003) * x + h * 999983 + 12345) % $PolyP)))"
-      else
-        s"transform(sequence(0, ${numHashes - 1}), " +
-          "h -> array_min(transform(__hs, x -> xxhash64(x, h))))"
     sh.withColumn("__hs", expr(baseExpr))
-      .withColumn("minhash", expr(minhashExpr))
+      .withColumn(
+        "minhash",
+        graft.functions.HashExpressions.minHashSig(col("__hs"), numHashes, portable))
       .drop("__shingles", "__hs")
   }
+
+  /** The composed-builtins MinHash family the native kernel replaced —
+    * retained as the executable spec of
+    * [[graft.functions.MinHashSignature]]'s numeric contract (bit-identity
+    * asserted in `HashExpressionsSpec`). Expects the base-hash array bound
+    * as `__hs`. */
+  private[graft] def minHashSigSql(numHashes: Int, portable: Boolean): String =
+    if (portable)
+      s"transform(sequence(0, ${numHashes - 1}), h -> array_min(" +
+        s"transform(__hs, x -> ((1 + h * 1000003) * x + h * 999983 + 12345) % $PolyP)))"
+    else
+      s"transform(sequence(0, ${numHashes - 1}), " +
+        "h -> array_min(transform(__hs, x -> xxhash64(x, h))))"
 
   /**
    * MinHash + LSH near-duplicate candidate pairs: split the signature into
@@ -193,7 +201,8 @@ object Dedup {
       .select(
         least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"),
-        (expr("size(filter(zip_with(mha, mhb, (x, y) -> x = y), v -> v))")
+        // native eqCount == size(filter(zip_with(mha, mhb, (x,y) -> x = y), v -> v))
+        (graft.functions.HashExpressions.eqCount(col("mha"), col("mhb"))
           .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .groupBy("a", "b")
@@ -206,45 +215,45 @@ object Dedup {
    * few bits (compare with `bit_count(a ^ b)` ≤ k).
    * @return docs with a `simhash` long column.
    */
-  def withSimHash(docs: DataFrame, textCol: String = "text", portable: Boolean = false): DataFrame =
-    if (portable) {
-      // 63 bits (bit 63 would need signed-overflow shifts DuckDB rejects);
-      // per-token bit b = ((H·(2b+17) + 7919) mod P) mod 2 over the
-      // polynomial token hash H, computed ONCE per token — a hash family
-      // both engines evaluate identically (oracle-replayable).
-      docs
-        .withColumn(
-          "__th",
-          expr(s"transform(split($textCol, '\\\\s+'), tok -> ${polyHashSql("tok")})"))
-        .withColumn(
-          "simhash",
-          expr(
-            s"""aggregate(
-               |  sequence(0, 62),
-               |  cast(0 as bigint),
-               |  (acc, bit) -> acc + CASE WHEN
-               |    aggregate(__th, 0,
-               |      (v, h) -> v + CASE WHEN pmod(h * (2 * bit + 17) + 7919, $PolyP) % 2 = 1
-               |                      THEN 1 ELSE -1 END) > 0
-               |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin))
-        .drop("__th")
-    } else
-      // token hash hoisted out of the bit loop (identical values — pure
-      // CSE): the naive form re-split and re-hashed every token 64×
-      docs
-        .withColumn("__th", expr(s"transform(split($textCol, '\\\\s+'), tok -> xxhash64(tok))"))
-        .withColumn(
-          "simhash",
-          expr(
-            s"""aggregate(
-               |  sequence(0, 63),
-               |  cast(0 as bigint),
-               |  (acc, bit) -> acc + CASE WHEN
-               |    aggregate(__th, 0,
-               |      (v, h) -> v + CASE WHEN (shiftright(h, bit) & 1) = 1
-               |                      THEN 1 ELSE -1 END) > 0
-               |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin))
-        .drop("__th")
+  def withSimHash(docs: DataFrame, textCol: String = "text", portable: Boolean = false): DataFrame = {
+    // portable: 63 bits (bit 63 would need signed-overflow shifts DuckDB
+    // rejects); per-token bit b = ((H·(2b+17) + 7919) mod P) mod 2 over the
+    // polynomial token hash H — a family both engines evaluate identically
+    // (oracle-replayable). Default: xxhash64 token hash, vote by bit b.
+    // The token hash is computed ONCE per token; the per-bit vote fold runs
+    // in the native [[graft.functions.SimHash64]] kernel (one pass over the
+    // tokens with 63/64 counters instead of a per-bit token re-scan).
+    val thExpr =
+      if (portable) s"transform(split($textCol, '\\\\s+'), tok -> ${polyHashSql("tok")})"
+      else s"transform(split($textCol, '\\\\s+'), tok -> xxhash64(tok))"
+    docs
+      .withColumn("__th", expr(thExpr))
+      .withColumn("simhash", graft.functions.HashExpressions.simHash(col("__th"), portable))
+      .drop("__th")
+  }
+
+  /** The composed-builtins SimHash vote the native kernel replaced — the
+    * executable spec for `HashExpressionsSpec`'s bit-identity check.
+    * Expects the token-hash array bound as `__th`. */
+  private[graft] def simHashSql(portable: Boolean): String =
+    if (portable)
+      s"""aggregate(
+         |  sequence(0, 62),
+         |  cast(0 as bigint),
+         |  (acc, bit) -> acc + CASE WHEN
+         |    aggregate(__th, 0,
+         |      (v, h) -> v + CASE WHEN pmod(h * (2 * bit + 17) + 7919, $PolyP) % 2 = 1
+         |                      THEN 1 ELSE -1 END) > 0
+         |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin
+    else
+      s"""aggregate(
+         |  sequence(0, 63),
+         |  cast(0 as bigint),
+         |  (acc, bit) -> acc + CASE WHEN
+         |    aggregate(__th, 0,
+         |      (v, h) -> v + CASE WHEN (shiftright(h, bit) & 1) = 1
+         |                      THEN 1 ELSE -1 END) > 0
+         |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin
 
   /** Pigeonhole segment layout for [[simHashPairs]]: (index, startBit,
     * mask) for maxHamming+1 segments over the 64-bit fingerprint —

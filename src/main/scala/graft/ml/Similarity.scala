@@ -65,7 +65,9 @@ object Similarity {
        |    THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END)""".stripMargin
   }
 
-  private def bandedSig(
+  /** The composed-builtins banded-signature column the native kernel
+    * replaced — executable spec for `HashExpressionsSpec`. */
+  private[graft] def bandedSigSql(
       vecCol: String,
       bands: Int,
       bits: Int,
@@ -74,6 +76,23 @@ object Similarity {
     explode(
       expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, 'sig', " +
         planeSigSql(vecCol, bits, seed, portable) + "))"))
+
+  /** Adds (band, sig) rows per input row: band exploded from
+    * sequence(0, bands-1), sig from the native
+    * [[graft.functions.PlaneSignature]] kernel (bit-identical to
+    * [[bandedSigSql]]; one fused loop instead of a bits × dim interpreted
+    * lambda pyramid per band). */
+  private def withBandedSig(
+      df: DataFrame,
+      vecCol: String,
+      bands: Int,
+      bits: Int,
+      seed: Long,
+      portable: Boolean): DataFrame =
+    df.withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
+      .withColumn(
+        "sig",
+        graft.functions.HashExpressions.planeSig(col(vecCol), col("band"), bits, seed, portable))
 
   /**
    * Exact top-k cosine neighbours for each query vector.
@@ -120,15 +139,9 @@ object Similarity {
       seed: Long = 42L,
       portable: Boolean = false): DataFrame = {
     def signed(df: DataFrame, side: String): DataFrame =
-      df.select(
-        col(idCol).as(s"${side}_id"),
-        col(vecCol).as(s"${side}_v"),
-        bandedSig(vecCol, bands, bitsPerBand, seed, portable).as("bs"))
-        .select(
-          col(s"${side}_id"),
-          col(s"${side}_v"),
-          col("bs.band").as("band"),
-          col("bs.sig").as("sig"))
+      withBandedSig(
+        df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_v")),
+        s"${side}_v", bands, bitsPerBand, seed, portable)
 
     val c = signed(corpus, "neighbor")
     val q = broadcast(signed(queries, "query"))
@@ -157,11 +170,9 @@ object Similarity {
       bitsPerBand: Int,
       seed: Long,
       portable: Boolean = false): DataFrame =
-    corpus.select(
-      col(idCol).as("id"),
-      col(vecCol).as("v"),
-      bandedSig(vecCol, bands, bitsPerBand, seed, portable).as("bs"))
-      .select(col("id"), col("v"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    withBandedSig(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+      "v", bands, bitsPerBand, seed, portable)
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "sig")))
 
   /** Guardrail accounting for [[cosineNearDupPairs]]: the (band, sig,

@@ -58,10 +58,17 @@ final case class HashEmbedder(dim: Int = 16, seed: Long = 42L, portable: Boolean
        |         (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % 1000000007L))""".stripMargin
 
   def embed(docCol: String): Column =
-    // token values bound ONCE via a single-element transform lambda —
-    // inlining tokenValuesSql in the per-dimension lambda would re-tokenize
-    // and re-hash the whole text dim times per document (value-identical
-    // hoist; the DuckDB replay is unaffected)
+    // the token-value array is the single child of the native projection
+    // kernel, so tokenization+hashing run once per document and the
+    // dim × tokens accumulation is one fused generated loop
+    // (bit-identical to [[embedSql]] — same index-order double folds;
+    // asserted in HashExpressionsSpec; the DuckDB replay is unaffected)
+    graft.functions.HashExpressions.hashEmbed(
+      expr(tokenValuesSql(docCol)), dim, seed, portable)
+
+  /** The composed-builtins form [[embed]] replaced — executable spec for
+    * the kernel's bit-identity test. */
+  private[graft] def embedSql(docCol: String): Column =
     expr(
       s"""element_at(transform(array(${tokenValuesSql(docCol)}), tv ->
          |  transform(sequence(0, ${dim - 1}), i ->
