@@ -218,6 +218,9 @@ object Bench {
     val (_, tMinhash) = time(
       graft.ml.Dedup.minHashLsh(docs, threshold = 0.4).count())
     results += "dedup_minhash_lsh" -> tMinhash
+    val (_, tSpans) = time(
+      graft.ml.Dedup.duplicateSpans(docs, minTokens = 8, minDocs = 2).count())
+    results += "dedup_substring_spans" -> tSpans
     val (_, tAnalyze) = time(graft.ml.TextAnalysis.analyze(docs).count())
     results += "text_analyze" -> tAnalyze
     val (idx, tIdx) = time {

@@ -108,6 +108,12 @@ object VectorExpressions {
         arity(c, 4, "graft_hash_embed(tokenValues, dim, seed, portable)")
         HashEmbed(c.head, litInt(c(1), "dim"), litLong(c(2), "seed"), litBool(c(3), "portable"))
       }),
+    (FunctionIdentifier("graft_window_hashes"),
+      new ExpressionInfo(classOf[WindowHashes].getName, "graft_window_hashes"),
+      (c: Seq[Expression]) => {
+        arity(c, 3, "graft_window_hashes(tokenHashes, width, portable)")
+        WindowHashes(c.head, litInt(c(1), "width"), litBool(c(2), "portable"))
+      }),
     (FunctionIdentifier("graft_eq_count"),
       new ExpressionInfo(classOf[ArrayEqCount].getName, "graft_eq_count"),
       (c: Seq[Expression]) => {

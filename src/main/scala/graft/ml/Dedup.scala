@@ -223,11 +223,8 @@ object Dedup {
     // The token hash is computed ONCE per token; the per-bit vote fold runs
     // in the native [[graft.functions.SimHash64]] kernel (one pass over the
     // tokens with 63/64 counters instead of a per-bit token re-scan).
-    val thExpr =
-      if (portable) s"transform(split($textCol, '\\\\s+'), tok -> ${polyHashSql("tok")})"
-      else s"transform(split($textCol, '\\\\s+'), tok -> xxhash64(tok))"
     docs
-      .withColumn("__th", expr(thExpr))
+      .withColumn("__th", expr(tokenHashesExpr(textCol, portable)))
       .withColumn("simhash", graft.functions.HashExpressions.simHash(col("__th"), portable))
       .drop("__th")
   }
@@ -368,6 +365,165 @@ object Dedup {
           size(array_intersect(col("sha"), col("shb"))).cast("double") /
             greatest(size(array_union(col("sha"), col("shb"))), lit(1)),
           6).as("jaccard"))
+  }
+
+  /** Token-hash array expression shared by [[withSimHash]] and
+    * [[duplicateSpans]]. */
+  private def tokenHashesExpr(textCol: String, portable: Boolean): String =
+    if (portable) s"transform(split($textCol, '\\\\s+'), tok -> ${polyHashSql("tok")})"
+    else s"transform(split($textCol, '\\\\s+'), tok -> xxhash64(tok))"
+
+  /** The composed-builtins window-hash form the native
+    * [[graft.functions.WindowHashes]] kernel replaced — executable spec for
+    * `HashExpressionsSpec`'s bit-identity check. Expects the token-hash
+    * array bound as `__th`. */
+  private[graft] def windowHashesSql(width: Int, portable: Boolean): String =
+    if (portable)
+      // dual independent folds combined into one ~2^60 key (a single ~2^30
+      // modulus has expected birthday collisions at census scale)
+      s"""if(size(__th) >= $width,
+         |  transform(sequence(0, size(__th) - $width),
+         |    i -> aggregate(slice(__th, i + 1, $width),
+         |           named_struct('h1', cast(7 as bigint), 'h2', cast(11 as bigint)),
+         |           (acc, x) -> named_struct(
+         |             'h1', (acc.h1 * 31 + x) % $PolyP,
+         |             'h2', (acc.h2 * 37 + x) % $PolyBandP),
+         |           acc -> acc.h1 * $PolyBandP + acc.h2)),
+         |  cast(array() as array<bigint>))""".stripMargin
+    else
+      s"""if(size(__th) >= $width,
+         |  transform(sequence(0, size(__th) - $width),
+         |    i -> aggregate(slice(__th, i + 1, $width), cast(42 as bigint),
+         |           (acc, x) -> xxhash64(x, acc))),
+         |  cast(array() as array<bigint>))""".stripMargin
+
+  /**
+   * Exact duplicated-substring spans (the suffix-window analog of Lee et
+   * al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+   * every length-`minTokens` token window is hashed; a window is duplicated
+   * iff its hash occurs ≥ 2 times in the corpus (so `minDocs = 1` catches
+   * within-document repetition too) AND in ≥ `minDocs` distinct documents;
+   * per document,
+   * CONSECUTIVE duplicated window positions merge into maximal spans, so a
+   * duplicated passage of S tokens reports one span with
+   * `span_len = S = n_windows + minTokens − 1`.
+   *
+   * The 100 TB shape: the window census is ~one row per corpus token,
+   * exchanged ONCE on the window hash; boilerplate explosions aggregate to
+   * a count per hash (never a pair fan-out, so no bucket cap is needed —
+   * the hot-hash group is a partial-aggregated count); the hit side joins
+   * the same exchange (ReusedExchange under AQE); the span merge is a
+   * per-document ordered window over hit positions only.
+   *
+   * @return (doc_id, span_start, span_len, n_windows) — token offsets
+   */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Int = 8,
+      minDocs: Int = 2,
+      portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wh = docs
+      .withColumn("__th", expr(tokenHashesExpr(textCol, portable)))
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(graft.functions.HashExpressions.windowHashes(
+          col("__th"), minTokens, portable)).as(Seq("pos", "wh")))
+      .filter(col("wh").isNotNull)
+    val dupHashes = wh
+      .groupBy("wh")
+      .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= 2 && col("n_docs") >= minDocs)
+    val hits = wh.join(dupHashes.select("wh"), Seq("wh"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val running = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn(
+        "newSpan",
+        when(col("pos") - coalesce(lag("pos", 1).over(byDoc), lit(-2)) =!= 1, 1).otherwise(0))
+      .withColumn("island", sum("newSpan").over(running))
+      .groupBy("doc_id", "island")
+      .agg(
+        min("pos").cast("long").as("span_start"),
+        count(lit(1)).as("n_windows"))
+      .select(
+        col("doc_id"),
+        col("span_start"),
+        (col("n_windows") + (minTokens - 1)).as("span_len"),
+        col("n_windows"))
+  }
+
+  /**
+   * The action stage of exact substring dedup (Lee et al. 2021 §4: keep ONE
+   * occurrence of every duplicated passage, cut the rest): spans from
+   * [[duplicateSpans]] are grouped by span CONTENT (a dual-fold hash of the
+   * span's token hashes — identical passages have identical token streams),
+   * the lexicographically first occurrence (doc_id, span_start) is the
+   * canonical keeper, and every other occurrence's token range is removed
+   * from its document's token stream.
+   *
+   * Output text is the token stream re-joined with single spaces (the
+   * normalized form — original inter-token whitespace is not preserved).
+   *
+   * The 100 TB shape: spans are rare next to the corpus, so the removal
+   * list per document is a small array joined onto the docs table; the cut
+   * itself is one projection (`filter` over the token array against ≤ a few
+   * ranges — no per-token shuffle, no posexplode of the corpus).
+   *
+   * @return (doc_id, clean_text, removed_tokens)
+   */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Int = 8,
+      minDocs: Int = 2,
+      portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = duplicateSpans(docs, idCol, textCol, minTokens, minDocs, portable)
+    // span content hash over the span's token hashes (same families as the
+    // window census; dual fold for the portable key space)
+    val contentHash =
+      if (portable)
+        expr(
+          s"""aggregate(slice(__th, cast(span_start as int) + 1, cast(span_len as int)),
+             |  named_struct('h1', cast(7 as bigint), 'h2', cast(11 as bigint)),
+             |  (acc, x) -> named_struct(
+             |    'h1', (acc.h1 * 31 + x) % $PolyP,
+             |    'h2', (acc.h2 * 37 + x) % $PolyBandP),
+             |  acc -> acc.h1 * $PolyBandP + acc.h2)""".stripMargin)
+      else
+        expr(
+          s"""aggregate(slice(__th, cast(span_start as int) + 1, cast(span_len as int)),
+             |  cast(42 as bigint), (acc, x) -> xxhash64(x, acc))""".stripMargin)
+    val withCh = spans
+      .join(
+        docs.select(col(idCol).as("doc_id"), expr(tokenHashesExpr(textCol, portable)).as("__th")),
+        Seq("doc_id"))
+      .withColumn("ch", contentHash)
+    val byContent = Window.partitionBy("ch", "span_len").orderBy("doc_id", "span_start")
+    val removals = withCh
+      .withColumn("rn", row_number().over(byContent))
+      .filter(col("rn") > 1)
+      .groupBy("doc_id")
+      .agg(
+        collect_list(struct(col("span_start"), col("span_len"))).as("rm"),
+        sum("span_len").as("removed_tokens"))
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("tk"))
+      .join(removals, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("rm").isNull, expr("array_join(tk, ' ')"))
+          .otherwise(expr(
+            """array_join(transform(
+              |  filter(zip_with(tk, sequence(0, size(tk) - 1), (t, i) -> named_struct('t', t, 'i', i)),
+              |    p -> !exists(rm, r -> p.i >= r.span_start AND p.i < r.span_start + r.span_len)),
+              |  p -> p.t), ' ')""".stripMargin))
+          .as("clean_text"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
   }
 
   /**

@@ -1733,6 +1733,108 @@ object Queries {
            |GROUP BY l.doc_id, r.doc_id""".stripMargin
       }),
     (
+      "q_dedup_substring",
+      // exact duplicated-substring spans (Lee et al. 2021 analog): 8-token
+      // window census → ≥2-distinct-doc window hashes → per-doc maximal
+      // consecutive-window spans; DuckDB replays the portable rolling hash
+      // and the gaps-and-islands merge end to end
+      (s, d) => Dedup.duplicateSpans(
+        t(s, d, "documents"), minTokens = 8, minDocs = 2, portable = true),
+      Some(
+        s"""WITH th AS (
+           |  SELECT doc_id, list_transform(regexp_split_to_array(text, '\\s+'),
+           |    tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |             list_transform(string_split(tok, ''), c -> CAST(ascii(c) % 65536 AS BIGINT))),
+           |           (acc, c) -> (acc * 31 + c) % ${Dedup.PolyP})) AS th
+           |  FROM documents),
+           |pos AS (
+           |  SELECT doc_id, th, unnest(range(0, greatest(len(th) - 7, 0))) AS i FROM th),
+           |w AS (
+           |  SELECT doc_id, i AS pos,
+           |    list_reduce(list_prepend(CAST(7 AS BIGINT), th[CAST(i AS INT) + 1 : CAST(i AS INT) + 8]),
+           |      (acc, x) -> (acc * 31 + x) % ${Dedup.PolyP}) * ${Dedup.PolyBandP}
+           |    + list_reduce(list_prepend(CAST(11 AS BIGINT), th[CAST(i AS INT) + 1 : CAST(i AS INT) + 8]),
+           |      (acc, x) -> (acc * 37 + x) % ${Dedup.PolyBandP}) AS wh
+           |  FROM pos),
+           |dup AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+           |hits AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (wh)),
+           |isl AS (
+           |  SELECT doc_id, pos,
+           |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+           |      THEN 0 ELSE 1 END AS ns
+           |  FROM hits),
+           |isl2 AS (
+           |  SELECT doc_id, pos,
+           |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
+           |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           |  CAST(count(*) + 7 AS BIGINT) AS span_len,
+           |  CAST(count(*) AS BIGINT) AS n_windows
+           |FROM isl2 GROUP BY doc_id, island""".stripMargin)),
+    (
+      "q_dedup_substring_clean",
+      // the action stage: group equal-content spans, keep the first
+      // occurrence, cut the rest from the token stream — DuckDB replays
+      // census → spans → content grouping → canonical → token filter
+      (s, d) => Dedup.removeDuplicateSpans(
+        t(s, d, "documents"), minTokens = 8, minDocs = 2, portable = true),
+      Some(
+        s"""WITH th AS (
+           |  SELECT doc_id, list_transform(regexp_split_to_array(text, '\\s+'),
+           |    tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |             list_transform(string_split(tok, ''), c -> CAST(ascii(c) % 65536 AS BIGINT))),
+           |           (acc, c) -> (acc * 31 + c) % ${Dedup.PolyP})) AS th
+           |  FROM documents),
+           |pos AS (
+           |  SELECT doc_id, th, unnest(range(0, greatest(len(th) - 7, 0))) AS i FROM th),
+           |w AS (
+           |  SELECT doc_id, i AS pos,
+           |    list_reduce(list_prepend(CAST(7 AS BIGINT), th[CAST(i AS INT) + 1 : CAST(i AS INT) + 8]),
+           |      (acc, x) -> (acc * 31 + x) % ${Dedup.PolyP}) * ${Dedup.PolyBandP}
+           |    + list_reduce(list_prepend(CAST(11 AS BIGINT), th[CAST(i AS INT) + 1 : CAST(i AS INT) + 8]),
+           |      (acc, x) -> (acc * 37 + x) % ${Dedup.PolyBandP}) AS wh
+           |  FROM pos),
+           |dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2 AND count(DISTINCT doc_id) >= 2),
+           |hits AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (wh)),
+           |isl AS (
+           |  SELECT doc_id, pos,
+           |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+           |      THEN 0 ELSE 1 END AS ns
+           |  FROM hits),
+           |isl2 AS (
+           |  SELECT doc_id, pos,
+           |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+           |spans AS (
+           |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           |    CAST(count(*) + 7 AS BIGINT) AS span_len
+           |  FROM isl2 GROUP BY doc_id, island),
+           |content AS (
+           |  SELECT s.doc_id, s.span_start, s.span_len,
+           |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+           |        t.th[CAST(s.span_start AS INT) + 1 : CAST(s.span_start + s.span_len AS INT)]),
+           |      (acc, x) -> (acc * 31 + x) % ${Dedup.PolyP}) * ${Dedup.PolyBandP}
+           |    + list_reduce(list_prepend(CAST(11 AS BIGINT),
+           |        t.th[CAST(s.span_start AS INT) + 1 : CAST(s.span_start + s.span_len AS INT)]),
+           |      (acc, x) -> (acc * 37 + x) % ${Dedup.PolyBandP}) AS ch
+           |  FROM spans s JOIN th t USING (doc_id)),
+           |rm AS (
+           |  SELECT doc_id, span_start, span_len FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY ch, span_len ORDER BY doc_id, span_start) AS rn
+           |    FROM content) WHERE rn > 1),
+           |cov AS (SELECT doc_id, unnest(range(span_start, span_start + span_len)) AS p FROM rm),
+           |covl AS (SELECT doc_id, list(p) AS cov FROM cov GROUP BY doc_id),
+           |rsum AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS removed_tokens
+           |         FROM rm GROUP BY doc_id),
+           |tok AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents)
+           |SELECT d.doc_id,
+           |  CASE WHEN c.cov IS NULL THEN array_to_string(d.tk, ' ')
+           |       -- array_to_string([]) is NULL in DuckDB but '' in Spark
+           |       ELSE coalesce(array_to_string(list_transform(
+           |         list_filter(range(0, len(d.tk)), i -> NOT list_contains(c.cov, i)),
+           |         i -> d.tk[CAST(i AS INT) + 1]), ' '), '') END AS clean_text,
+           |  coalesce(r.removed_tokens, 0) AS removed_tokens
+           |FROM tok d LEFT JOIN covl c USING (doc_id) LEFT JOIN rsum r USING (doc_id)""".stripMargin)),
+    (
       "q_dedup_ngram_jaccard",
       // jaccard over adjacent-id candidate pairs (deterministic sample)
       (s, d) => {

@@ -99,6 +99,23 @@ class HashExpressionsSpec extends SparkSpec {
         s"simhash-edge/$fam")
     }
 
+    test(s"window-hash kernel == SQL form ($fam)") {
+      val th =
+        if (portable) s"transform(split(text, '\\\\s+'), tok -> ${Dedup.polyHashSql("tok")})"
+        else "transform(split(text, '\\\\s+'), tok -> xxhash64(tok))"
+      val df = textDf.withColumn("__th", expr(th))
+      assertSameRows(
+        df.select(col("doc_id"),
+          HashExpressions.windowHashes(col("__th"), 5, portable).as("wh")),
+        df.select(col("doc_id"), expr(Dedup.windowHashesSql(5, portable)).as("wh")),
+        s"windowhash/$fam")
+      val edge = edgeArrays(portable)
+      assertSameRows(
+        edge.select(HashExpressions.windowHashes(col("__th"), 2, portable).as("wh")),
+        edge.select(expr(Dedup.windowHashesSql(2, portable)).as("wh")),
+        s"windowhash-edge/$fam")
+    }
+
     test(s"plane signature kernel == SQL banded form ($fam, float and double)") {
       import spark.implicits._
       val vs = (0 until 25).map { i =>
