@@ -52,10 +52,20 @@ object ScalingProbe {
 
     val before = listener.snapshot()
     val t0 = System.nanoTime()
-    PageRank.runOnAdjacency(spark, adj, nodes, PageRank.Config(maxIter = steps, tol = 0.0))._1.count()
+    val full = PageRank.runFull(spark, adj, nodes, PageRank.Config(maxIter = steps, tol = 0.0))
+    full.state.count()
     val wall = (System.nanoTime() - t0) / 1e9
     val d = listener.delta(before)
     println(f"[probe] measured=$wall%.1f s for $steps supersteps")
+    // per-superstep walls + median — the burst-robust scaling quantity:
+    // compare MEDIANS across core counts, not totals (one tenancy burst
+    // poisons a total; see BENCH.md r3 notes)
+    val walls = full.metrics.flatMap(_.get("wallMs")).map(_ / 1000.0)
+    if (walls.nonEmpty) {
+      val med = walls.sorted.apply(walls.size / 2)
+      println(f"[probe] median_superstep=$med%.2f s " +
+        f"walls=${walls.map(w => f"$w%.1f").mkString(",")}")
+    }
     println(
       f"[probe] stages=${d("stages")}%.0f runTime=${d("runTimeMs") / 1000}%.1fs " +
         f"gcShare=${d("gcShare") * 100}%.1f%% cpuShare=${d("cpuShare") * 100}%.1f%% " +
