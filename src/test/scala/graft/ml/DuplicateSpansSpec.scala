@@ -77,6 +77,49 @@ class DuplicateSpansSpec extends SparkSpec {
     assert(cleaned.count() == real.count())
   }
 
+  test("random corpora match a text-based brute-force model (no hashing)") {
+    import spark.implicits._
+    // seeded generator: small vocab forces natural repeated windows
+    def corpus(seed: Long, nDocs: Int): Seq[(Long, String)] = {
+      var s = seed
+      def nxt(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s & Long.MaxValue }
+      (0 until nDocs).map { d =>
+        val n = 6 + (nxt() % 20).toInt
+        (d.toLong, (0 until n).map(_ => s"w${nxt() % 9}").mkString(" "))
+      }
+    }
+    // brute-force model: window duplicated iff its exact token sequence
+    // occurs ≥2 times and in ≥2 distinct docs; consecutive positions merge
+    def model(docs: Seq[(Long, String)], w: Int): Seq[(Long, Long, Long, Long)] = {
+      val wins = docs.flatMap { case (id, text) =>
+        val tk = text.split("\\s+")
+        (0 to tk.length - w).map(i => (tk.slice(i, i + w).mkString(" "), id, i))
+      }
+      val byWin = wins.groupBy(_._1)
+      val dup = byWin.filter { case (_, v) =>
+        v.size >= 2 && v.map(_._2).distinct.size >= 2
+      }.values.flatten.map { case (_, id, p) => (id, p) }.toSet
+      dup.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).toSeq.sorted
+        val islands = sorted.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 => (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(isl => (id, isl.min.toLong, (isl.size + w - 1).toLong, isl.size.toLong))
+      }.sorted
+    }
+    for (seed <- Seq(7L, 99L, 12345L)) {
+      val docs = corpus(seed, 12)
+      val expected = model(docs, 4)
+      val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), minTokens = 4, minDocs = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted
+        .toSeq
+      assert(got == expected, s"seed=$seed\n got=$got\n exp=$expected")
+    }
+  }
+
   test("real corpus: span arithmetic + non-overlap invariants, both families agree on shape") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = Dedup.duplicateSpans(real, minTokens = 8, minDocs = 2)
