@@ -408,12 +408,16 @@ object Dedup {
    * duplicated passage of S tokens reports one span with
    * `span_len = S = n_windows + minTokens − 1`.
    *
-   * The 100 TB shape: the window census is ~one row per corpus token,
-   * exchanged ONCE on the window hash; boilerplate explosions aggregate to
-   * a count per hash (never a pair fan-out, so no bucket cap is needed —
-   * the hot-hash group is a partial-aggregated count); the hit side joins
-   * the same exchange (ReusedExchange under AQE); the span merge is a
-   * per-document ordered window over hit positions only.
+   * The 100 TB shape (plan verified via `tools.Explain`): the duplicate-
+   * hash set — rare next to the corpus — comes back as the BROADCAST build
+   * side of a LeftSemi join, so the corpus-sized window stream reaches the
+   * join with no exchange at all (the corpus is scanned twice, by design:
+   * cheaper than materializing the census); boilerplate explosions
+   * aggregate to a count per hash (never a pair fan-out, so no bucket cap
+   * is needed); the one wide exchange is the per-document island merge over
+   * hit positions only. On a corpus where duplicated hashes are NOT rare,
+   * the size estimate exceeds the broadcast threshold and AQE falls back to
+   * a shuffle join — still one exchange per side.
    *
    * @return (doc_id, span_start, span_len, n_windows) — token offsets
    */

@@ -40,6 +40,13 @@ object Explain {
     println("==== vector semantic search (windowless node top-k) ====")
     graft.SparkEntry.queries("q_vector_search")(spark, sfDir).explain("formatted")
 
+    // expected shape: the duplicate-hash set (rare next to the corpus) is
+    // BROADCAST as the LeftSemi build side, so the corpus-sized window
+    // stream reaches the join with no exchange; the only wide exchange is
+    // the per-doc island merge
+    println("==== substring-dedup census (broadcast semi-join on dup hashes) ====")
+    graft.SparkEntry.queries("q_dedup_substring")(spark, sfDir).explain("formatted")
+
     spark.stop()
   }
 
