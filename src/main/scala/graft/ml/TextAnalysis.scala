@@ -92,6 +92,69 @@ object TextAnalysis {
    * @return (idCol, n_chars, dup_line_frac, dup_line_char_frac,
    *         top_2gram_char_frac, top_3gram_char_frac, dup_5gram_char_frac)
    */
+  /**
+   * Character-trigram language-model quality score — the CCNet-style
+   * "perplexity against a reference corpus" filter (Wenzek et al. 2020
+   * train KenLM on Wikipedia; here the LM is a char-trigram model with
+   * add-k smoothing trained IN-PLAN on `refDocs`, so the whole pipeline
+   * stays relational and oracle-replayable; a deployment swaps `refDocs`
+   * for a curated reference slice).
+   *
+   * Text is normalized (lowercase, non-alnum runs → single space) before
+   * trigram extraction. Score per doc = avg over trigram positions of
+   * log((count₃ + k) / (count₂ + k·V)) where V = |distinct normalized
+   * chars| in the reference; perplexity = exp(−avg). Lower perplexity =
+   * more reference-like.
+   *
+   * The 100 TB shape: the model is bounded by the alphabet (≤ |Σ|³ rows —
+   * tens of KB), so scoring is two BROADCAST joins against the corpus
+   * trigram census; the only wide exchange is the per-doc score
+   * re-aggregation, carrying one row per (doc, distinct trigram).
+   *
+   * @return (idCol, n_trigrams, avg_logp, perplexity)
+   */
+  def lmQuality(
+      docs: DataFrame,
+      refDocs: DataFrame = null,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Double = 0.1): DataFrame = {
+    val ref = Option(refDocs).getOrElse(docs)
+    def norm(c: Column) =
+      regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "), "^ | $", "")
+    def grams(df: DataFrame, n: Int, out: String) = df
+      .select(col(idCol).as("id"), norm(col(textCol)).as("t"))
+      .filter(length(col("t")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, length(t) - ${n - 1}), i -> substring(t, i, $n))")).as(out))
+    // reference model: trigram and bigram counts + alphabet size
+    val tri = grams(ref, 3, "g").groupBy("g").agg(count(lit(1)).as("c3"))
+    val bi = grams(ref, 2, "g2").groupBy("g2").agg(count(lit(1)).as("c2"))
+    val vocab = grams(ref, 1, "ch").select(count_distinct(col("ch")).as("v"))
+    // score: per doc, every trigram position (grouped by distinct trigram
+    // with its in-doc multiplicity — same sum, fewer join rows)
+    grams(docs, 3, "g")
+      .groupBy(col("id"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(tri), Seq("g"), "left")
+      .withColumn("g2", substring(col("g"), 1, 2))
+      .join(broadcast(bi), Seq("g2"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("id"),
+        col("n"),
+        (col("n") * log(
+          (coalesce(col("c3"), lit(0L)) + lit(k)) /
+            (coalesce(col("c2"), lit(0L)) + lit(k) * col("v")))).as("lp"))
+      .groupBy("id")
+      .agg(sum("n").as("n_trigrams"), (sum("lp") / sum("n")).as("avg"))
+      .select(
+        col("id").as(idCol),
+        col("n_trigrams"),
+        round(col("avg"), 6).as("avg_logp"),
+        round(exp(-col("avg")), 6).as("perplexity"))
+  }
+
   def repetitionSignals(
       docs: DataFrame,
       idCol: String = "doc_id",

@@ -2046,6 +2046,43 @@ object Queries {
            |SELECT DISTINCT a, b, cos FROM scored WHERE cos >= 0.35""".stripMargin)),
 
     (
+      "q_text_lm_quality",
+      // CCNet-analog perplexity filter: char-trigram LM with add-k
+      // smoothing trained in-plan on the corpus itself; DuckDB replays
+      // normalization → trigram census → smoothing → per-doc score
+      (s, d) => TextAnalysis.lmQuality(t(s, d, "documents")),
+      Some(
+        """WITH nt AS (
+          |  SELECT doc_id,
+          |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+          |      '^ | $', '', 'g') AS t
+          |  FROM documents),
+          |tri3 AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, length(t) - 1),
+          |    i -> substr(t, CAST(i AS INT), 3))) AS g
+          |  FROM nt WHERE length(t) >= 3),
+          |bi2 AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, length(t)),
+          |    i -> substr(t, CAST(i AS INT), 2))) AS g2
+          |  FROM nt WHERE length(t) >= 2),
+          |tri AS (SELECT g, count(*) AS c3 FROM tri3 GROUP BY g),
+          |bi AS (SELECT g2, count(*) AS c2 FROM bi2 GROUP BY g2),
+          |vocab AS (
+          |  SELECT count(DISTINCT substr(t, CAST(i.i AS INT), 1)) AS v
+          |  FROM (SELECT t, unnest(range(1, length(t) + 1)) AS i FROM nt WHERE length(t) >= 1) i),
+          |dg AS (SELECT doc_id, g, count(*) AS n FROM tri3 GROUP BY doc_id, g),
+          |lp AS (
+          |  SELECT dg.doc_id, dg.n,
+          |    dg.n * ln((coalesce(tri.c3, 0) + 0.1)
+          |              / (coalesce(bi.c2, 0) + 0.1 * vocab.v)) AS lp
+          |  FROM dg LEFT JOIN tri USING (g)
+          |    LEFT JOIN bi ON bi.g2 = substr(dg.g, 1, 2)
+          |    CROSS JOIN vocab)
+          |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+          |  round(sum(lp) / sum(n), 6) AS avg_logp,
+          |  round(exp(-(sum(lp) / sum(n))), 6) AS perplexity
+          |FROM lp GROUP BY doc_id""".stripMargin)),
+    (
       "q_text_quality",
       (s, d) =>
         t(s, d, "documents").select(

@@ -250,4 +250,28 @@ class MlSpec extends SparkSpec {
       assert(r.getAs[Int]("target_width") <= 256 && r.getAs[Int]("target_height") <= 256)
     }
   }
+
+  test("LM quality: reference-like text scores lower perplexity than alien text") {
+    import spark.implicits._
+    // 20 docs drawn from one phrase distribution form the in-plan reference
+    // model; the gibberish doc uses characters/transitions the model has
+    // barely seen, so its smoothed perplexity must be the highest
+    val phrases = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a stitch in time saves nine every single day",
+      "all work and no play makes jack a dull boy")
+    val docs = ((0 until 20).map(i => (i.toLong, phrases(i % 3))) :+
+      (99L, "zqxj vvkk wwpq zzzz qjxz kkvv")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmQuality(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val (nGib, pGib) = out(99L)
+    assert(nGib == "zqxj vvkk wwpq zzzz qjxz kkvv".length - 2)
+    (0 until 20).foreach { i =>
+      assert(out(i.toLong)._2 < pGib,
+        s"doc $i perplexity ${out(i.toLong)._2} should beat gibberish $pGib")
+    }
+    // docs whose normalized text has no trigram are dropped, not scored
+    val tiny = TextAnalysis.lmQuality(Seq((1L, "ab"), (2L, "abcd")).toDF("doc_id", "text"))
+    assert(tiny.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }
