@@ -502,10 +502,15 @@ object Dedup {
         expr(
           s"""aggregate(slice(__th, cast(span_start as int) + 1, cast(span_len as int)),
              |  cast(42 as bigint), (acc, x) -> xxhash64(x, acc))""".stripMargin)
+    // only span-bearing documents get re-tokenized for content hashing —
+    // at corpus scale spans are rare, so this semi-join keeps the hashing
+    // side tiny instead of tokenizing the whole corpus a second time
+    val spanDocs = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(spans.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), expr(tokenHashesExpr("__text", portable)).as("__th"))
     val withCh = spans
-      .join(
-        docs.select(col(idCol).as("doc_id"), expr(tokenHashesExpr(textCol, portable)).as("__th")),
-        Seq("doc_id"))
+      .join(spanDocs, Seq("doc_id"))
       .withColumn("ch", contentHash)
     val byContent = Window.partitionBy("ch", "span_len").orderBy("doc_id", "span_start")
     val removals = withCh
