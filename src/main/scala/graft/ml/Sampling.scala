@@ -1,0 +1,99 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic corpus-composition operators for training-data pipelines.
+ * `df.sample()` is seed-stable only per partitioning — repartition the
+ * corpus and the sample changes, which breaks reproducibility audits. These
+ * samplers decide per ROW from a hash of the row's id, so membership is a
+ * pure function of (id, seed): stable under repartitioning, re-runs,
+ * engine versions — and replayable by the DuckDB oracle in the portable
+ * family.
+ *
+ * Scale shape: [[hashSample]] is a stateless filter (pushes to the scan
+ * side, no shuffle). [[stratifiedQuota]] is one window per group — the
+ * shuffle is on the group key; skewed groups are bounded by the quota
+ * itself. [[temperatureMix]] (Pile/ROOTS-style α-mixing) computes per-group
+ * rates from a tiny group census (broadcast back) and then degenerates to
+ * the stateless filter.
+ */
+object Sampling {
+
+  private val P = 1000000007L
+
+  /** Hash-uniform value in [0, 1e6) from (seed, id column). */
+  private def hashU(id: Column, seed: Long, portable: Boolean): Column =
+    if (portable)
+      pmod((lit(seed) + id.cast("long") * 73856093L) % P, lit(1000000L))
+    else
+      pmod(xxhash64(lit(seed), id), lit(1000000L))
+
+  /** Keep each row iff hash(seed, id) < rate·1e6 — deterministic,
+    * partitioning-independent Bernoulli(rate) sample. */
+  def hashSample(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      rate: Double = 0.1,
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate=$rate out of [0, 1]")
+    df.filter(hashU(col(idCol), seed, portable) < math.round(rate * 1e6))
+  }
+
+  /** Deterministic per-group quota: the `n` rows of each group with the
+    * smallest (hash, id) — a stable "take n per source/language" that does
+    * not depend on row order. Adds a `sample_rank` column (1-based). */
+  def stratifiedQuota(
+      df: DataFrame,
+      groupCol: String,
+      n: Int,
+      idCol: String = "doc_id",
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashU(col(idCol), seed, portable), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
+
+  /**
+   * Temperature-mixed sample across groups (the Pile / ROOTS α-mixing
+   * rule): group g's target share ∝ n_g^α, so α = 1 keeps natural
+   * proportions and α → 0 flattens the mix toward uniform-per-group. The
+   * per-group keep RATE is min(1, total·share_g / n_g) — groups whose
+   * target exceeds their size are kept whole (no upsampling; the
+   * shortfall is reported, not silently redistributed).
+   *
+   * @param total target sampled row count across all groups
+   * @return sampled rows plus (group-constant) `sample_rate` column
+   */
+  def temperatureMix(
+      df: DataFrame,
+      groupCol: String,
+      total: Long,
+      alpha: Double = 0.5,
+      idCol: String = "doc_id",
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha out of [0, 1]")
+    val census = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    val shares = census
+      .withColumn("w", pow(col("n_g").cast("double"), alpha))
+      .withColumn("share", col("w") / sum("w").over(Window.partitionBy()))
+      // per-row keep threshold in hash units, rounded once so both engines
+      // compare integers, never floats
+      .withColumn(
+        "thr",
+        least(
+          lit(1000000L),
+          round(lit(total) * col("share") / col("n_g") * 1e6, 0).cast("long")))
+      .select(col(groupCol), (col("thr").cast("double") / 1e6).as("sample_rate"), col("thr"))
+    df.join(broadcast(shares), Seq(groupCol))
+      .filter(hashU(col(idCol), seed, portable) < col("thr"))
+      .drop("thr")
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.graph.TemporalGraph
 import graft.algos.{BipartiteProjection, Components, ConnectedComponents, FastRP, Hits, KCore, LabelPropagation, Louvain, Metrics, PageRank, Paths, Scc, Triangles}
-import graft.ml.{Dedup, Similarity, TextAnalysis}
+import graft.ml.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /**
  * The relational operator surface checked by the driver's DuckDB oracle:
@@ -929,6 +929,46 @@ object Queries {
           |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
           |GROUP BY token HAVING count(*) >= 50""".stripMargin)),
 
+    (
+      "q_sample_hash",
+      // deterministic Bernoulli sample: membership is a pure function of
+      // (seed, id) — stable under repartitioning; DuckDB replays the LCG
+      (s, d) => Sampling.hashSample(t(s, d, "documents"), rate = 0.25, portable = true)
+        .select(col("doc_id"), col("source")),
+      Some(
+        """SELECT doc_id, source FROM documents
+          |WHERE (42 + doc_id * 73856093) % 1000000007 % 1000000 < 250000""".stripMargin)),
+    (
+      "q_sample_stratified",
+      // per-group quota: the n rows with the smallest (hash, id) per source
+      (s, d) => Sampling.stratifiedQuota(t(s, d, "documents"), "source", n = 20, portable = true)
+        .select(col("doc_id"), col("source"), col("sample_rank")),
+      Some(
+        """SELECT doc_id, source, sample_rank FROM (
+          |  SELECT doc_id, source,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY (42 + doc_id * 73856093) % 1000000007 % 1000000, doc_id)
+          |      AS BIGINT) AS sample_rank
+          |  FROM documents)
+          |WHERE sample_rank <= 20""".stripMargin)),
+    (
+      "q_sample_temperature",
+      // Pile/ROOTS-style alpha-mixing: per-group rate from an n_g^alpha
+      // share census, membership by the same deterministic hash
+      (s, d) => Sampling.temperatureMix(
+        t(s, d, "documents"), "source", total = 300, alpha = 0.5, portable = true)
+        .select(col("doc_id"), col("source"), col("sample_rate")),
+      Some(
+        """WITH census AS (SELECT source, count(*) AS n_g FROM documents GROUP BY source),
+          |sh AS (SELECT source, n_g, pow(CAST(n_g AS DOUBLE), 0.5) AS w FROM census),
+          |thr AS (
+          |  SELECT source,
+          |    least(1000000, CAST(round(300 * (w / (SELECT sum(w) FROM sh)) / n_g
+          |      * 1000000.0, 0) AS BIGINT)) AS thr
+          |  FROM sh)
+          |SELECT d.doc_id, d.source, CAST(t.thr AS DOUBLE) / 1000000.0 AS sample_rate
+          |FROM documents d JOIN thr t USING (source)
+          |WHERE (42 + d.doc_id * 73856093) % 1000000007 % 1000000 < t.thr""".stripMargin)),
     (
       "q_lang_id",
       // n-gram/stopword heuristic language id, compared against the label

@@ -1,0 +1,69 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-composition samplers ([[Sampling]]). */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hash sample is a pure function of (seed, id): partitioning-independent, rate-accurate") {
+    val a = Sampling.hashSample(docs.repartition(7), rate = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.hashSample(docs.repartition(3), rate = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq, "membership must not depend on partitioning")
+    val n = docs.count().toDouble
+    assert(a.length > n * 0.15 && a.length < n * 0.35, s"rate off: ${a.length} of $n")
+    // different seed → different (but still deterministic) membership
+    val c = Sampling.hashSample(docs, rate = 0.25, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(c.toSeq != a.toSeq)
+    // both families deterministic across runs
+    val p1 = Sampling.hashSample(docs, rate = 0.25, portable = true).count()
+    val p2 = Sampling.hashSample(docs, rate = 0.25, portable = true).count()
+    assert(p1 == p2)
+  }
+
+  test("stratified quota takes exactly min(n, group size) per group, stably") {
+    val out = Sampling.stratifiedQuota(docs, "source", n = 20)
+    val sizes = out.groupBy("source").agg(count(lit(1)).as("k"))
+      .join(docs.groupBy("source").agg(count(lit(1)).as("n_g")), Seq("source"))
+      .collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach { r =>
+      assert(r.getLong(1) == math.min(20L, r.getLong(2)),
+        s"group ${r.getString(0)}: took ${r.getLong(1)} of ${r.getLong(2)}")
+    }
+    assert(out.agg(max("sample_rank")).first().getLong(0) <= 20L)
+    val again = Sampling.stratifiedQuota(docs.repartition(5), "source", n = 20)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(again.toSeq == out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("temperature mix: alpha=1 keeps natural proportions, alpha=0 flattens; never upsamples") {
+    val total = 300L
+    val census = docs.groupBy("source").agg(count(lit(1)).as("n_g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def sampledBy(alpha: Double) = Sampling.temperatureMix(docs, "source", total, alpha)
+      .groupBy("source").agg(count(lit(1)).as("k"), first("sample_rate").as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val flat = sampledBy(0.0)
+    val nat = sampledBy(1.0)
+    // rates are valid probabilities and no group exceeds its size
+    (flat ++ nat).foreach { case (g, k, r) =>
+      assert(r >= 0.0 && r <= 1.0)
+      assert(k <= census(g))
+    }
+    // alpha=0: equal per-group targets → small groups sampled at higher
+    // rates than large ones; alpha=1: one global rate for every group
+    val natRates = nat.map(_._3)
+    assert(natRates.max - natRates.min < 0.02, s"alpha=1 rates should be ~equal: $natRates")
+    val bySize = flat.sortBy { case (g, _, _) => census(g) }.map(_._3)
+    assert(bySize.head >= bySize.last, s"alpha=0 should favor small groups: $flat")
+    // total lands near the target (hash noise only)
+    val got = nat.map(_._2).sum.toDouble
+    assert(got > total * 0.7 && got < total * 1.3, s"alpha=1 total $got vs $total")
+  }
+}
