@@ -320,13 +320,16 @@ object TemporalMotifs {
     val wedges = w1
       .join(w2, Seq("u"))
       .filter(col("d1") < col("d2") || (col("d1") === col("d2") && col("w1") < col("w2")))
+    // Recover the middle corner by sorting, NOT by (u+w1+w2)-x1-x3: node
+    // ids are full-range xxhash64 longs, so the 3-way sum overflows (and
+    // raises under Spark 4's default ANSI mode).
     wedges
       .join(oriented.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"))
+      .select(array_sort(array(col("u"), col("w1"), col("w2"))).as("s"))
       .select(
-        least(col("u"), col("w1"), col("w2")).as("x1"),
-        greatest(col("u"), col("w1"), col("w2")).as("x3"),
-        (col("u") + col("w1") + col("w2")).as("sum3"))
-      .select(col("x1"), (col("sum3") - col("x1") - col("x3")).as("x2"), col("x3"))
+        element_at(col("s"), 1).as("x1"),
+        element_at(col("s"), 2).as("x2"),
+        element_at(col("s"), 3).as("x3"))
   }
 
   /** Global 40-dim census. @return (motif_id 0..39, count). */

@@ -394,7 +394,11 @@ private object HashExprChecks {
   * vector similarity, not MinHash — this is the LLM-pipeline extension). */
 case class MinHashSignature(child: Expression, numHashes: Int, portable: Boolean)
     extends UnaryExpression {
-  require(numHashes > 0 && numHashes <= 4096, s"numHashes=$numHashes out of (0, 4096]")
+  // Cap at 2147, not 4096: the retained SQL spec this kernel is asserted
+  // bit-identical to computes (1 + h * 1000003) in 32-bit int arithmetic,
+  // which overflows at h >= 2148 (wraps non-ANSI, raises under ANSI) while
+  // the kernel uses longs — the bit-identity contract only holds below it.
+  require(numHashes > 0 && numHashes <= 2147, s"numHashes=$numHashes out of (0, 2147]")
 
   override def prettyName: String = "graft_minhash"
   override def dataType: DataType = ArrayType(LongType, containsNull = true)

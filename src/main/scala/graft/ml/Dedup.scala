@@ -182,22 +182,20 @@ object Dedup {
     // computed once on a single plan branch (the old two-branch self-join
     // had to persist them — a cache leak in a long-lived session) and the
     // whole pipeline pays ONE exchange on (band, bh), which the window,
-    // the groupBy and the pair fan-out all reuse.
+    // the groupBy and the pair fan-out all reuse. The fan-out itself goes
+    // through [[bucketPairs]], which never builds the C(n,2) array in a
+    // single row.
     val buckets = sized
       .groupBy("band", "bh")
       .agg(collect_list(struct(col("id"), col("minhash"))).as("mem"))
       .filter(size(col("mem")) >= 2)
 
-    buckets
-      .select(explode(expr(
-        "flatten(transform(mem, (x, i) -> " +
-          "transform(slice(mem, i + 2, size(mem)), y -> named_struct('l', x, 'r', y))))"))
-        .as("p"))
+    bucketPairs(buckets)
       .select(
-        col("p.l.id").as("ia"),
-        col("p.l.minhash").as("mha"),
-        col("p.r.id").as("ib"),
-        col("p.r.minhash").as("mhb"))
+        col("l.id").as("ia"),
+        col("l.minhash").as("mha"),
+        col("r.id").as("ib"),
+        col("r.minhash").as("mhb"))
       .select(
         least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"),
@@ -326,19 +324,29 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("simhash"))).as("mem"))
       .filter(size(col("mem")) >= 2)
 
-    buckets
-      .select(explode(expr(
-        "flatten(transform(mem, (x, i) -> " +
-          "transform(slice(mem, i + 2, size(mem)), y -> named_struct('l', x, 'r', y))))"))
-        .as("p"))
+    bucketPairs(buckets)
       .select(
-        least(col("p.l.id"), col("p.r.id")).as("a"),
-        greatest(col("p.l.id"), col("p.r.id")).as("b"),
-        expr("bit_count(p.l.simhash ^ p.r.simhash)").as("hamming"))
+        least(col("l.id"), col("r.id")).as("a"),
+        greatest(col("l.id"), col("r.id")).as("b"),
+        expr("bit_count(l.simhash ^ r.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy("a", "b")
       .agg(min("hamming").as("hamming"))
   }
+
+  /** Unordered in-bucket candidate pairs from a frame with a `mem`
+    * array<struct> column, WITHOUT materializing the C(n,2) pair array in
+    * one row (the old `flatten(transform(...slice...))` built ~500k structs
+    * per near-cap minhash bucket and ~5·10⁷ — multi-GB — per near-cap
+    * simhash bucket before its explode, an OOM risk per task). Two chained
+    * explodes instead: posexplode a member, then explode its tail slice —
+    * every intermediate row is bounded by ONE member list (≤ maxBucket
+    * structs), the plan stays a single branch (no self-join, nothing
+    * persisted), and the generated pair set is identical. */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .select(col("mem"), posexplode(col("mem")).as(Seq("i", "l")))
+      .select(col("l"), explode(expr("slice(mem, i + 2, size(mem))")).as("r"))
 
   /**
    * Exact n-gram Jaccard similarity for candidate pairs (the verify stage

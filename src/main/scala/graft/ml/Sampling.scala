@@ -24,11 +24,20 @@ object Sampling {
 
   private val P = 1000000007L
 
-  /** Hash-uniform value in [0, 1e6) from (seed, id column). */
+  /** Hash-uniform value in [0, 1e6) from (seed, id column).
+    *
+    * Portable form reduces the id mod P FIRST: the raw `id * 73856093`
+    * would overflow (and raise, under Spark 4's default ANSI mode) for
+    * |id| ≳ 1.26e11 — e.g. xxhash64-derived ids — and for negative ids
+    * Spark's pmod diverges from DuckDB's sign-preserving `%`. After
+    * `pmod(id, P)` every intermediate is in [0, P·73856093) ≪ 2^63 and
+    * non-negative, so plain `%` agrees across engines; the oracle SQL
+    * mirrors this exact form. */
   private def hashU(id: Column, seed: Long, portable: Boolean): Column =
-    if (portable)
-      pmod((lit(seed) + id.cast("long") * 73856093L) % P, lit(1000000L))
-    else
+    if (portable) {
+      val s = ((seed % P) + P) % P // normalize driver-side: non-negative literal
+      (lit(s) + pmod(id.cast("long"), lit(P)) * 73856093L) % P % 1000000L
+    } else
       pmod(xxhash64(lit(seed), id), lit(1000000L))
 
   /** Keep each row iff hash(seed, id) < rate·1e6 — deterministic,

@@ -937,7 +937,7 @@ object Queries {
         .select(col("doc_id"), col("source")),
       Some(
         """SELECT doc_id, source FROM documents
-          |WHERE (42 + doc_id * 73856093) % 1000000007 % 1000000 < 250000""".stripMargin)),
+          |WHERE (42 + ((doc_id % 1000000007 + 1000000007) % 1000000007) * 73856093) % 1000000007 % 1000000 < 250000""".stripMargin)),
     (
       "q_sample_stratified",
       // per-group quota: the n rows with the smallest (hash, id) per source
@@ -947,7 +947,7 @@ object Queries {
         """SELECT doc_id, source, sample_rank FROM (
           |  SELECT doc_id, source,
           |    CAST(row_number() OVER (PARTITION BY source
-          |      ORDER BY (42 + doc_id * 73856093) % 1000000007 % 1000000, doc_id)
+          |      ORDER BY (42 + ((doc_id % 1000000007 + 1000000007) % 1000000007) * 73856093) % 1000000007 % 1000000, doc_id)
           |      AS BIGINT) AS sample_rank
           |  FROM documents)
           |WHERE sample_rank <= 20""".stripMargin)),
@@ -968,7 +968,7 @@ object Queries {
           |  FROM sh)
           |SELECT d.doc_id, d.source, CAST(t.thr AS DOUBLE) / 1000000.0 AS sample_rate
           |FROM documents d JOIN thr t USING (source)
-          |WHERE (42 + d.doc_id * 73856093) % 1000000007 % 1000000 < t.thr""".stripMargin)),
+          |WHERE (42 + ((d.doc_id % 1000000007 + 1000000007) % 1000000007) * 73856093) % 1000000007 % 1000000 < t.thr""".stripMargin)),
     (
       "q_lang_id",
       // n-gram/stopword heuristic language id, compared against the label

@@ -122,11 +122,14 @@ object Sessionize {
       rows: Iterator[Turn],
       st: GroupState[ConvState]): Iterator[Link] = {
     if (st.hasTimedOut) {
-      val (links, ns) = advance(st.getOption.getOrElse(emptyState), Seq.empty, flush = true)
-      // keep the last linked turn so a conversation resuming after a lull
-      // still links across the gap; no pending left, so no new timeout —
-      // the state is one Turn until the conversation speaks again
-      st.update(ns)
+      val (links, _) = advance(st.getOption.getOrElse(emptyState), Seq.empty, flush = true)
+      // session over: REMOVE the state. Keeping the last turn (as earlier
+      // versions did) retains one Turn per conversation ever seen — state
+      // unbounded in distinct conv_ids on a continuous stream. Removal is
+      // the sessionization contract: a conversation resuming after the gap
+      // starts a new chain (its first resumed turn buffers until the next
+      // flush rather than linking back across the expired session).
+      st.remove()
       links.iterator
     } else {
       val turns = rows.toSeq

@@ -150,6 +150,43 @@ class TemporalMotifsSpec extends SparkSpec {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("full-range xxhash64-scale ids: triangles enumerate without overflow (ANSI)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64, lit}
+    // EdgeBuilder.nodeId produces full-range xxhash64 longs; the sum of
+    // three such ids overflows Long — the old (u+w1+w2)-x1-x3 middle-corner
+    // recovery raised SparkArithmeticException under Spark 4's default ANSI
+    // mode. Build triangles on REAL xxhash64 ids and run the full census.
+    val raw = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // triangle A
+      (4L, 5L), (5L, 6L), (4L, 6L), // triangle B
+      (1L, 4L)) // bridge (no extra triangle)
+    val ev = raw.zipWithIndex
+      .toDF("p", "event_id")
+      .select(
+        xxhash64(lit("n"), col("p._1")).as("src"),
+        xxhash64(lit("n"), col("p._2")).as("dst"),
+        (col("event_id") * 1000L).as("ts"),
+        col("event_id").cast("long").as("event_id"))
+    // sanity: ids really are full-range (three-way sums overflow)
+    val ids = ev.select("src").as[Long].collect()
+    assert(ids.exists(id => math.abs(id) > (Long.MaxValue / 3)), s"ids not full-range: ${ids.toSeq}")
+    val g = graft.graph.TemporalGraph(ev)
+    val tri = TemporalMotifs
+      .orientedTriangles(
+        ev.select(
+          org.apache.spark.sql.functions.least(col("src"), col("dst")).as("a"),
+          org.apache.spark.sql.functions.greatest(col("src"), col("dst")).as("b")).distinct())
+      .collect()
+    assert(tri.length == 2, s"expected 2 triangles, got ${tri.toSeq}")
+    tri.foreach(r => assert(r.getLong(0) < r.getLong(1) && r.getLong(1) < r.getLong(2)))
+    // full census must complete (previously raised) and count triangle motifs
+    val total = TemporalMotifs.global(spark, g, deltaMs = 100000L)
+      .filter(col("motif_id") >= 32).agg(org.apache.spark.sql.functions.sum("count"))
+      .collect()(0).getLong(0)
+    assert(total > 0L, "triangle block counted nothing on xxhash64-scale ids")
+  }
+
   test("planted high-degree hub: census finishes with bounded wedge keys and matches structure") {
     import spark.implicits._
     // hub 50000 ↔ 100k leaves; leaves 1..100 chained in a ring, so each

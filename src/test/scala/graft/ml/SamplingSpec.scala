@@ -26,6 +26,25 @@ class SamplingSpec extends SparkSpec {
     assert(p1 == p2)
   }
 
+  test("portable hash is total on full-range / negative ids (ANSI) and rate-accurate") {
+    import spark.implicits._
+    // xxhash64-derived ids are full-range longs, including negatives: the
+    // old (seed + id * 73856093) raised under ANSI for |id| ≳ 1.26e11 and
+    // diverged from DuckDB's sign-preserving % for negative ids. The
+    // pmod-first form must evaluate (no exception) and still sample ~rate.
+    val wild = spark.range(0, 4000)
+      .select(xxhash64(col("id")).as("doc_id")) // full-range, ~half negative
+    assert(wild.filter(col("doc_id") < 0).count() > 1000)
+    val kept = Sampling.hashSample(wild, rate = 0.25, portable = true).count().toDouble
+    assert(kept > 4000 * 0.18 && kept < 4000 * 0.32, s"portable rate off: $kept / 4000")
+    // partitioning-independent on the same wild ids
+    val a = Sampling.hashSample(wild.repartition(7), rate = 0.25, portable = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.hashSample(wild.repartition(3), rate = 0.25, portable = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("stratified quota takes exactly min(n, group size) per group, stably") {
     val out = Sampling.stratifiedQuota(docs, "source", n = 20)
     val sizes = out.groupBy("source").agg(count(lit(1)).as("k"))
