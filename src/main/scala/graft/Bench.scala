@@ -25,15 +25,25 @@ import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
  */
 object Bench {
 
-  def numConvsFor(sfDir: String): Long =
-    if (sfDir.contains("sf0.1")) 20000L
-    else if (sfDir.contains("sf0.01")) 2000L
-    else 200L
+  /** Parse the scale factor out of the driver's testdata dir ("…/sf0.1" →
+    * 0.1) instead of string-matching known names — a new SF gets a sized
+    * workload, not the smallest one. */
+  private[graft] def parseSf(sfDir: String): Option[Double] =
+    "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble)
 
-  def triNodesFor(sfDir: String): Long =
-    if (sfDir.contains("sf0.1")) 100000L
-    else if (sfDir.contains("sf0.01")) 20000L
+  /** 200k conversations per unit SF — reproduces the r1–r3 workloads
+    * exactly at the three provided SFs (200 / 2 000 / 20 000). */
+  def numConvsFor(sfDir: String): Long =
+    math.max(200L, math.round(200000.0 * parseSf(sfDir).getOrElse(0.001)))
+
+  /** RA-graph node count: the r1–r3 values at the provided SFs (5 000 /
+    * 20 000 / 100 000), linear (1M × sf) above sf0.05 for new SFs. */
+  def triNodesFor(sfDir: String): Long = {
+    val sf = parseSf(sfDir).getOrElse(0.001)
+    if (sf >= 0.05) math.round(1000000.0 * sf)
+    else if (sf >= 0.005) 20000L
     else 5000L
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -185,9 +195,14 @@ object Bench {
     extras += "pagerank_ra_supersteps_per_sec" -> raSteps / tRaPr
     extras += "pagerank_ra_edges_traversed_per_sec" -> raSteps.toDouble * raEdges / tRaPr
 
-    // --- triangles on the same graph ---
-    val ((triCount, _), tTri) = time((Triangles.globalCount(spark, ra), ()))
-    results += "triangles" -> tTri
+    // --- triangles on the same graph: 3 repeats — the FIRST (cold) rep is
+    // the headline for round-over-round comparability, the median/best give
+    // the burst-robust signal (same discipline as superstep medians) ---
+    val triReps = (1 to 3).map(_ => time((Triangles.globalCount(spark, ra), ())))
+    val triCount = triReps.head._1._1
+    results += "triangles" -> triReps.head._2
+    extras += "triangles_median" -> triReps.map(_._2).sorted.apply(1)
+    extras += "triangles_best" -> triReps.map(_._2).min
     extras += "triangle_count" -> triCount.toDouble
 
     // --- Louvain on the RA graph (bounded: 3 levels × 8 rounds — community
@@ -202,10 +217,14 @@ object Bench {
     medianWall(louvainM).foreach(extras += "louvain_median_round_sec" -> _)
 
     // --- temporal 3-node motif census (global 40-dim) on the RA graph;
-    // ts = attachment step, so delta=5000 windows span real event overlap ---
-    val (_, tMotifs) = time(
-      graft.algos.TemporalMotifs.global(spark, ra, deltaMs = 5000L).count())
-    results += "temporal_motifs" -> tMotifs
+    // ts = attachment step, so delta=5000 windows span real event overlap.
+    // 3 repeats, same cold-headline + median/best discipline as triangles
+    // (the r3 43 s reading was a single unattributable cold+burst sample) ---
+    val motifReps = (1 to 3).map(_ =>
+      time(graft.algos.TemporalMotifs.global(spark, ra, deltaMs = 5000L).count())._2)
+    results += "temporal_motifs" -> motifReps.head
+    extras += "temporal_motifs_median" -> motifReps.sorted.apply(1)
+    extras += "temporal_motifs_best" -> motifReps.min
 
     // --- one relational headline on the provided testdata ---
     val (_, tRel) = time(SparkEntry.queries("q_agg_groupby")(spark, sfDir).count())
@@ -250,10 +269,74 @@ object Bench {
       (stageTotals("gcTimeMs").toDouble / math.max(stageTotals("runTimeMs"), 1L))
     extras += "cpu_share" ->
       (stageTotals("cpuTimeMs").toDouble / math.max(stageTotals("runTimeMs"), 1L))
+    spark.stop()
+
+    // --- embedded two-parallelism scaling pair (north rule evidence, in
+    // the JSON itself so the gate is verifiable without BENCH.md prose):
+    // the SAME fixed-superstep PageRank job on the SAME generated input at
+    // lo = cpus/4 and hi = cpus local cores, fresh session per leg, each
+    // leg bracketed by a pure-CPU + memory-streaming calibration. Medians
+    // of the per-superstep walls are the burst-robust efficiency signal;
+    // totals are reported alongside. Full-size gated pairs (67.7M edges,
+    // three core pairs) remain in graft.bench.Scaling / BENCH.md. ---
+    if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0") {
+      val hiC = hiThreads
+      val loC = math.max(2, hiThreads / 4)
+      val ideal = hiC.toDouble / loC
+      val (loCal, hiCal, calR) = graft.bench.Calibration.cpuRatio(loC, hiC)
+      val (_, _, memR) = graft.bench.Calibration.memRatio(loC, hiC)
+      val lo = scalingLeg(loC, nConvs, 8)
+      val hi = scalingLeg(hiC, nConvs, 8)
+      extras += "scaling_lo_cores" -> loC.toDouble
+      extras += "scaling_hi_cores" -> hiC.toDouble
+      extras += "scaling_supersteps" -> 8.0
+      extras += "scaling_lo_sec" -> lo._1
+      extras += "scaling_hi_sec" -> hi._1
+      extras += "scaling_lo_median_superstep_sec" -> lo._2
+      extras += "scaling_hi_median_superstep_sec" -> hi._2
+      extras += "scaling_eff_total" -> (lo._1 / hi._1) / ideal
+      extras += "scaling_eff_median" -> (lo._2 / hi._2) / ideal
+      extras += "scaling_calib_eff_window" -> calR / ideal
+      extras += "scaling_mem_eff_window" -> memR / ideal
+      val _ = (loCal, hiCal)
+    }
 
     val qs = (results ++ extras).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}""")
-    spark.stop()
+  }
+
+  /** One scaling leg: fresh local[cores] session, rebuild the transcript
+    * graph + salted CSR, warm 2 supersteps, run `steps` timed supersteps.
+    * @return (totalSec, medianSuperstepSec) */
+  private def scalingLeg(cores: Int, numConvs: Long, steps: Int): (Double, Double) = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val transcripts = TranscriptGen.transcripts(spark, numConvs)
+      val edges = EdgeBuilder.edges(transcripts).persist()
+      val g = TemporalGraph(edges)
+      val adj = g.adjacencyOut(graft.graph.TemporalGraph.DefaultMaxShard).persist()
+      val nodes = g.nodes.persist()
+      adj.count(); nodes.count()
+      edges.unpersist(false)
+      PageRank.runOnAdjacency(spark, adj, nodes, PageRank.Config(maxIter = 2, tol = 0.0))._1.count()
+      val t0 = System.nanoTime()
+      val r = PageRank.runFull(spark, adj, nodes, PageRank.Config(maxIter = steps, tol = 0.0))
+      r.state.count()
+      val total = (System.nanoTime() - t0) / 1e9
+      val walls = r.metrics.flatMap(_.get("wallMs")).sorted
+      val med = if (walls.isEmpty) total / steps else walls(walls.size / 2) / 1000.0
+      adj.unpersist(false); nodes.unpersist(false)
+      (total, med)
+    } finally spark.stop()
   }
 }

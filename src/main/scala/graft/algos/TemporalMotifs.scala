@@ -308,6 +308,10 @@ object TemporalMotifs {
       .groupBy("n")
       .agg(count(lit(1)).as("d"))
     val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    // `oriented` feeds THREE branches of the triangle plan (both wedge legs
+    // and the closing probe); persist it for the duration of this call or
+    // each branch recomputes the degree joins from scratch — measured 8.3 s
+    // vs 0.9 s for the whole enumeration on the 100k-node bench RA graph.
     val oriented = und
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
@@ -315,6 +319,7 @@ object TemporalMotifs {
         when(aLower, col("a")).otherwise(col("b")).as("u"),
         when(aLower, col("b")).otherwise(col("a")).as("v"),
         when(aLower, col("db")).otherwise(col("da")).as("dv"))
+      .persist()
     val w1 = oriented.select(col("u"), col("v").as("w1"), col("dv").as("d1"))
     val w2 = oriented.select(col("u"), col("v").as("w2"), col("dv").as("d2"))
     val wedges = w1
@@ -323,13 +328,17 @@ object TemporalMotifs {
     // Recover the middle corner by sorting, NOT by (u+w1+w2)-x1-x3: node
     // ids are full-range xxhash64 longs, so the 3-way sum overflows (and
     // raises under Spark 4's default ANSI mode).
-    wedges
+    val tris = wedges
       .join(oriented.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"))
       .select(array_sort(array(col("u"), col("w1"), col("w2"))).as("s"))
       .select(
         element_at(col("s"), 1).as("x1"),
         element_at(col("s"), 2).as("x2"),
         element_at(col("s"), 3).as("x3"))
+      .persist()
+    tris.count() // materialize while `oriented` is cached …
+    oriented.unpersist(false) // … then release the intermediate immediately
+    tris // persisted; [[global]]/[[local]] unpersist after their census job
   }
 
   /** Global 40-dim census. @return (motif_id 0..39, count). */
@@ -352,7 +361,12 @@ object TemporalMotifs {
     val hn = broadcast(heavyNodes(ev, maxEventsPerEntity).select("node"))
     val hp = broadcast(heavyPairs(ev, maxEventsPerEntity).select("a", "b"))
 
-    // -- two-node block: one kernel run per unordered pair, mirrored --
+    // -- two-node block: one kernel run per unordered pair, mirrored.
+    // Event fields are unzipped to PRIMITIVE arrays after the sort: the
+    // Array[Long]/Array[Int] encoders are a bulk copy out of UnsafeArrayData,
+    // where the old Seq[(Long, Long, Int)] encoder boxed a tuple per event.
+    // `pairEvents` is persisted because the pair census, the undirected edge
+    // set AND the triangle event lists all derive from this one exchange. --
     val pairEvents = ev
       .select(
         least(col("src"), col("dst")).as("a"),
@@ -364,13 +378,29 @@ object TemporalMotifs {
       .join(hp, Seq("a", "b"), "left_anti")
       .groupBy("a", "b")
       .agg(sort_array(collect_list(col("e"))).as("evs"))
-      .select(col("evs").as[Seq[(Long, Long, Int)]])
-    val two8 = sumVectors(
-      pairEvents.map { evs =>
-        val c = twoNodeCounts(evs.map(_._1).toArray, evs.map(_._3).toArray, deltaMs)
-        Array.tabulate(8)(i => c(i) + c(7 - i)) // both perspectives
-      },
-      8)
+      .select(
+        col("a"), col("b"),
+        col("evs.ts").as("ts"), col("evs.event_id").as("eid"), col("evs.dir").as("dir"))
+      .persist()
+    pairEvents.count() // materialize the shared exchange before forking jobs
+
+    // The three census blocks are INDEPENDENT jobs over cached inputs;
+    // submit them from separate threads (Spark schedules concurrent jobs
+    // fine-grained across the same executors) so the cluster isn't idle
+    // during each job's straggler tail.
+    import scala.concurrent.{Await, Future}
+    // renamed: the enclosing method is itself named `global`
+    import scala.concurrent.ExecutionContext.Implicits.{global => globalEc}
+    import scala.concurrent.duration.Duration
+
+    val fTwo8 = Future(sumVectors(
+      pairEvents
+        .select(col("ts").as[Array[Long]], col("dir").as[Array[Int]])
+        .map { case (ts, dirs) =>
+          val c = twoNodeCounts(ts, dirs, deltaMs)
+          Array.tabulate(8)(i => c(i) + c(7 - i)) // both perspectives
+        },
+      8))
 
     // -- star block: one kernel run per center node --
     val starEvents = ev
@@ -381,54 +411,53 @@ object TemporalMotifs {
       .join(hn, Seq("node"), "left_anti")
       .groupBy("node")
       .agg(sort_array(collect_list(col("e"))).as("evs"))
-      .select(col("evs").as[Seq[(Long, Long, Int, Long)]])
-    val star24 = sumVectors(
-      starEvents.map { evs =>
-        starCounts(evs.map(_._1).toArray, evs.map(_._3).toArray, evs.map(_._4).toArray, deltaMs)
-      },
-      24)
-
-    // -- triangle block: degree-oriented enumeration, join pair events --
-    val und = ev
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-      .join(hp, Seq("a", "b"), "left_anti")
-      .persist()
-    val tris = orientedTriangles(und)
-
-    val pe = ev.select(
-      least(col("src"), col("dst")).as("p"),
-      greatest(col("src"), col("dst")).as("q"),
-      col("src"), col("dst"), col("ts"), col("event_id"))
-    val triPairs = tris
-      .withColumn("tri", struct(col("x1"), col("x2"), col("x3")))
       .select(
-        col("tri"),
-        explode(array(
-          struct(col("x1").as("p"), col("x2").as("q")),
-          struct(col("x2").as("p"), col("x3").as("q")),
-          struct(col("x1").as("p"), col("x3").as("q")))).as("pq"))
-      .select(col("tri"), col("pq.p").as("p"), col("pq.q").as("q"))
-    val triEvents = triPairs
-      .join(pe, Seq("p", "q"))
-      .select(
-        col("tri"),
-        struct(col("ts"), col("event_id"), col("src"), col("dst")).as("e"))
-      .groupBy("tri")
-      .agg(sort_array(collect_list(col("e"))).as("evs"))
-      .select(col("tri").as[(Long, Long, Long)], col("evs").as[Seq[(Long, Long, Long, Long)]])
-    val tri8 = sumVectors(
-      triEvents.map { case ((x1, x2, x3), evs) =>
-        // reference role mapping (global_temporal_three_node_motifs.rs:188-226):
-        // sorted ids = [v, u, w] with v = x1 (smaller of the u,v pair),
-        // u = x2, w = x3 (the intersection neighbour, largest)
-        val _ = x1
-        triangleKernelForSorted(x2, x3, evs, deltaMs)
-      },
-      8)
+        col("evs.ts").as("ts"), col("evs.dir").as("dir"), col("evs.nbr").as("nbr"))
+    val fStar24 = Future(sumVectors(
+      starEvents
+        .select(col("ts").as[Array[Long]], col("dir").as[Array[Int]], col("nbr").as[Array[Long]])
+        .map { case (ts, dirs, nbrs) => starCounts(ts, dirs, nbrs, deltaMs) },
+      24))
+
+    // -- triangle block: degree-oriented enumeration over the pair keys
+    // (the groupBy(a, b) output IS the distinct undirected edge set, so the
+    // cached exchange is reused instead of a second distinct over ev) --
+    val fTri8 = Future {
+      val und = pairEvents.select(col("a"), col("b"))
+      val tris = orientedTriangles(und)
+      val triPairs = tris
+        .withColumn("tri", struct(col("x1"), col("x2"), col("x3")))
+        .select(
+          col("tri"),
+          explode(array(
+            struct(col("x1").as("p"), col("x2").as("q")),
+            struct(col("x2").as("p"), col("x3").as("q")),
+            struct(col("x1").as("p"), col("x3").as("q")))).as("pq"))
+        .select(col("tri"), col("pq.p").as("p"), col("pq.q").as("q"))
+      val triEvents = triEventLists(triPairs, pairEvents)
+      val v = sumVectors(
+        triEvents
+          .select(
+            col("tri").as[(Long, Long, Long)],
+            col("ts").as[Array[Long]], col("src").as[Array[Long]], col("dst").as[Array[Long]])
+          .map { case ((x1, x2, x3), ts, srcs, dsts) =>
+            // reference role mapping (global_temporal_three_node_motifs.rs:188-226):
+            // sorted ids = [v, u, w] with v = x1 (smaller of the u,v pair),
+            // u = x2, w = x3 (the intersection neighbour, largest)
+            val _ = x1
+            triangleKernelForSorted(x2, x3, ts, srcs, dsts, deltaMs)
+          },
+        8)
+      tris.unpersist(false)
+      v
+    }
+
+    val two8 = Await.result(fTwo8, Duration.Inf)
+    val star24 = Await.result(fStar24, Duration.Inf)
+    val tri8 = Await.result(fTri8, Duration.Inf)
 
     ev.unpersist(false)
-    und.unpersist(false)
+    pairEvents.unpersist(false)
 
     // assemble: star24 − cycled two8 ++ two8 ++ tri8 (reference :63-74, :293)
     val rows = (0 until 40).map { i =>
@@ -469,7 +498,8 @@ object TemporalMotifs {
     val hn = broadcast(heavyNodes(ev, maxEventsPerEntity).select("node"))
     val hp = broadcast(heavyPairs(ev, maxEventsPerEntity).select("a", "b"))
 
-    // -- two-node block: one kernel per pair, credited to both endpoints --
+    // -- two-node block: one kernel per pair, credited to both endpoints
+    // (same primitive-array extraction + shared exchange as [[global]]) --
     val pairEvents = ev
       .select(
         least(col("src"), col("dst")).as("a"),
@@ -481,12 +511,17 @@ object TemporalMotifs {
       .join(hp, Seq("a", "b"), "left_anti")
       .groupBy("a", "b")
       .agg(sort_array(collect_list(col("e"))).as("evs"))
-      .select(col("a").as[Long], col("b").as[Long], col("evs").as[Seq[(Long, Long, Int)]])
+      .select(
+        col("a"), col("b"),
+        col("evs.ts").as("ts"), col("evs.event_id").as("eid"), col("evs.dir").as("dir"))
+      .persist()
     val twoByNode = sumByNode(
-      pairEvents.flatMap { case (a, b, evs) =>
-        val c = twoNodeCounts(evs.map(_._1).toArray, evs.map(_._3).toArray, deltaMs)
-        Seq((a, c), (b, mirror8(c)))
-      }).toDF("id", "two")
+      pairEvents
+        .select(col("a").as[Long], col("b").as[Long], col("ts").as[Array[Long]], col("dir").as[Array[Int]])
+        .flatMap { case (a, b, ts, dirs) =>
+          val c = twoNodeCounts(ts, dirs, deltaMs)
+          Seq((a, c), (b, mirror8(c)))
+        }).toDF("id", "two")
 
     // -- star block: one kernel per centre node --
     val starByNode = ev
@@ -497,25 +532,18 @@ object TemporalMotifs {
       .join(hn, Seq("node"), "left_anti")
       .groupBy("node")
       .agg(sort_array(collect_list(col("e"))).as("evs"))
-      .select(col("node").as[Long], col("evs").as[Seq[(Long, Long, Int, Long)]])
-      .map { case (node, evs) =>
-        (node, starCounts(evs.map(_._1).toArray, evs.map(_._3).toArray, evs.map(_._4).toArray, deltaMs))
-      }
+      .select(
+        col("node"),
+        col("evs.ts").as("ts"), col("evs.dir").as("dir"), col("evs.nbr").as("nbr"))
+      .select(col("node").as[Long], col("ts").as[Array[Long]], col("dir").as[Array[Int]], col("nbr").as[Array[Long]])
+      .map { case (node, ts, dirs, nbrs) => (node, starCounts(ts, dirs, nbrs, deltaMs)) }
       .toDF("id", "star")
 
     // -- triangle block: kernel once per triangle, credited to all corners --
-    val und = ev
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-      .join(hp, Seq("a", "b"), "left_anti")
-      .persist()
+    val und = pairEvents.select(col("a"), col("b"))
     val tris = orientedTriangles(und)
 
-    val pe = ev.select(
-      least(col("src"), col("dst")).as("p"),
-      greatest(col("src"), col("dst")).as("q"),
-      col("src"), col("dst"), col("ts"), col("event_id"))
-    val triEvents = tris
+    val triPairs = tris
       .withColumn("tri", struct(col("x1"), col("x2"), col("x3")))
       .select(
         col("tri"),
@@ -524,18 +552,15 @@ object TemporalMotifs {
           struct(col("x2").as("p"), col("x3").as("q")),
           struct(col("x1").as("p"), col("x3").as("q")))).as("pq"))
       .select(col("tri"), col("pq.p").as("p"), col("pq.q").as("q"))
-      .join(pe, Seq("p", "q"))
-      .select(
-        col("tri"),
-        struct(col("ts"), col("event_id"), col("src"), col("dst")).as("e"))
-      .groupBy("tri")
-      .agg(sort_array(collect_list(col("e"))).as("evs"))
-      .select(col("tri").as[(Long, Long, Long)], col("evs").as[Seq[(Long, Long, Long, Long)]])
     val triByNode = sumByNode(
-      triEvents.flatMap { case ((x1, x2, x3), evs) =>
-        val c = triangleKernelForSorted(x2, x3, evs, deltaMs)
-        Seq((x1, c), (x2, c), (x3, c))
-      }).toDF("id", "tri")
+      triEventLists(triPairs, pairEvents)
+        .select(
+          col("tri").as[(Long, Long, Long)],
+          col("ts").as[Array[Long]], col("src").as[Array[Long]], col("dst").as[Array[Long]])
+        .flatMap { case ((x1, x2, x3), ts, srcs, dsts) =>
+          val c = triangleKernelForSorted(x2, x3, ts, srcs, dsts, deltaMs)
+          Seq((x1, c), (x2, c), (x3, c))
+        }).toDF("id", "tri")
 
     // -- assemble per node: (star − cycled two) ++ two ++ tri --
     def zeros(n: Int) = array((0 until n).map(_ => lit(0L)): _*)
@@ -558,27 +583,58 @@ object TemporalMotifs {
     val result = out.persist()
     result.count()
     ev.unpersist(false)
-    und.unpersist(false)
+    pairEvents.unpersist(false)
+    tris.unpersist(false)
     result
   }
 
+  /** Per-triangle sorted event lists, rebuilt from the cached per-pair
+    * lists: join each triangle's three (p, q) legs against `pairEvents`
+    * (columns a, b, ts[], eid[], dir[]), re-derive (src, dst) from the
+    * canonical dir bit (dir = 1 ⇔ src < dst ⇔ src = a), and re-sort at the
+    * triangle level by (ts, event_id, src, dst) — the event-id carries only
+    * the deterministic tie-break. Avoids a second full scan + exchange of
+    * the raw event table for the triangle block.
+    * @return (tri, ts[], src[], dst[]) */
+  private def triEventLists(triPairs: DataFrame, pairEvents: DataFrame): DataFrame =
+    triPairs
+      .join(
+        pairEvents.select(
+          col("a").as("p"), col("b").as("q"),
+          arrays_zip(col("ts"), col("eid"), col("dir")).as("pevs")),
+        Seq("p", "q"))
+      .select(col("tri"), col("p"), col("q"), explode(col("pevs")).as("e"))
+      .select(
+        col("tri"),
+        struct(
+          col("e.ts").as("ts"),
+          col("e.eid").as("eid"),
+          when(col("e.dir") === 1, col("p")).otherwise(col("q")).as("src"),
+          when(col("e.dir") === 1, col("q")).otherwise(col("p")).as("dst")).as("e2"))
+      .groupBy("tri")
+      .agg(sort_array(collect_list(col("e2"))).as("evs"))
+      .select(
+        col("tri"),
+        col("evs.ts").as("ts"), col("evs.src").as("src"), col("evs.dst").as("dst"))
+
   /** Run the triangle kernel on one triangle's sorted events with the
     * canonical role mapping (v = x1, u = x2, w = x3 — the same mapping
-    * [[global]] uses, see global_temporal_three_node_motifs.rs:188-226).
-    * Event tuples are (ts, event_id, src, dst). */
-  private def triangleKernelForSorted(
+    * [[global]] uses, see global_temporal_three_node_motifs.rs:188-226). */
+  private[algos] def triangleKernelForSorted(
       x2: Long,
       x3: Long,
-      evs: Seq[(Long, Long, Long, Long)],
+      times: Array[Long],
+      srcs: Array[Long],
+      dsts: Array[Long],
       deltaMs: Long): Array[Long] = {
-    val l = evs.length
-    val times = new Array[Long](l)
+    val l = times.length
     val uvE = new Array[Boolean](l)
     val uorv = new Array[Int](l)
     val dirs = new Array[Int](l)
     var i = 0
-    evs.foreach { case (t, _, s, d) =>
-      times(i) = t
+    while (i < l) {
+      val s = srcs(i)
+      val d = dsts(i)
       if (s == x3) { uvE(i) = false; uorv(i) = if (d == x2) 0 else 1; dirs(i) = 0 }
       else if (d == x3) { uvE(i) = false; uorv(i) = if (s == x2) 0 else 1; dirs(i) = 1 }
       else if (s == x2) { uvE(i) = true; uorv(i) = 1; dirs(i) = 1 }
@@ -598,19 +654,18 @@ object TemporalMotifs {
       .map(_._2)
   }
 
-  /** Distributed elementwise sum of fixed-width count vectors. */
+  /** Distributed elementwise sum of fixed-width count vectors — an RDD
+    * fold (per-partition combine, then driver merge of ≤ nPartitions tiny
+    * arrays), not a shuffle: the old flatMap→groupBy paid an exchange per
+    * census block for a ≤ 40-row result. The zero array is never mutated
+    * (the combiner allocates). */
   private def sumVectors(
       ds: org.apache.spark.sql.Dataset[Array[Long]],
-      width: Int): Array[Long] = {
-    val session = ds.sparkSession
-    import session.implicits._
-    val summed = ds
-      .flatMap(arr => arr.zipWithIndex.map { case (c, i) => (i, c) })
-      .groupBy("_1")
-      .agg(sum("_2").as("s"))
-      .collect()
-    val out = new Array[Long](width)
-    summed.foreach(r => out(r.getInt(0)) = r.getLong(1))
-    out
-  }
+      width: Int): Array[Long] =
+    ds.rdd.fold(new Array[Long](width)) { (x, y) =>
+      val out = new Array[Long](width)
+      var i = 0
+      while (i < width) { out(i) = x(i) + y(i); i += 1 }
+      out
+    }
 }
