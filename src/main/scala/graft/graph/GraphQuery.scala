@@ -49,7 +49,18 @@ object GraphQuery {
       offset: Int,
       limit: Int)
 
-  final case class Spec(view: Seq[GraphViews.ViewOp], select: Selection)
+  /** An algorithm invocation over the composed view — the wire-format
+    * counterpart of the reference's server-side algorithm plugins
+    * (raphtory-graphql/src/model/plugins/graph_algorithm_plugin.rs:30-40,
+    * which exposes `pagerank` and `shortest_path` over the queried
+    * graph). `params` stay raw JSON nodes so each algorithm reads its own
+    * typed arguments. */
+  final case class Algo(name: String, params: Map[String, JsonNode])
+
+  final case class Spec(
+      view: Seq[GraphViews.ViewOp],
+      select: Selection,
+      algorithm: Option[Algo] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -62,30 +73,77 @@ object GraphQuery {
       .map(parseOp)
     val sel = Option(root.get("select")).map(parseSelect).getOrElse(
       Selection("nodes", Seq.empty, 0, -1))
-    Spec(ops, sel)
+    val algo = Option(root.get("algorithm")).map { a =>
+      Algo(
+        req(a, "name").asText,
+        Option(a.get("params")).map(p =>
+          p.fields().asScala.map(e => e.getKey -> e.getValue).toMap)
+          .getOrElse(Map.empty))
+    }
+    Spec(ops, sel, algo)
   }
 
   /** Parse + interpret against a property graph; returns the selected
-    * page as a DataFrame. */
+    * page as a DataFrame. With an `algorithm` clause the document's view
+    * chain composes FIRST (window/layers/filters), the algorithm runs on
+    * the composed view, and `select.sort/offset/limit` page its output —
+    * the same order the reference's GraphQL algorithm plugins apply. */
   def run(pg: PropertyGraph, json: String): DataFrame = {
     val spec = parse(json)
     val viewed = GraphViews.applyViews(pg, spec.view)
-    // empty sort → each resolver's own deterministic default (nodes sort by
-    // id; edges by (src, dst) — edges carry no `id` column)
     val sort = spec.select.sort
-    spec.select.target match {
-      case "nodes" =>
-        GraphViews.nodesPage(
-          viewed,
+    spec.algorithm match {
+      case Some(a) =>
+        GraphViews.resultPage(
+          runAlgorithm(a, viewed),
           if (sort.nonEmpty) sort else Seq(GraphViews.SortKey("id")),
           spec.select.offset, spec.select.limit)
-      case "edges" =>
-        GraphViews.edgesPage(
-          viewed.graph,
-          if (sort.nonEmpty) sort
-          else Seq(GraphViews.SortKey("src"), GraphViews.SortKey("dst")),
-          spec.select.offset, spec.select.limit)
-      case other => throw new IllegalArgumentException(s"unknown select.target: $other")
+      case None =>
+        // empty sort → each resolver's own deterministic default (nodes
+        // sort by id; edges by (src, dst) — edges carry no `id` column)
+        spec.select.target match {
+          case "nodes" =>
+            GraphViews.nodesPage(
+              viewed,
+              if (sort.nonEmpty) sort else Seq(GraphViews.SortKey("id")),
+              spec.select.offset, spec.select.limit)
+          case "edges" =>
+            GraphViews.edgesPage(
+              viewed.graph,
+              if (sort.nonEmpty) sort
+              else Seq(GraphViews.SortKey("src"), GraphViews.SortKey("dst")),
+              spec.select.offset, spec.select.limit)
+          case other => throw new IllegalArgumentException(s"unknown select.target: $other")
+        }
+    }
+  }
+
+  /** Dispatch an [[Algo]] clause to graft.algos over the composed view.
+    * Names and params mirror the reference's plugin surface: `pagerank`
+    * (iterCount; plus tol/damping with the library defaults) and
+    * `shortest_path` (source, cutoff); `connected_components` is exposed
+    * additionally (the other algorithm the reference bundles in its
+    * GraphQL docs examples). */
+  private def runAlgorithm(a: Algo, pg: PropertyGraph): DataFrame = {
+    val g = pg.graph
+    val spark = g.edges.sparkSession
+    def pInt(k: String, d: Int): Int = a.params.get(k).map(_.asInt).getOrElse(d)
+    def pDouble(k: String, d: Double): Double = a.params.get(k).map(_.asDouble).getOrElse(d)
+    a.name match {
+      case "pagerank" =>
+        graft.algos.PageRank.run(
+          spark, g,
+          graft.algos.PageRank.Config(
+            maxIter = pInt("iterCount", 20),
+            tol = pDouble("tol", 0.0),
+            damping = pDouble("damping", 0.85)))
+      case "shortest_path" =>
+        val source = a.params.get("source").map(_.asLong).getOrElse(
+          throw new IllegalArgumentException("shortest_path needs a 'source' param"))
+        graft.algos.Paths.sssp(spark, g, source, pInt("cutoff", 20))
+      case "connected_components" =>
+        graft.algos.ConnectedComponents.run(spark, g)
+      case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
     }
   }
 

@@ -160,6 +160,15 @@ object GraphViews {
       offset,
       limit)
 
+  /** Sort + page an algorithm result frame (`id` tie-break keeps pages
+    * deterministic — every graft.algos result carries an `id` column). */
+  def resultPage(
+      df: DataFrame,
+      sort: Seq[SortKey],
+      offset: Int = 0,
+      limit: Int = -1): DataFrame =
+    page(df.orderBy(orderCols(sort) :+ col("id").asc: _*), offset, limit)
+
   private def page(df: DataFrame, offset: Int, limit: Int): DataFrame = {
     val off = if (offset > 0) df.offset(offset) else df
     if (limit >= 0) off.limit(limit) else off

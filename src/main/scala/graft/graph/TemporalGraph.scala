@@ -388,6 +388,32 @@ case class TemporalGraph(
   }
 
   def adjacencyBoth: DataFrame = adjacencyBoth(TemporalGraph.DefaultMaxShard)
+
+  /** Salted CSR carrying BOTH directions with an orientation flag:
+    * `(node, salt, nbrs: array<struct<nbr: long, out: int>>, deg)` — each
+    * distinct directed edge u→v contributes entry (v, 1) on node u and
+    * (u, 0) on node v. One persisted frame lets a message pass that needs
+    * both directions per superstep (HITS: hub along edges, auth along
+    * reversed edges) pay ONE state join + ONE groupBy exchange instead of
+    * two of each. Same sharding/partitioning contract as [[adjacencyOut]]:
+    * output stays hash-partitioned on `node`. */
+  def adjacencySigned(maxShard: Int): DataFrame = {
+    val ends = simpleEdges
+      .select(col("src").as("node"), struct(col("dst").as("nbr"), lit(1).as("out")).as("e"))
+      .unionByName(simpleEdges
+        .select(col("dst").as("node"), struct(col("src").as("nbr"), lit(0).as("out")).as("e")))
+    val deg = ends.groupBy("node").agg(count(lit(1)).as("deg"))
+    ends
+      .join(deg, Seq("node"))
+      .withColumn(
+        "salt",
+        pmod(xxhash64(col("e.nbr"), col("e.out")), greatest(ceil(col("deg") / maxShard.toDouble), lit(1L)))
+          .cast("int"))
+      .groupBy("node", "salt")
+      .agg(collect_list("e").as("nbrs"), first("deg").as("deg"))
+  }
+
+  def adjacencySigned: DataFrame = adjacencySigned(TemporalGraph.DefaultMaxShard)
 }
 
 object TemporalGraph {

@@ -416,16 +416,28 @@ object Dedup {
    * duplicated passage of S tokens reports one span with
    * `span_len = S = n_windows + minTokens − 1`.
    *
-   * The 100 TB shape (plan verified via `tools.Explain`): the duplicate-
-   * hash set — rare next to the corpus — comes back as the BROADCAST build
-   * side of a LeftSemi join, so the corpus-sized window stream reaches the
-   * join with no exchange at all (the corpus is scanned twice, by design:
-   * cheaper than materializing the census); boilerplate explosions
-   * aggregate to a count per hash (never a pair fan-out, so no bucket cap
-   * is needed); the one wide exchange is the per-document island merge over
-   * hit positions only. On a corpus where duplicated hashes are NOT rare,
-   * the size estimate exceeds the broadcast threshold and AQE falls back to
-   * a shuffle join — still one exchange per side.
+   * The 100 TB shape (plan verified via `tools.Explain`), stated honestly:
+   *
+   *  - **The census `groupBy(wh)` IS a full corpus-token-scale exchange** —
+   *    ~one shuffle row per corpus token, and because window hashes are
+   *    mostly unique, map-side partial aggregation barely reduces it. This
+   *    is the single biggest shuffle in this library at 100 TB and it is
+   *    the canonical MapReduce shape for exact substring dedup (Lee et
+   *    al.'s suffix-array build moves the corpus the same way); exactness
+   *    needs a global per-hash count, and no sketch pre-pass can prune
+   *    singletons without a second corpus-scale exchange of its own.
+   *    [[duplicateSpansStats]] meters it (windows in, distinct/dup hashes,
+   *    measured shuffle volume is in BENCH.md) — the no-silent-costs
+   *    convention the `*Dropped` frames follow.
+   *  - The duplicate-hash SET that comes out of the census — rare next to
+   *    the corpus — returns as the BROADCAST build side of a LeftSemi
+   *    join, so the second corpus-sized window stream reaches the join
+   *    with no exchange (scanning the corpus twice is cheaper than
+   *    materializing the window stream); on a corpus where dup hashes are
+   *    NOT rare, AQE falls back to a shuffle join — one exchange per side.
+   *  - Boilerplate explosions aggregate to a count per hash (never a pair
+   *    fan-out, so no bucket cap is needed); the island merge exchanges
+   *    hit positions only.
    *
    * @return (doc_id, span_start, span_len, n_windows) — token offsets
    */
@@ -465,6 +477,43 @@ object Dedup {
         col("span_start"),
         (col("n_windows") + (minTokens - 1)).as("span_len"),
         col("n_windows"))
+  }
+
+  /** Census-size accounting for [[duplicateSpans]] — the frame to persist
+    * next to span results at scale, because the census exchange is the
+    * library's largest shuffle and its volume should be a first-class
+    * output, not a surprise: one row with
+    * (n_windows, n_distinct_hashes, n_dup_hashes, n_dup_windows,
+    * census_shuffle_rows, census_shuffle_bytes_est). The byte estimate is
+    * rows × 24 B (wh, doc_id, pos per pre-aggregation shuffle row); the
+    * MEASURED exchange volume for the sf0.1 corpus is recorded in
+    * BENCH.md. */
+  def duplicateSpansStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Int = 8,
+      minDocs: Int = 2,
+      portable: Boolean = false): DataFrame = {
+    val wh = docs
+      .withColumn("__th", expr(tokenHashesExpr(textCol, portable)))
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(graft.functions.HashExpressions.windowHashes(
+          col("__th"), minTokens, portable)).as(Seq("pos", "wh")))
+      .filter(col("wh").isNotNull)
+    val census = wh
+      .groupBy("wh")
+      .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"))
+    census.agg(
+      sum("n_occ").as("n_windows"),
+      count(lit(1)).as("n_distinct_hashes"),
+      sum(when(col("n_occ") >= 2 && col("n_docs") >= minDocs, 1L).otherwise(0L))
+        .as("n_dup_hashes"),
+      sum(when(col("n_occ") >= 2 && col("n_docs") >= minDocs, col("n_occ")).otherwise(0L))
+        .as("n_dup_windows"))
+      .withColumn("census_shuffle_rows", col("n_windows"))
+      .withColumn("census_shuffle_bytes_est", col("n_windows") * 24L)
   }
 
   /**

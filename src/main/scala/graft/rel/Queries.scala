@@ -189,9 +189,31 @@ object Queries {
 
   /** Fixed-iteration PageRank (semantics of algos/PageRank: teleport +
     * damped in-neighbour mass + sink mass from the previous iteration). */
-  private def pageRankOracleSql(iters: Int, damping: Double): String = {
+  /** Windowed/layer-filtered variant of [[graphBaseSql]] for the
+    * view-composed algorithm oracle (`q_view_algorithm`): same events link
+    * graph restricted to [Jan 3, Jan 26) with the `error` layer excluded —
+    * mirrors the JSON view chain the Spark side ships. */
+  private val viewedGraphBaseSql =
+    """e0 AS (
+      |  SELECT user_id AS src, dst, event_type AS layer,
+      |    epoch_us(ts) // 1000 AS tms FROM (
+      |    SELECT user_id, event_type, event_id, ts,
+      |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+      |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+      |ef AS (SELECT src, dst FROM e0
+      |  WHERE tms >= 1704240000000 AND tms < 1706227200000 AND layer <> 'error'),
+      |e AS (SELECT DISTINCT src, dst FROM ef),
+      |nodes AS (SELECT DISTINCT id FROM (
+      |  SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))""".stripMargin
+
+  private def pageRankOracleSql(iters: Int, damping: Double): String =
+    pageRankOracleSqlOver(graphBaseSql, iters, damping)
+
+  /** Fixed-iteration PageRank replay over any base providing `e` (distinct
+    * directed edges) and `nodes` CTEs. */
+  private def pageRankOracleSqlOver(base: String, iters: Int, damping: Double): String = {
     val head =
-      s"""WITH $graphBaseSql,
+      s"""WITH $base,
          |od AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
          |deg AS (SELECT n.id, coalesce(od.outdeg, 0) AS outdeg
          |        FROM nodes n LEFT JOIN od ON n.id = od.id),
@@ -1875,6 +1897,39 @@ object Queries {
            |  coalesce(r.removed_tokens, 0) AS removed_tokens
            |FROM tok d LEFT JOIN covl c USING (doc_id) LEFT JOIN rsum r USING (doc_id)""".stripMargin)),
     (
+      "q_dedup_substring_stats",
+      // census-size accounting for the substring-dedup exchange (the
+      // library's largest shuffle at scale): windows in, distinct/dup
+      // hashes, shuffle-row/byte estimates — DuckDB replays the census
+      (s, d) => Dedup.duplicateSpansStats(
+        t(s, d, "documents"), minTokens = 8, minDocs = 2, portable = true),
+      Some(
+        s"""WITH th AS (
+           |  SELECT doc_id, list_transform(regexp_split_to_array(text, '\\s+'),
+           |    tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |             list_transform(string_split(tok, ''), c -> CAST(ascii(c) % 65536 AS BIGINT))),
+           |           (acc, c) -> (acc * 31 + c) % ${Dedup.PolyP})) AS th
+           |  FROM documents),
+           |pos AS (
+           |  SELECT doc_id, th, unnest(range(0, greatest(len(th) - 7, 0))) AS i FROM th),
+           |w AS (
+           |  SELECT doc_id, i AS pos,
+           |    list_reduce(list_prepend(CAST(7 AS BIGINT), th[CAST(i AS INT) + 1 : CAST(i AS INT) + 8]),
+           |      (acc, x) -> (acc * 31 + x) % ${Dedup.PolyP}) * ${Dedup.PolyBandP}
+           |    + list_reduce(list_prepend(CAST(11 AS BIGINT), th[CAST(i AS INT) + 1 : CAST(i AS INT) + 8]),
+           |      (acc, x) -> (acc * 37 + x) % ${Dedup.PolyBandP}) AS wh
+           |  FROM pos),
+           |census AS (
+           |  SELECT wh, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+           |  FROM w GROUP BY wh)
+           |SELECT CAST(sum(n_occ) AS BIGINT) AS n_windows,
+           |  CAST(count(*) AS BIGINT) AS n_distinct_hashes,
+           |  CAST(sum(CASE WHEN n_occ >= 2 AND n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_hashes,
+           |  CAST(sum(CASE WHEN n_occ >= 2 AND n_docs >= 2 THEN n_occ ELSE 0 END) AS BIGINT) AS n_dup_windows,
+           |  CAST(sum(n_occ) AS BIGINT) AS census_shuffle_rows,
+           |  CAST(sum(n_occ) * 24 AS BIGINT) AS census_shuffle_bytes_est
+           |FROM census""".stripMargin)),
+    (
       "q_dedup_ngram_jaccard",
       // jaccard over adjacent-id candidate pairs (deterministic sample)
       (s, d) => {
@@ -2483,6 +2538,25 @@ object Queries {
           |SELECT src, dst, ts, event_id, layer FROM f
           |ORDER BY ts DESC, src, dst, event_id
           |LIMIT 40 OFFSET 5""".stripMargin)),
+
+    (
+      "q_view_algorithm",
+      // algorithm invocation THROUGH the JSON wire format (the reference's
+      // GraphQL algorithm plugins, graph_algorithm_plugin.rs:30-40):
+      // window + layer-exclusion view chain composes first, pagerank runs
+      // on the composed view; DuckDB replays the identical fixed-iteration
+      // run over the identically-filtered edge set
+      (s, d) => {
+        val json =
+          """{"view":[
+            |  {"op":"window","start":1704240000000,"end":1706227200000},
+            |  {"op":"excludeLayers","names":["error"]}],
+            | "algorithm":{"name":"pagerank",
+            |              "params":{"iterCount":10,"tol":0.0}}}""".stripMargin
+        graft.graph.GraphQuery.run(eventGraph(s, d), json)
+          .select(col("id"), round(col("score"), 6).as("score"))
+      },
+      Some(pageRankOracleSqlOver(viewedGraphBaseSql, iters = 10, damping = 0.85))),
 
     // ---- composite property-filter + prefix/fuzzy search (parity with
     //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----

@@ -93,6 +93,47 @@ class GraphQuerySpec extends SparkSpec {
     assert(rows.length == 2)
   }
 
+  test("algorithm clause: pagerank over the composed view equals the direct call") {
+    // window [0, 35) keeps edges 10/20/30 → the chain 1→2→3→4
+    val json =
+      """{"view":[{"op":"window","start":0,"end":35}],
+        | "algorithm":{"name":"pagerank","params":{"iterCount":10,"tol":0.0}}}""".stripMargin
+    val viaWire = GraphQuery.run(g, json).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = graft.algos.PageRank
+      .run(spark, g.window(0, 35),
+        graft.algos.PageRank.Config(maxIter = 10, tol = 0.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaWire.keySet == Set(1L, 2L, 3L, 4L))
+    assert(viaWire == direct)
+  }
+
+  test("algorithm clause: shortest_path needs source; select pages the result") {
+    intercept[IllegalArgumentException](
+      GraphQuery.run(g, """{"algorithm":{"name":"shortest_path"}}"""))
+    val json =
+      """{"algorithm":{"name":"shortest_path","params":{"source":1,"cutoff":3}},
+        | "select":{"target":"nodes","sort":[{"column":"dist","desc":false}],"limit":2}}""".stripMargin
+    val rows = GraphQuery.run(g, json).select("id", "dist").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((1L, 0), (2L, 1))) // BFS from 1: self, then 2
+    intercept[IllegalArgumentException](
+      GraphQuery.run(g, """{"algorithm":{"name":"quantum_walk"}}"""))
+  }
+
+  test("algorithm clause: connected_components over a layer view") {
+    // excluding the 'late' layer removes 4→5, 5→1 and 2→4: components
+    // {1,2,3,4} (chain) and {5} drops to... 5 has no remaining edges, so
+    // it leaves the view entirely (nodes are edge endpoints)
+    val json =
+      """{"view":[{"op":"excludeLayers","names":["late"]}],
+        | "algorithm":{"name":"connected_components"}}""".stripMargin
+    val comps = GraphQuery.run(g, json).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.keySet == Set(1L, 2L, 3L, 4L))
+    assert(comps.values.toSet.size == 1)
+  }
+
   test("malformed documents fail loudly") {
     intercept[IllegalArgumentException](
       GraphQuery.run(g, """{"view":[{"op":"teleport"}]}"""))

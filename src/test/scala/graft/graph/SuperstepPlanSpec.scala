@@ -100,29 +100,44 @@ class SuperstepPlanSpec extends SparkSpec {
     }
   }
 
-  test("HITS superstep reuses out-CSR and in-CSR partitioning") {
+  test("HITS fused superstep reuses the signed-CSR partitioning") {
     withShuffledJoins {
-      val adjOut = g.adjacencyOut(1 << 17).persist()
-      val adjIn = g.adjacencyIn(1 << 17).persist()
-      adjOut.count(); adjIn.count()
+      val adj = g.adjacencySigned(1 << 17).persist()
+      adj.count()
       val state = g.nodes
         .select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
         .localCheckpoint(true)
-      val recvHub = adjOut
-        .join(state.select(col("id"), col("hub")), adjOut("src") === col("id"))
-        .select(explode(col("dsts")).as("id"), col("hub"))
+      // the fused pass: ONE join + ONE explode + ONE groupBy carries both
+      // the hub and the auth message streams (Hits.scala superstep body)
+      val recv = adj
+        .join(state, adj("node") === state("id"))
+        .select(explode(col("nbrs")).as("m"), col("hub"), col("auth"))
+        .select(
+          col("m.nbr").as("id"),
+          when(col("m.out") === 1, col("hub")).as("hub_msg"),
+          when(col("m.out") === 0, col("auth")).as("auth_msg"))
         .groupBy("id")
-        .agg(sum("hub").as("recv_hub"))
-      val recvAuth = adjIn
-        .join(state.select(col("id"), col("auth")), adjIn("dst") === col("id"))
-        .select(explode(col("srcs")).as("id"), col("auth"))
-        .groupBy("id")
-        .agg(sum("auth").as("recv_auth"))
-      assertAdjacencyStaysPut(recvHub)
-      assertAdjacencyStaysPut(recvAuth)
-      adjOut.unpersist(true)
-      adjIn.unpersist(true)
+        .agg(sum("hub_msg").as("recv_hub"), sum("auth_msg").as("recv_auth"))
+      assertAdjacencyStaysPut(recv)
+      adj.unpersist(true)
     }
+  }
+
+  test("signed CSR carries both directions exactly once per directed edge") {
+    val tg = TemporalGraph.fromTriples(
+      spark,
+      Seq((1L, 2L, 10L), (2L, 1L, 20L), (2L, 3L, 30L), (1L, 2L, 40L)))
+    val rows = tg.adjacencySigned(1 << 17)
+      .select(col("node"), explode(col("nbrs")).as("e"))
+      .select(col("node"), col("e.nbr").as("nbr"), col("e.out").as("out"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // distinct directed edges: 1→2, 2→1, 2→3; duplicate 1→2@40 deduped
+    assert(rows == Set(
+      (1L, 2L, 1), (2L, 1L, 0), // 1→2
+      (2L, 1L, 1), (1L, 2L, 0), // 2→1
+      (2L, 3L, 1), (3L, 2L, 0))) // 2→3
   }
 
   test("Louvain-shaped round reuses the weighted-CSR partitioning") {

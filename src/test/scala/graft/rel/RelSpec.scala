@@ -41,6 +41,68 @@ class RelSpec extends SparkSpec {
     assert(grouped(5.0) == List(1L, 4L))
   }
 
+  test("median: 10^6 all-distinct doubles, exact, no single-partition global sort") {
+    import spark.implicits._
+    // ALL-DISTINCT continuous values — the shape where the r3 cumulative
+    // window over distinct values collapsed to one task sorting n rows.
+    // Deterministic permutation: v = (id * 2654435761 mod 2^31) + fraction,
+    // so values are distinct and the upper-middle element is known by rank.
+    val n = 1000000L
+    val vals = spark.range(n)
+      .select((pmod(col("id") * 2654435761L, lit(1L << 31)) +
+        col("id").cast("double") / lit(2e7)).as("score"), col("id"))
+    // capture executed plans: the whole call must never run a GLOBAL sort
+    // (TakeOrderedAndProject and per-partition work are fine)
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val got = ResultOps.median(vals.toDF(), "score")
+      // oracle: exact rank-n/2 element via a driver-side sort of the same
+      // deterministic values (cheap: generated locally, not via Spark)
+      val local = (0L until n).map(i =>
+        java.lang.Math.floorMod(i * 2654435761L, 1L << 31).toDouble + i.toDouble / 2e7)
+        .sorted
+      assert(got.contains(local((n / 2).toInt)), s"got $got want ${local((n / 2).toInt)}")
+      // QueryExecutionListener delivery is async; wait until the captured
+      // plan count is stable (listenerBus.waitUntilEmpty is private[spark])
+      var prev = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 15000) {
+        Thread.sleep(250); waited += 250
+        val now = plans.synchronized(plans.size)
+        if (now == prev) stable += 1 else { stable = 0; prev = now }
+      }
+      val globalSorts = plans.synchronized {
+        plans.filter(p => p.linesIterator.exists(l => l.contains("Sort ") && l.contains("], true,")))
+      }
+      assert(globalSorts.isEmpty, s"median ran a global sort:\n${globalSorts.headOption.getOrElse("")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("median: forced iterative brackets + duplicate-dominated stall branch stay exact") {
+    import spark.implicits._
+    // tiny localBracket forces multiple bracket rounds on 100k distinct rows
+    val dist = spark.range(100001).select(col("id").cast("double").as("v")).toDF()
+    assert(ResultOps.median(dist, "v", localBracket = 1000L).contains(50000.0))
+    // duplicates dominate around the median: 150k copies of 7.0 plus tails
+    val dup = spark.range(200000)
+      .select(when(col("id") < 20000, col("id").cast("double") / 1e5)
+        .when(col("id") < 170000, lit(7.0))
+        .otherwise(lit(9.0) + col("id").cast("double") / 1e6).as("v")).toDF()
+    assert(ResultOps.median(dup, "v", localBracket = 1000L).contains(7.0))
+    // upper-middle semantics (node_state_ops.rs:206): even n takes index n/2
+    val even = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    assert(ResultOps.median(even, "v").contains(3.0))
+    val odd = Seq(5.0, 1.0, 9.0).toDF("v")
+    assert(ResultOps.median(odd, "v").contains(5.0))
+  }
+
   test("rolling/expanding window sets replicate the reference cursor") {
     // events at t = 0, 5, 10, 15 (ms); timelineEnd = 16
     val g = TemporalGraph.fromTriples(spark,
