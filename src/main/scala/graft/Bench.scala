@@ -262,6 +262,53 @@ object Bench {
     results += "sim_lsh_topk100q" -> tLshSim
     vecs.unpersist(false)
 
+    // --- streaming surface: the stateful paths get MEASURED, not just
+    // tested. Both run Trigger.AvailableNow over temp-dir drops so the
+    // numbers are end-to-end (source discovery → stateful op → sink). ---
+    locally {
+      import java.nio.file.Files
+      // Sessionize: cross-batch conversation linking over flatMapGroupsWithState
+      val sConvs = math.max(nConvs / 4L, 50L)
+      val sIn = Files.createTempDirectory("graft-bench-sess-in").toString
+      val sCk = Files.createTempDirectory("graft-bench-sess-ck").toString
+      val sSt = Files.createTempDirectory("graft-bench-sess-store").toString
+      TranscriptGen.transcripts(spark, sConvs).write.mode("overwrite").parquet(sIn)
+      val nTurns = spark.read.parquet(sIn).count()
+      val store = new graft.sources.GraphStore(sSt, spark)
+      val (_, tSess) = time {
+        graft.streaming.Sessionize.start(spark, sIn, store, sCk).awaitTermination(300000)
+      }
+      results += "stream_sessionize" -> tSess
+      extras += "stream_sessionize_turns_per_sec" -> nTurns / tSess
+
+      // StreamingDedup: watermarked exact dedup over the documents corpus
+      val dIn = Files.createTempDirectory("graft-bench-dedup-in").toString
+      val dCk = Files.createTempDirectory("graft-bench-dedup-ck").toString
+      val docsTs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("doc_id")))
+      docsTs.write.mode("overwrite").parquet(dIn)
+      val nDocsS = spark.read.parquet(dIn).count()
+      val outCount = new java.util.concurrent.atomic.AtomicLong(0L)
+      val (_, tDedup) = time {
+        val stream = spark.readStream
+          .schema(docsTs.schema)
+          .parquet(dIn)
+        graft.streaming.StreamingDedup.dedupExact(stream)
+          .writeStream
+          .option("checkpointLocation", dCk)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            outCount.addAndGet(b.count())
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination(300000)
+      }
+      results += "stream_dedup" -> tDedup
+      extras += "stream_dedup_docs_per_sec" -> nDocsS / tDedup
+      extras += "stream_dedup_out_rows" -> outCount.get().toDouble
+    }
+
     // post-run calibration + whole-bench GC/CPU attribution
     calibrate("post")
     val stageTotals = gcListener.snapshot()

@@ -53,12 +53,23 @@ object Layout {
       seed: Long = 42L,
       exact: Boolean = false,
       cellSize: Double = 0.0, // 0 → 2·scale
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      portable: Boolean = false)
 
-  /** Hash-uniform double in [-half, half) derived from (seed, id, axis). */
-  private def hashUniform(id: Column, axis: Int, seed: Long, half: Double): Column =
-    (expr(s"cast(pmod(xxhash64(${seed}L, $axis, id), 2000000) as double) / 1000000.0 - 1.0")
-      * half).as(s"c$axis")
+  /** Hash-uniform double in [-half, half) derived from (seed, id, axis).
+    * Portable form uses the polynomial LCG family (same as FastRP) so a
+    * DuckDB oracle can replay the init draw bit-exactly — every
+    * intermediate is integer arithmetic in [0, ~1e15], and the single
+    * division by 1e6 is IEEE-exact in both engines. */
+  private def hashUniform(id: Column, axis: Int, seed: Long, half: Double, portable: Boolean): Column = {
+    val u =
+      if (portable)
+        expr(s"cast(pmod(pmod(id, 1000000007L) * 1000003L + $axis * 999983L " +
+          s"+ ${seed}L * 31L + 12345L, 1000000007L) % 2000000L as double) / 1000000.0 - 1.0")
+      else
+        expr(s"cast(pmod(xxhash64(${seed}L, $axis, id), 2000000) as double) / 1000000.0 - 1.0")
+    (u * half).as(s"c$axis")
+  }
 
   /** @return (id, x, y) final positions. */
   def fruchtermanReingold(
@@ -115,8 +126,8 @@ object Layout {
     val cell = if (cfg.cellSize > 0) cfg.cellSize else 2.0 * cfg.scale
     val init = nodes.select(
       col("id"),
-      hashUniform(col("id"), 0, cfg.seed, half).as("x"),
-      hashUniform(col("id"), 1, cfg.seed, half).as("y"),
+      hashUniform(col("id"), 0, cfg.seed, half, cfg.portable).as("x"),
+      hashUniform(col("id"), 1, cfg.seed, half, cfg.portable).as("y"),
       lit(0.0).as("vx"),
       lit(0.0).as("vy"))
     val nbr = neighbours.persist()

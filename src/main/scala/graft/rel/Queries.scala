@@ -209,6 +209,54 @@ object Queries {
   private def pageRankOracleSql(iters: Int, damping: Double): String =
     pageRankOracleSqlOver(graphBaseSql, iters, damping)
 
+  /** Full-replay Fruchterman–Reingold oracle on the <20-id events
+    * subgraph: portable LCG init draw + `iters` unrolled exact-physics
+    * iterations, mirroring Layout's float expressions op for op
+    * (scale = 1, dt = 0.1, cooloff = 0.975, half = 0.5, seed = 42). */
+  private def layoutOracleSql(iters: Int): String = {
+    def init(axis: Int) =
+      s"(CAST(((id % 1000000007 + 1000000007) % 1000000007 * 1000003 + $axis * 999983 " +
+        s"+ 42 * 31 + 12345) % 1000000007 % 2000000 AS DOUBLE) / 1000000.0 - 1.0) * 0.5"
+    val head =
+      s"""WITH e0 AS (
+         |  SELECT user_id AS src, dst FROM (
+         |    SELECT user_id, lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+         |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+         |sub AS (SELECT DISTINCT src, dst FROM e0 WHERE src < 20 AND dst < 20),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM sub UNION ALL SELECT dst FROM sub)),
+         |nbr AS (SELECT DISTINCT id, nbr FROM (
+         |  SELECT src AS id, dst AS nbr FROM sub UNION ALL SELECT dst, src FROM sub)),
+         |p0 AS MATERIALIZED (
+         |  SELECT id, ${init(0)} AS x, ${init(1)} AS y,
+         |    0.0 AS vx, 0.0 AS vy FROM nodes)""".stripMargin
+    val steps = (1 to iters).flatMap { k =>
+      Seq(
+        s"""rep$k AS MATERIALIZED (
+           |  SELECT id, sum((1.0 * dx) / (d * d)) AS rfx, sum((1.0 * dy) / (d * d)) AS rfy
+           |  FROM (SELECT a.id, a.x - b.x AS dx, a.y - b.y AS dy,
+           |          sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d
+           |        FROM p${k - 1} a JOIN p${k - 1} b ON a.id <> b.id)
+           |  WHERE d > 0.0 GROUP BY id)""".stripMargin,
+        s"""att$k AS MATERIALIZED (
+           |  SELECT id, sum(((nx - x) * d) / 1.0) AS afx, sum(((ny - y) * d) / 1.0) AS afy
+           |  FROM (SELECT p.id, p.x, p.y, n.x AS nx, n.y AS ny,
+           |          sqrt((n.x - p.x) * (n.x - p.x) + (n.y - p.y) * (n.y - p.y)) AS d
+           |        FROM nbr j JOIN p${k - 1} p ON j.id = p.id JOIN p${k - 1} n ON j.nbr = n.id)
+           |  WHERE d > 0.0 GROUP BY id)""".stripMargin,
+        s"""p$k AS MATERIALIZED (
+           |  SELECT id, x + vx * 0.1 AS x, y + vy * 0.1 AS y, vx, vy FROM (
+           |    SELECT n.id, n.x, n.y,
+           |      (n.vx + (coalesce(r.rfx, 0.0) + coalesce(a.afx, 0.0)) * 0.1) * 0.975 AS vx,
+           |      (n.vy + (coalesce(r.rfy, 0.0) + coalesce(a.afy, 0.0)) * 0.1) * 0.975 AS vy
+           |    FROM p${k - 1} n
+           |    LEFT JOIN rep$k r ON n.id = r.id
+           |    LEFT JOIN att$k a ON n.id = a.id))""".stripMargin)
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT id, round(x, 6) + 0.0 AS x, round(y, 6) + 0.0 AS y FROM p$iters"
+  }
+
   /** Fixed-iteration PageRank replay over any base providing `e` (distinct
     * directed edges) and `nodes` CTEs. */
   private def pageRankOracleSqlOver(base: String, iters: Int, damping: Double): String = {
@@ -1511,6 +1559,63 @@ object Queries {
           |SELECT id, community FROM f WHERE cnt >= 2""".stripMargin)),
 
     (
+      "q_graph_louvain_bridged",
+      // Second provably-unique Louvain instance at a DIFFERENT topology
+      // (complements q_graph_louvain_cliques): TWO clique sizes — even
+      // buckets keep all ~12+ members, odd buckets are halved — plus one
+      // BRIDGE edge between each even/odd pair (min-id endpoints).
+      // Soundness (modularity resolution limit, Fortunato–Barthélémy):
+      // merging bridged communities A,B wins iff 2m·l_AB > d_A·d_B; with
+      // l_AB = 1, capping the clique count at 40 keeps 2m ≤ ~3.3k while
+      // the smallest bridged product (size-6 × size-12 cliques) is ≥ ~4.1k
+      // — and above the cap clique sizes grow with n, so the product grows
+      // ~s⁴ against m's ~s². Node-level defection across a bridge loses
+      // (1 internal vs ≥ 2 internal edges), so the unique fixpoint at
+      // every level is one community per clique, labelled min member id.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.{Window => W}
+        val ids = t(s, d, "events")
+          .select(col("user_id").cast("long").as("id")).distinct()
+        val nB = math.min(math.max(ids.count() / 12L, 2L), 40L)
+        val cut = ids.withColumn("bucket", pmod(col("id"), lit(nB)))
+          .withColumn("rn", row_number().over(W.partitionBy("bucket").orderBy("id")).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(W.partitionBy("bucket")))
+          .filter(col("bucket") % 2 === 0 || col("rn") <= expr("cnt div 2"))
+        val sized = cut.join(
+          cut.groupBy("bucket").agg(count(lit(1)).as("k")).filter(col("k") >= 3).select("bucket"),
+          Seq("bucket"))
+        val clique = sized.select(col("bucket"), col("id").as("src"))
+          .join(sized.select(col("bucket"), col("id").as("dst")), Seq("bucket"))
+          .filter(col("src") < col("dst"))
+          .select("src", "dst")
+        val mins = sized.groupBy("bucket").agg(min("id").as("mid"))
+        val bridges = mins.filter(col("bucket") % 2 === 0)
+          .select(col("bucket").as("eb"), col("mid").as("src"))
+          .join(
+            mins.filter(col("bucket") % 2 === 1)
+              .select((col("bucket") - 1).as("eb"), col("mid").as("dst")),
+            Seq("eb"))
+          .select("src", "dst")
+        val edges = clique.unionByName(bridges)
+          .withColumn("ts", lit(0L))
+          .withColumn("event_id", lit(0L))
+          .withColumn("layer", lit("_default"))
+        graft.algos.Louvain.run(s, TemporalGraph(edges))
+      },
+      Some(
+        """WITH ids AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS id FROM events),
+          |nb AS (SELECT least(greatest(count(*) // 12, 2), 40) AS n FROM ids),
+          |b AS (SELECT id, id % (SELECT n FROM nb) AS bucket FROM ids),
+          |r AS (SELECT id, bucket,
+          |        row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn,
+          |        count(*) OVER (PARTITION BY bucket) AS cnt FROM b),
+          |cut AS (SELECT id, bucket FROM r WHERE bucket % 2 = 0 OR rn <= cnt // 2),
+          |k AS (SELECT bucket FROM cut GROUP BY bucket HAVING count(*) >= 3),
+          |f AS (SELECT c.id, c.bucket, min(c.id) OVER (PARTITION BY c.bucket) AS community
+          |      FROM cut c JOIN k USING (bucket))
+          |SELECT id, community FROM f""".stripMargin)),
+
+    (
       "q_graph_rich_club",
       // temporal rich-club coefficient (temporal_rich_club_coefficient.rs:59;
       // Pedreschi et al. 2022): club = degree ≥ 5 in the aggregate graph,
@@ -1668,23 +1773,26 @@ object Queries {
 
     (
       "q_graph_layout",
-      // Fruchterman–Reingold force layout (layout/fruchterman_reingold.rs)
-      // on the event graph — grid (Barnes–Hut monopole) scale path.
-      // rows-only: 10 iterations of compounding float physics are not
-      // SQL-replayable (same class as the motif/louvain kernels); exactness
-      // vs the all-pairs model is proven in LayoutSpec.
-      (s, d) =>
+      // Fruchterman–Reingold layout (layout/fruchterman_reingold.rs),
+      // FULL-REPLAY oracle (upgraded from rows-only in r4): the exact
+      // all-pairs mode on a ≤20-node events subgraph, 2 iterations,
+      // portable LCG init — deterministic hash-seeded arithmetic whose
+      // every float op (sqrt/±/×/÷) is IEEE-exact in both engines; 6dp
+      // rounding absorbs sum-order noise (the FastRP recipe). The grid
+      // (Barnes–Hut) scale path is covered by LayoutSpec's exact-vs-grid
+      // model-parity tests.
+      (s, d) => {
+        val sub = eventEdges(s, d).filter(col("src") < 20 && col("dst") < 20)
         graft.algos.Layout
           .fruchtermanReingold(
-            s, eventGraph(s, d),
-            // dt sized for the event graph's density (explicit Euler with
-            // d² attraction diverges at dt = 0.1 here); cellSize ≪ the
-            // start box so the early compressed state never degenerates to
-            // an all-pairs near-field
-            graft.algos.Layout.Config(
-              iterations = 10, scale = 1.0, dt = 0.005, cooloff = 0.9, cellSize = 0.05))
-          .select(col("id"), round(col("x"), 6).as("x"), round(col("y"), 6).as("y")),
-      None),
+            s, TemporalGraph(sub),
+            graft.algos.Layout.Config(iterations = 2, exact = true, portable = true))
+          .select(
+            col("id"),
+            (round(col("x"), 6) + lit(0.0)).as("x"),
+            (round(col("y"), 6) + lit(0.0)).as("y"))
+      },
+      Some(layoutOracleSql(iters = 2))),
 
     (
       "q_vector_search",
@@ -2557,6 +2665,41 @@ object Queries {
           .select(col("id"), round(col("score"), 6).as("score"))
       },
       Some(pageRankOracleSqlOver(viewedGraphBaseSql, iters = 10, damping = 0.85))),
+
+    (
+      "q_cypher_match",
+      // Cypher-lite frontend (raphtory-cypher transpiler shapes): layered
+      // single-hop MATCH with a WHERE over edge time, projected bindings
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b) WHERE e.time > 1704499200000 AND a <> b RETURN a, b, e.time"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer,
+           |    epoch_us(ts) // 1000 AS tms FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT src AS a, dst AS b, tms AS e_ts FROM e0
+           |WHERE layer = 'click' AND tms > 1704499200000 AND src <> dst""".stripMargin)),
+    (
+      "q_cypher_chain",
+      // two-hop MATCH chain across layers with a cross-hop time predicate,
+      // aggregated — the hop-join shape raphtory-cypher's HopExec optimizes
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e1:click]->(b)-[e2:view]->(c) WHERE e1.time < e2.time RETURN COUNT(*) AS n"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer,
+           |    epoch_us(ts) // 1000 AS tms FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT CAST(count(*) AS BIGINT) AS n
+           |FROM (SELECT dst, tms FROM e0 WHERE layer = 'click') x
+           |JOIN (SELECT src, tms FROM e0 WHERE layer = 'view') y
+           |  ON x.dst = y.src AND x.tms < y.tms""".stripMargin)),
 
     // ---- composite property-filter + prefix/fuzzy search (parity with
     //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----

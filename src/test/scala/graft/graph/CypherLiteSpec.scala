@@ -1,0 +1,122 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Cypher-lite translator over the reference's transpiler test shapes
+ * (raphtory-cypher/src/transpiler/mod.rs:1216-1400). The fixture mirrors
+ * the reference's tiny test graphs: a handful of edges with layers and
+ * timestamps; expectations computed by hand or via the equivalent typed
+ * DataFrame chain.
+ */
+class CypherLiteSpec extends SparkSpec {
+
+  // 1→2 (KNOWS, t=10), 2→3 (KNOWS, t=20), 3→4 (WORKS, t=30), 4→1 (WORKS, t=40), 2→4 (KNOWS, t=60)
+  private def g: TemporalGraph = {
+    val session = spark
+    import session.implicits._
+    TemporalGraph(
+      Seq(
+        (1L, 2L, 10L, 0L, "KNOWS"),
+        (2L, 3L, 20L, 1L, "KNOWS"),
+        (3L, 4L, 30L, 2L, "WORKS"),
+        (4L, 1L, 40L, 3L, "WORKS"),
+        (2L, 4L, 60L, 4L, "KNOWS"))
+        .toDF("src", "dst", "ts", "event_id", "layer"))
+  }
+
+  test("MATCH ()-[e]->() RETURN e — all edges, expanded columns") {
+    val rows = CypherLite.run(g, "MATCH ()-[e]->() RETURN e")
+    assert(rows.columns.toSeq == Seq("e_src", "e_dst", "e_ts", "e_event_id", "e_layer"))
+    assert(rows.count() == 5)
+  }
+
+  test("MATCH () RETURN COUNT(*) — node count; MATCH (n) RETURN COUNT(n)") {
+    assert(CypherLite.run(g, "MATCH () RETURN COUNT(*)").first().getLong(0) == 4L)
+    assert(CypherLite.run(g, "MATCH (n) RETURN COUNT(n)").first().getLong(0) == 4L)
+  }
+
+  test("edge counts, with and without WHERE n <> m (transpiler :1260-1284)") {
+    assert(CypherLite.run(g, "MATCH (n)-[e]->(m) RETURN COUNT(e)").first().getLong(0) == 5L)
+    assert(CypherLite.run(g, "MATCH (n)-[e]->(m) WHERE n <> m RETURN COUNT(e)")
+      .first().getLong(0) == 5L) // no self-loops in the fixture
+    assert(CypherLite.run(g, "MATCH ()-[e]->() RETURN COUNT(*)").first().getLong(0) == 5L)
+  }
+
+  test("layer pattern ()-[e:KNOWS]->() (transpiler :1316)") {
+    val rows = CypherLite.run(g, "MATCH ()-[e:KNOWS]->() RETURN e")
+    assert(rows.count() == 3)
+    assert(rows.select("e_layer").distinct().collect().map(_.getString(0)).toSeq == Seq("KNOWS"))
+  }
+
+  test("WHERE e.time > 10 and projections (transpiler :1308,1373,1381)") {
+    val rows = CypherLite.run(g, "MATCH ()-[e]->() where e.time > 10 RETURN e, type(e)")
+    assert(rows.count() == 4)
+    assert(rows.columns.contains("e_type"))
+    val proj = CypherLite.run(g, "MATCH ()-[e]->() RETURN e.src, e.time")
+    assert(proj.columns.toSeq == Seq("e_src", "e_ts"))
+    assert(proj.count() == 5)
+  }
+
+  test("CONTAINS / NOT CONTAINS on a string field (transpiler :1396)") {
+    assert(CypherLite.run(g, "MATCH ()-[e]->() where e.layer contains 'NOW' RETURN e").count() == 3)
+    assert(CypherLite.run(g, "MATCH ()-[e]->() where NOT e.layer contains 'NOW' RETURN e").count() == 2)
+  }
+
+  test("ORDER BY e.time DESC + LIMIT (transpiler :1237,1365)") {
+    val ts = CypherLite.run(g, "MATCH ()-[e]->() RETURN e.time ORDER BY e.time DESC LIMIT 2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ts == Seq(60L, 40L))
+  }
+
+  test("COUNT(DISTINCT e.layer) (transpiler :1357)") {
+    assert(CypherLite.run(g, "MATCH ()-[e]->() RETURN COUNT(distinct e.layer)")
+      .first().getLong(0) == 2L)
+  }
+
+  test("two-hop chain ()-[e1]->()-[e2]->() (transpiler :1410s)") {
+    // chains: (1→2→3), (1→2→4), (2→3→4), (3→4→1), (4→1→2), (2→4→1)
+    val n = CypherLite.run(g, "MATCH ()-[e1]->()-[e2]->() RETURN e1, e2").count()
+    assert(n == 6)
+    // filter on a hop (transpiler WHERE e1.weight > 5 analog on ts)
+    val f = CypherLite.run(
+      g, "MATCH (a)-[e1]->(b)-[e2]->(c) WHERE e1.time >= 20 RETURN a, b, c")
+    assert(f.columns.toSeq == Seq("a", "b", "c"))
+    assert(f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((2L, 3L, 4L), (3L, 4L, 1L), (4L, 1L, 2L), (2L, 4L, 1L)))
+  }
+
+  test("reversed and undirected hops ()<-[e]-(), ()-[r]-() (transpiler :1229 variants)") {
+    // <- reverses: same 5 edges, tail/head swapped
+    val rev = CypherLite.run(g, "MATCH (a)<-[e]-(b) RETURN a, b")
+    assert(rev.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 1L), (3L, 2L), (4L, 3L), (1L, 4L), (4L, 2L)))
+    // undirected: both orientations — 10 bindings over 5 edges (Cypher semantics)
+    assert(CypherLite.run(g, "MATCH ()-[r]-() RETURN r").count() == 10)
+    // mixed-direction chain: ()-[e1]->()<-[e2]-()
+    val mixed = CypherLite.run(g, "MATCH (a)-[e1]->(b)<-[e2]-(c) WHERE a <> c RETURN a, b, c")
+    // in-pairs at shared heads: b=4 has in-edges from 3 and 2 → (3,4,2),(2,4,3); b=others single in-edge
+    assert(mixed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((3L, 4L, 2L), (2L, 4L, 3L)))
+  }
+
+  test("RETURN * expands the named variables (transpiler :1292,1300)") {
+    val rows = CypherLite.run(g, "MATCH (a)-[e]->() RETURN *")
+    assert(rows.columns.toSeq == Seq("a", "e_src", "e_dst", "e_ts", "e_event_id", "e_layer"))
+    assert(rows.count() == 5)
+  }
+
+  test("type(r) AS r aliasing (transpiler :  'RETURN type(r) AS r')") {
+    val rows = CypherLite.run(g, "MATCH ()-[r]-() RETURN type(r) AS r")
+    assert(rows.columns.toSeq == Seq("r"))
+    assert(rows.distinct().collect().map(_.getString(0)).toSet == Set("KNOWS", "WORKS"))
+  }
+
+  test("malformed queries fail loudly") {
+    intercept[IllegalArgumentException](CypherLite.run(g, "MATCH (a)-[e]->(a) RETURN e")) // dup var
+    intercept[IllegalArgumentException](CypherLite.run(g, "MATCH ()-[e]->() RETURN e.nope"))
+    intercept[IllegalArgumentException](CypherLite.run(g, "MATCH ()-[e]->() WHERE e.time RETURN e"))
+    intercept[IllegalArgumentException](CypherLite.run(g, "MATCH ()-[e]->() RETURN COUNT(e), e.ts"))
+  }
+}
