@@ -1,0 +1,133 @@
+package graft.server
+
+import graft.SparkSpec
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/**
+ * End-to-end served-surface test over real HTTP (JDK HttpClient against
+ * the in-process server): catalog discovery, WAL ingest, compaction, the
+ * JSON wire format, Cypher-lite, truncation, and error envelopes.
+ */
+class QueryServerSpec extends SparkSpec {
+
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private lazy val http = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val r = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build()
+    val r = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private val edgesJson =
+    """[{"src":1,"dst":2,"ts":10},{"src":2,"dst":3,"ts":20},
+      | {"src":3,"dst":4,"ts":30},{"src":4,"dst":1,"ts":40,"layer":"late"}]""".stripMargin
+
+  test("ingest, catalog, query, cypher, compact — full HTTP round trip") {
+    val work = Files.createTempDirectory("graft-server").toString
+    val srv = new QueryServer(spark, work)
+    val port = srv.start()
+    try {
+      // create-on-first-write under a namespace
+      val (c1, b1) = post(port, "/graphs/ns1/social", edgesJson)
+      assert(c1 == 200, b1)
+      assert(mapper.readTree(b1).get("batch").asLong == 0L)
+      assert(mapper.readTree(b1).get("rows").asLong == 4L)
+
+      // catalog sees it with its namespace split out
+      val (c2, b2) = get(port, "/graphs")
+      assert(c2 == 200)
+      val cat = mapper.readTree(b2)
+      assert(cat.size == 1)
+      assert(cat.get(0).get("namespace").asText == "ns1")
+      assert(cat.get(0).get("name").asText == "social")
+      assert(cat.get(0).get("committedBatches").asInt == 1)
+
+      // wire-format query over the served graph
+      val (c3, b3) = post(port, "/query/ns1/social",
+        """{"view":[{"op":"window","start":0,"end":35}],
+          | "select":{"target":"edges","sort":[{"column":"ts","desc":false}]}}""".stripMargin)
+      assert(c3 == 200, b3)
+      val q = mapper.readTree(b3)
+      assert(q.get("rowCount").asInt == 3)
+      assert(!q.get("truncated").asBoolean)
+      assert(q.get("rows").get(0).get("ts").asLong == 10L)
+
+      // algorithm clause through the server
+      val (c4, b4) = post(port, "/query/ns1/social",
+        """{"algorithm":{"name":"connected_components"}}""")
+      assert(c4 == 200, b4)
+      assert(mapper.readTree(b4).get("rowCount").asInt == 4)
+
+      // cypher-lite through the server
+      val (c5, b5) = post(port, "/cypher/ns1/social",
+        "MATCH ()-[e:late]->() RETURN COUNT(*) AS n")
+      assert(c5 == 200, b5)
+      assert(mapper.readTree(b5).get("rows").get(0).get("n").asLong == 1L)
+
+      // second WAL batch is visible without compaction
+      val (c6, _) = post(port, "/graphs/ns1/social", """[{"src":5,"dst":1,"ts":50}]""")
+      assert(c6 == 200)
+      val (_, b7) = post(port, "/cypher/ns1/social", "MATCH ()-[e]->() RETURN COUNT(*) AS n")
+      assert(mapper.readTree(b7).get("rows").get(0).get("n").asLong == 5L)
+
+      // compact folds the WAL into a snapshot; queries unchanged
+      val (c8, b8) = post(port, "/graphs/ns1/social/compact", "")
+      assert(c8 == 200, b8)
+      assert(mapper.readTree(b8).get("snapshot").asLong == 0L)
+      val (_, b9) = post(port, "/cypher/ns1/social", "MATCH ()-[e]->() RETURN COUNT(*) AS n")
+      assert(mapper.readTree(b9).get("rows").get(0).get("n").asLong == 5L)
+    } finally srv.stop()
+  }
+
+  test("error envelopes: 404 unknown graph, 400 bad documents, path traversal") {
+    val work = Files.createTempDirectory("graft-server-err").toString
+    val srv = new QueryServer(spark, work)
+    val port = srv.start()
+    try {
+      val (c1, b1) = post(port, "/query/nope", """{"view":[]}""")
+      assert(c1 == 404 && mapper.readTree(b1).hasNonNull("error"))
+
+      post(port, "/graphs/g", edgesJson)
+      val (c2, b2) = post(port, "/query/g", """{"view":[{"op":"teleport"}]}""")
+      assert(c2 == 400 && mapper.readTree(b2).get("error").asText.nonEmpty)
+
+      val (c3, _) = post(port, "/graphs/g", """{"not":"an array"}""")
+      assert(c3 == 400)
+
+      val (c4, _) = post(port, "/query/..%2F..%2Fetc", """{"view":[]}""")
+      assert(c4 == 404)
+
+      val (c5, _) = post(port, "/cypher/g", "MATCH (")
+      assert(c5 == 400 || c5 == 500) // loud, enveloped, never a hang
+    } finally srv.stop()
+  }
+
+  test("row cap: truncated flag set at maxRows and paging walks past it") {
+    val work = Files.createTempDirectory("graft-server-cap").toString
+    val srv = new QueryServer(spark, work, maxRows = 2)
+    val port = srv.start()
+    try {
+      post(port, "/graphs/g", edgesJson)
+      val (_, b) = post(port, "/query/g", """{"view":[],"select":{"target":"edges"}}""")
+      val r = mapper.readTree(b)
+      assert(r.get("rowCount").asInt == 2 && r.get("truncated").asBoolean)
+      // the wire format's own paging fetches the tail
+      val (_, b2) = post(port, "/query/g",
+        """{"view":[],"select":{"target":"edges","sort":[{"column":"ts","desc":false}],
+          | "offset":2,"limit":2}}""".stripMargin)
+      val r2 = mapper.readTree(b2)
+      assert(r2.get("rowCount").asInt == 2 && !r2.get("truncated").asBoolean)
+    } finally srv.stop()
+  }
+}
