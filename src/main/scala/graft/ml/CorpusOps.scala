@@ -1,0 +1,201 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-preparation operators a large-scale training-data pipeline needs
+ * beyond dedup/quality/sampling: benchmark decontamination (GPT-3 appx C /
+ * PaLM appx — drop training documents that share long n-grams with an
+ * evaluation set), sequence packing (the standard concat-and-chunk that
+ * turns a filtered corpus into fixed-length training examples), and PII
+ * redaction (regex scrubbing of emails / IPs / phone numbers).
+ *
+ * All three are single-plan DataFrame transforms: decontamination is a
+ * broadcast semi-join against the (small) benchmark n-gram set, packing is
+ * a two-phase distributed prefix sum (no global-order window — see
+ * [[packSequences]]), redaction is pure codegen'd string expressions.
+ */
+object CorpusOps {
+
+  // ---------- benchmark decontamination ----------
+
+  /** Distinct word n-grams of `textCol` per document: (id, gram). */
+  private def docGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(Dedup.shingles(textCol, n)).as("gram"))
+      .distinct()
+
+  /**
+   * Per-document contamination stats against a benchmark/eval corpus: how
+   * many of the document's distinct word `n`-grams appear anywhere in the
+   * benchmark (the GPT-3/PaLM overlap rule; n = 13 there, configurable
+   * here because tiny test corpora need shorter grams).
+   *
+   * Scale shape: the benchmark side is an eval suite — thousands to a few
+   * million distinct grams — so it is aggregated small and BROADCAST; the
+   * corpus side is one projection + explode + partial-agg groupBy on the
+   * doc id. The 100 TB corpus is never shuffled on gram.
+   *
+   * @return (id, n_grams, n_contaminated, frac) — one row per corpus doc
+   *         that has at least one gram (i.e. non-empty text).
+   */
+  def contamination(
+      docs: DataFrame,
+      bench: DataFrame,
+      n: Int = 13,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchTextCol: String = "text"): DataFrame = {
+    val corpusGrams = docGrams(docs, idCol, textCol, n)
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(benchTextCol, n)).as("gram"))
+      .distinct()
+    corpusGrams
+      .join(broadcast(benchGrams).withColumn("hit", lit(1L)), Seq("gram"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum("hit"), lit(0L)).as("n_contaminated"))
+      .withColumn("frac", col("n_contaminated").cast("double") / col("n_grams"))
+  }
+
+  /** The corpus with contaminated documents removed: drops any doc whose
+    * distinct-gram overlap fraction is ≥ `maxFrac` (default: any overlap).
+    * Anti-join keeps the plan one pass over the corpus. */
+  def decontaminate(
+      docs: DataFrame,
+      bench: DataFrame,
+      n: Int = 13,
+      maxFrac: Double = 0.0,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchTextCol: String = "text"): DataFrame = {
+    val dirty = contamination(docs, bench, n, idCol, textCol, benchTextCol)
+      .filter(col("n_contaminated") > 0 && col("frac") > maxFrac)
+      .select(col("id").as(idCol))
+    docs.join(dirty, Seq(idCol), "left_anti")
+  }
+
+  // ---------- sequence packing (concat-and-chunk) ----------
+
+  /**
+   * Concat-and-chunk sequence packing: documents, in deterministic
+   * `orderCol` order, are laid end to end on a global token axis and cut
+   * into fixed `seqLen` training sequences (the standard GPT-style packing
+   * — a document may straddle a sequence boundary; each output row is one
+   * (document × sequence) chunk with both-side offsets, enough to
+   * materialize examples or build attention-mask segment ids).
+   *
+   * The global running token offset is NOT a global-order window (that
+   * would be a single-partition sort at corpus scale). Two-phase prefix
+   * sum instead: `orderCol` is range-bucketed into `shards` contiguous
+   * spans (monotonic bucketing preserves global order across shards), the
+   * cumulative sum runs per-shard in parallel, and the tiny per-shard
+   * totals frame (`shards` rows) is prefix-summed and broadcast back as
+   * each shard's base offset. One corpus-side shuffle (by shard, which is
+   * a range of the order key), never a global sort.
+   *
+   * @return (id, seq_id, seq_off, doc_off, len): chunk of document `id`
+   *         covering tokens [doc_off, doc_off+len) of the doc, placed at
+   *         [seq_off, seq_off+len) of training sequence `seq_id`.
+   */
+  def packSequences(
+      docs: DataFrame,
+      seqLen: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shards: Int = 256): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val t = docs.select(
+      col(idCol).as("id"),
+      size(split(col(textCol), "\\s+")).cast("long").as("n"))
+    // contiguous range buckets of the order key (ids need not be dense)
+    val bounds = t.agg(min("id"), max("id")).first()
+    if (bounds.isNullAt(0)) return t.sparkSession.emptyDataFrame
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max((hi - lo) / shards + 1, 1L)
+    // integer floor-div keeps the bucketing exact at xxhash64-scale ids
+    // (double division loses integer precision past 2^53)
+    val sharded = t.withColumn("shard", expr(s"(id - ${lo}L) div ${span}L"))
+    // phase 1: per-shard exclusive running sum (parallel across shards)
+    val local = sharded.withColumn(
+      "local_s",
+      sum("n").over(Window.partitionBy("shard").orderBy("id")) - col("n"))
+    // phase 2: shard base offsets — `shards` rows, trivially small
+    val bases = sharded
+      .groupBy("shard")
+      .agg(sum("n").as("tot"))
+      .withColumn(
+        "base",
+        coalesce(
+          sum("tot").over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("shard", "base")
+    val placed = local
+      .join(broadcast(bases), Seq("shard"))
+      .select(col("id"), col("n"), (col("local_s") + col("base")).as("s"))
+      .withColumn("e", col("s") + col("n"))
+    // chunk fan-out: ceil(n / seqLen) + 1 rows per doc, bounded
+    val L = lit(seqLen.toLong)
+    placed
+      .select(
+        col("id"),
+        col("s"),
+        col("e"),
+        explode(expr(s"sequence(s div ${seqLen}L, (e - 1) div ${seqLen}L)")).as("seq_id"))
+      .select(
+        col("id"),
+        col("seq_id"),
+        (greatest(col("s"), col("seq_id") * L) - col("seq_id") * L).as("seq_off"),
+        (greatest(col("s"), col("seq_id") * L) - col("s")).as("doc_off"),
+        (least(col("e"), (col("seq_id") + 1) * L) - greatest(col("s"), col("seq_id") * L))
+          .as("len"))
+  }
+
+  // ---------- PII redaction ----------
+
+  /** ASCII-safe PII patterns, portable between Java regex and RE2 (no
+    * backreferences, no lookaround): email, IPv4, phone-like digit runs. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhonePattern = "[+(]?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Redact PII in place: emails → `<EMAIL>`, then IPv4 → `<IP>` (before
+    * phones, whose digit-run pattern would otherwise eat dotted quads),
+    * then phone-like runs → `<PHONE>`. Pure string expressions — codegen,
+    * no UDF, no shuffle. */
+  def redactPii(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern,
+        "<IP>"),
+      PhonePattern,
+      "<PHONE>")
+
+  /** Redaction with per-kind match counts (for pipeline accounting):
+    * (…input columns…, n_emails, n_ips, n_phones, redacted). */
+  def redactionReport(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn(
+        "n_ips",
+        size(
+          regexp_extract_all(
+            regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+            lit(Ipv4Pattern),
+            lit(0))).cast("long"))
+      .withColumn(
+        "n_phones",
+        size(
+          regexp_extract_all(
+            regexp_replace(
+              regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+              Ipv4Pattern,
+              "<IP>"),
+            lit(PhonePattern),
+            lit(0))).cast("long"))
+      .withColumn("redacted", redactPii(col(textCol)))
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.graph.TemporalGraph
 import graft.algos.{BipartiteProjection, Components, ConnectedComponents, FastRP, Hits, KCore, LabelPropagation, Louvain, Metrics, PageRank, Paths, Scc, Triangles}
-import graft.ml.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.ml.{CorpusOps, Dedup, Sampling, Similarity, TextAnalysis}
 
 /**
  * The relational operator surface checked by the driver's DuckDB oracle:
@@ -2472,6 +2472,118 @@ object Queries {
           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
           |  min(quality) AS min_quality, max(quality) AS max_quality
           |FROM kept GROUP BY lang""".stripMargin)),
+
+    (
+      "q_text_decontaminate",
+      // benchmark decontamination (GPT-3 appx C / PaLM overlap rule): per-doc
+      // count of distinct word n-grams shared with an eval set — here a
+      // deterministic slice of the corpus (doc_id % 97 = 0) so overlap is
+      // guaranteed at every SF. Benchmark grams broadcast; the corpus is
+      // never shuffled on gram (CorpusOps.contamination).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        CorpusOps
+          .contamination(docs, docs.filter(col("doc_id") % 97 === 0), n = 5)
+          .filter(col("n_contaminated") > 0)
+          .select(
+            col("id").as("doc_id"),
+            col("n_grams"),
+            col("n_contaminated"),
+            round(col("frac"), 6).as("frac"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+          |g AS (
+          |  SELECT DISTINCT doc_id, gram FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 5, 0) + 2),
+          |      i -> array_to_string(tk[i:i+4], ' '))) AS gram FROM tok)),
+          |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+          |c AS (
+          |  SELECT d.doc_id, count(*) AS n_grams, count(b.gram) AS n_contaminated
+          |  FROM g d LEFT JOIN bench b USING (gram) GROUP BY 1)
+          |SELECT doc_id, n_grams, n_contaminated,
+          |  round(n_contaminated * 1.0 / n_grams, 6) AS frac
+          |FROM c WHERE n_contaminated > 0""".stripMargin)),
+
+    (
+      "q_pack_sequences",
+      // concat-and-chunk sequence packing into 256-token training sequences
+      // (each row = one doc × sequence chunk with both-side offsets). The
+      // Spark plan uses the two-phase sharded prefix sum (NO global-order
+      // window); DuckDB replays it with a plain global window — identical
+      // results because shard buckets are contiguous in the order key.
+      (s, d) => CorpusOps
+        .packSequences(t(s, d, "documents"), seqLen = 256, shards = 16)
+        .select(
+          col("id").as("doc_id"),
+          col("seq_id"), col("seq_off"), col("doc_off"), col("len")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, n,
+          |    CAST(sum(n) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS s
+          |  FROM t),
+          |x AS (SELECT doc_id, s, s + n AS e FROM c),
+          |ch AS (
+          |  SELECT doc_id, s, e, seq_id FROM (
+          |    SELECT doc_id, s, e, unnest(range(s // 256, (e - 1) // 256 + 1)) AS seq_id
+          |    FROM x))
+          |SELECT doc_id, seq_id,
+          |  greatest(s, seq_id * 256) - seq_id * 256 AS seq_off,
+          |  greatest(s, seq_id * 256) - s AS doc_off,
+          |  least(e, (seq_id + 1) * 256) - greatest(s, seq_id * 256) AS len
+          |FROM ch""".stripMargin)),
+
+    (
+      "q_text_redact",
+      // PII redaction over text augmented with a deterministic synthetic
+      // email + IPv4 + phone per doc (so the operator provably fires at
+      // every SF): per-kind match counts + md5 of the redacted text —
+      // byte-exact replay of three chained regex rewrites in both engines.
+      (s, d) => {
+        val aug = t(s, d, "documents").select(
+          col("doc_id"),
+          concat(
+            col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+            lit(".7 call +1 555-01"),
+            lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 2, "0"),
+            lit(" now")).as("text"))
+        CorpusOps.redactionReport(aug)
+          .select(
+            col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+            md5(col("redacted")).as("redacted_md5"))
+      },
+      Some {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+        val phone = "[+(]?[0-9][0-9()\\- ]{6,}[0-9]"
+        s"""WITH aug AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |      || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+           |      || '.7 call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+           |      || ' now' AS text
+           |  FROM documents),
+           |steps AS (
+           |  SELECT doc_id, text,
+           |    regexp_replace(text, '$email', '<EMAIL>', 'g') AS t1
+           |  FROM aug),
+           |steps2 AS (
+           |  SELECT doc_id, text, t1, regexp_replace(t1, '$ip', '<IP>', 'g') AS t2
+           |  FROM steps)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t1, '$ip')) AS BIGINT) AS n_ips,
+           |  CAST(len(regexp_extract_all(t2, '$phone')) AS BIGINT) AS n_phones,
+           |  md5(regexp_replace(t2, '$phone', '<PHONE>', 'g')) AS redacted_md5
+           |FROM steps2""".stripMargin
+      }),
     (
       "q_text_analyze",
       (s, d) => TextAnalysis.analyze(t(s, d, "documents"))

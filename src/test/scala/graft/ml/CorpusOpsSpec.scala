@@ -1,0 +1,100 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+
+  private def docsDf = {
+    val session = spark
+    import session.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today"),
+      (3L, "the quick brown fox likes clean benchmarks a lot"),
+      (4L, "completely unrelated text with no overlap at all here"))
+      .toDF("doc_id", "text")
+  }
+
+  test("contamination counts shared n-grams against the benchmark") {
+    val session = spark
+    import session.implicits._
+    val bench = Seq("x the quick brown fox y").toDF("text")
+    val r = CorpusOps.contamination(docsDf, bench, n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // bench 4-grams: {x the quick brown, the quick brown fox, quick brown fox y}
+    // doc 1 has 6 grams, 1 shared ("the quick brown fox"); doc 3 same; 2/4 none
+    assert(r(1L) == (6L, 1L))
+    assert(r(3L) == (6L, 1L))
+    assert(r(2L)._2 == 0L && r(4L)._2 == 0L)
+  }
+
+  test("decontaminate drops exactly the overlapping docs; benchmark side broadcast") {
+    val session = spark
+    import session.implicits._
+    val bench = Seq("x the quick brown fox y").toDF("text")
+    val kept = CorpusOps.decontaminate(docsDf, bench, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+    val plan = CorpusOps.contamination(docsDf, bench, n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "benchmark grams must broadcast, not shuffle the corpus")
+  }
+
+  test("packSequences: chunks tile each doc and each sequence exactly") {
+    val session = spark
+    import session.implicits._
+    // token counts: 3, 5, 2, 7 → global axis 0..17, seqLen 4
+    val docs = Seq(
+      (10L, "a b c"), (20L, "d e f g h"), (30L, "i j"), (40L, "k l m n o p q"))
+      .toDF("doc_id", "text")
+    val rows = CorpusOps.packSequences(docs, seqLen = 4, shards = 2)
+      .orderBy("seq_id", "seq_off").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 10: [0,3) seq0@0; doc 20: [3,8) → seq0@3 len1, seq1@0 len4
+    // doc 30: [8,10) seq2@0 len2; doc 40: [10,17) → seq2@2 len2, seq3 len4, seq4 len1
+    assert(rows.toSeq == Seq(
+      (10L, 0L, 0L, 0L, 3L), (20L, 0L, 3L, 0L, 1L),
+      (20L, 1L, 0L, 1L, 4L),
+      (30L, 2L, 0L, 0L, 2L), (40L, 2L, 2L, 0L, 2L),
+      (40L, 3L, 0L, 2L, 4L),
+      (40L, 4L, 0L, 6L, 1L)))
+    // per-doc coverage: chunk lengths sum to the doc's token count
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._5).sum)
+    assert(perDoc(10L) == 3L && perDoc(20L) == 5L && perDoc(30L) == 2L && perDoc(40L) == 7L)
+    // every sequence except the last is exactly full
+    val perSeq = rows.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert((0L to 3L).forall(perSeq(_) == 4L) && perSeq(4L) == 1L)
+  }
+
+  test("packSequences: shard count does not change the packing") {
+    val session = spark
+    import session.implicits._
+    val docs = (0 until 200)
+      .map(i => (i * 7L + 3, Seq.fill(i % 13 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(sh: Int) = CorpusOps.packSequences(docs, seqLen = 32, shards = sh)
+      .orderBy("seq_id", "seq_off").collect().toSeq
+    assert(run(1) == run(16))
+    assert(run(16) == run(64))
+  }
+
+  test("redaction replaces emails, IPs, phones, in that order") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      (1L, "write to john.doe+spam@example.co.uk today"),
+      (2L, "server at 10.0.255.3 port open"),
+      (3L, "call +1 555-0199 321 now"),
+      (4L, "mixed: a@b.io via 1.2.3.4 tel (02) 9999-1234"),
+      (5L, "clean text with no pii"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.redactionReport(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3), x.getLong(4), x.getString(5))).toMap
+    assert(r(1L) == (1L, 0L, 0L, "write to <EMAIL> today"))
+    assert(r(2L) == (0L, 1L, 0L, "server at <IP> port open"))
+    assert(r(3L)._3 == 1L && r(3L)._4 == "call <PHONE> now")
+    assert(r(4L) == (1L, 1L, 1L, "mixed: <EMAIL> via <IP> tel <PHONE>"))
+    assert(r(5L) == (0L, 0L, 0L, "clean text with no pii"))
+  }
+}
