@@ -252,6 +252,23 @@ object Bench {
       graft.search.TextSearch.searchRanked(idx, Seq("spark", "join", "window"), k = 100).count())
     results += "text_bm25_topk" -> tBm25
     idx.unpersist(false)
+    // line dedup at line granularity: the corpus has no newlines, so chunk
+    // into 8-word lines first (the q_dedup_lines shape) — the measured cost
+    // is then the real one-exchange-per-corpus-LINE census
+    val (_, tLines) = time {
+      val tk = "split(text, '\\\\s+')"
+      val chunked = docs.select(
+        col("doc_id"),
+        expr(
+          "array_join(transform(sequence(0, (size(" + tk + ") + 7) div 8 - 1), " +
+            "i -> array_join(slice(" + tk + ", i * 8 + 1, 8), ' ')), '\\n')").as("text"))
+      graft.ml.Dedup.dedupLines(chunked).count()
+    }
+    results += "dedup_lines" -> tLines
+    val (_, tClf) = time(graft.ml.TextAnalysis.classifierScore(docs).count())
+    results += "text_classifier" -> tClf
+    val (_, tShuf) = time(graft.ml.Sampling.epochShuffle(docs).count())
+    results += "sample_epoch_shuffle" -> tShuf
     docs.unpersist(false)
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").persist()
     extras += "n_vecs" -> vecs.count().toDouble
@@ -260,6 +277,9 @@ object Bench {
         .lshTopK(vecs, vecs.filter(col("vec_id") < 100), k = 10, bands = 8, bitsPerBand = 4)
         .count())
     results += "sim_lsh_topk100q" -> tLshSim
+    val (_, tSemDedup) = time(
+      graft.ml.SemDedup.semDedup(vecs, threshold = 0.35, nCells = 16).count())
+    results += "dedup_semantic" -> tSemDedup
     vecs.unpersist(false)
 
     // --- streaming surface: the stateful paths get MEASURED, not just

@@ -154,6 +154,49 @@ object CorpusOps {
           .as("len"))
   }
 
+  // ---------- per-document sliding-window chunking ----------
+
+  /**
+   * Per-document sliding-window chunking (the RAG / context-window prep
+   * op — unlike [[packSequences]], chunks NEVER cross document
+   * boundaries): token windows of `chunkTokens` starting every `stride`
+   * tokens, last window ragged, every token covered. stride < chunkTokens
+   * gives the standard overlap.
+   *
+   * Scale shape: pure map — one projection + explode, no shuffle at all;
+   * fan-out per doc is ceil(max(n − chunk, 0)/stride) + 1 rows, bounded by
+   * the doc's own length.
+   *
+   * @return (idCol, chunk_idx, start_tok, n_toks, chunk_text)
+   */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkTokens: Int,
+      stride: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, s"chunkTokens=$chunkTokens, stride=$stride must be positive")
+    require(stride <= chunkTokens,
+      s"stride=$stride > chunkTokens=$chunkTokens would leave uncovered gaps")
+    docs
+      .select(col(idCol), split(col(textCol), "\\s+").as("tk"))
+      // chunk starts: 0, stride, …, the last one that still begins new
+      // content (start < n, and previous chunk didn't already cover to n)
+      .select(
+        col(idCol),
+        col("tk"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(cast(ceil((size(tk) - $chunkTokens) / $stride.0D) as int), 0)), " +
+            s"j -> j * $stride)")).as(Seq("chunk_idx", "start_tok")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(chunkTokens.toLong), size(col("tk")) - col("start_tok"))
+          .cast("long").as("n_toks"),
+        expr(s"array_join(slice(tk, start_tok + 1, $chunkTokens), ' ')").as("chunk_text"))
+  }
+
   // ---------- PII redaction ----------
 
   /** ASCII-safe PII patterns, portable between Java regex and RE2 (no

@@ -635,4 +635,84 @@ object Dedup {
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("id").as(idCol), col("cluster"), col("cluster_n"), col("keep"))
   }
+
+  // ---------- corpus-level line dedup (C4/CCNet-style) ----------
+
+  /** One row per (document, line) with the line's global occurrence rank:
+    * (doc_id, idx, line, k, empty, rn). Lines are keyed by md5 of the
+    * trimmed content (md5 is portable to the DuckDB oracle); blank lines
+    * are never dedup candidates. */
+  private def lineOccurrences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "line")
+      .withColumn("k", md5(trim(col("line"))))
+      .withColumn("empty", trim(col("line")) === "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k")
+      .orderBy(col("doc_id"), col("idx"))
+    lines.withColumn("rn", row_number().over(w))
+  }
+
+  /** Line census: how often each distinct (trimmed) line occurs across the
+    * corpus and in how many documents — the observability face of
+    * [[dedupLines]] and the C4 boilerplate signal (nav bars, cookie
+    * banners repeat across millions of pages). Returns lines occurring at
+    * least `minOccurrences` times: (k, sample_line, n_docs, n_occ). */
+  def lineCensus(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minOccurrences: Int = 2): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "\n")).as("line"))
+      .withColumn("t", trim(col("line")))
+      .filter(col("t") =!= "")
+      .groupBy(md5(col("t")).as("k"))
+      .agg(
+        min(col("t")).as("sample_line"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOccurrences)
+
+  /**
+   * Corpus-level line deduplication (the CCNet/RefinedWeb analog of C4's
+   * repeated-span rule): every non-blank line that occurs more than once
+   * across the corpus is kept ONLY at its globally-first occurrence
+   * (smallest (doc_id, line index)) and removed everywhere else; blank
+   * lines always survive. Documents are reconstructed in original line
+   * order.
+   *
+   * Scale shape — stated plainly, like the substring census: the
+   * occurrence-rank window partitions by line hash, i.e. ONE exchange
+   * carrying a row per corpus LINE (the canonical cost of corpus-global
+   * line dedup; map-side reduction cannot help because most lines are
+   * unique), then one groupBy(doc) to reassemble. Both keys are
+   * high-cardinality and unskewed after the blank-line carve-out; the
+   * heavy-hitter lines (boilerplate) are exactly the rows the window
+   * dedups, bounded per key by their occurrence count.
+   *
+   * @return (doc_id, n_lines, n_kept, clean_text)
+   */
+  def dedupLines(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    lineOccurrences(docs, idCol, textCol)
+      .withColumn("keep", col("empty") || col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(
+              collect_list(
+                when(col("keep"), struct(col("idx"), col("line"))))),
+            x => x("line")),
+          "\n").as("clean_text"))
 }

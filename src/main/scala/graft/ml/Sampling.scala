@@ -105,4 +105,44 @@ object Sampling {
       .filter(hashU(col(idCol), seed, portable) < col("thr"))
       .drop("thr")
   }
+
+  /**
+   * Deterministic epoch shuffle — the global training-order permutation a
+   * data loader consumes, as a pure function of (seed, epoch, id): row →
+   * (shard, position-in-shard), where the concatenation shard 0 ‖ shard 1
+   * ‖ … in position order IS the epoch's order. Same input + same (seed,
+   * epoch) → identical order on any partitioning, engine or rerun; a new
+   * epoch is a new full-range hash, i.e. an independent permutation —
+   * `df.orderBy(rand(seed))` gives neither property.
+   *
+   * Scale shape: NO global sort. One exchange on `shard` (nShards
+   * spread uniformly by the hash), then a per-shard window sorts
+   * |corpus|/nShards rows — exactly how sharded training-data loaders
+   * consume order anyway (rank files, read each sequentially). The hash is
+   * full-range (mod P ≈ 2^30, not the samplers' 10^6 grid) so ties are
+   * ~n²/2P-rare and broken by id, keeping the order total and replayable.
+   *
+   * @return input columns plus (shard, pos) — pos is 1-based within shard
+   */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      nShards: Int = 256,
+      seed: Long = 42L,
+      epoch: Int = 0,
+      portable: Boolean = false): DataFrame = {
+    require(nShards > 0, s"nShards=$nShards must be positive")
+    // fold the epoch into the seed so each epoch draws a fresh permutation
+    val es = seed * 1000003L + epoch
+    val h =
+      if (portable) {
+        val s = ((es % P) + P) % P
+        (lit(s) + pmod(col(idCol).cast("long"), lit(P)) * 73856093L) % P
+      } else pmod(xxhash64(lit(es), col(idCol)), lit(P))
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

@@ -295,4 +295,61 @@ object TextAnalysis {
       size(expr(keepExpr)).cast("long").as("n_kept"),
       array_join(expr(keepExpr), "\n").as("clean_text"))
   }
+
+  // ---------- hashed-feature linear quality classifier ----------
+
+  /** Weight scale for [[classifierScore]]: integer weights live in
+    * [−(W−1)/2, (W−1)/2] so token sums stay exact longs. */
+  private val ClassifierW = 1000003L
+
+  /**
+   * fastText-style linear quality classifier over hashed bag-of-words
+   * features (the shape of every production "quality classifier" pre-filter
+   * — CCNet's fastText LM filter, GPT-3's WebText-vs-Common-Crawl LR):
+   * tokens hash into `dim` feature buckets with the portable polynomial
+   * family, each bucket carries a weight, and the document score is the
+   * mean token weight.
+   *
+   * The weights here are derived deterministically from the bucket index —
+   * the TRAINED-MODEL PLUG-IN BOUNDARY, exactly like PQ's sampled codebook:
+   * swap in a learned (bucket → weight) table (one broadcast join) and the
+   * rest of the plan is unchanged. What this operator makes real and
+   * testable is the scale-shaped plumbing: tokenize → hash → weight-sum as
+   * ONE explode + partial-aggregated groupBy(doc) (the exchange carries one
+   * row per document, not per token, because sum/count combine map-side).
+   *
+   * Determinism: weights are INTEGERS summed as longs (order-independent,
+   * unlike a float sum), so the score — one final double division, then
+   * 6dp rounding — replays bit-identically in the DuckDB oracle.
+   *
+   * @return (idCol, n_tokens, score, keep) — score ∈ [−1, 1], keep =
+   *         score > 0 (the usual threshold-at-margin rule)
+   */
+  def classifierScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dim: Int = 4096,
+      seed: Long = 42L): DataFrame = {
+    require(dim > 0 && dim <= (1 << 20), s"dim=$dim out of (0, 2^20]")
+    val half = (ClassifierW - 1) / 2 // 500001: |w| ≤ half exactly
+    // bucket = polyhash(lower token) mod dim; w(b) = centered Knuth-hash
+    // of (b + seed) — every intermediate < 2^62 ((b + seed) < 2^22,
+    // times 2654435761 < 2^32 stays < 2^54), so no ANSI overflow
+    val s = ((seed % ClassifierW) + ClassifierW) % ClassifierW
+    val tok = docs
+      .select(col(idCol).as("id"), explode(split(lower(col(textCol)), "\\s+")).as("tk"))
+      .filter(col("tk") =!= "")
+      .withColumn("b", expr(s"pmod(${graft.ml.Dedup.polyHashSql("tk")}, $dim)"))
+      .withColumn("w", expr(s"(b + $s) * 2654435761 % $ClassifierW - $half"))
+    tok
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("raw"))
+      .select(
+        col("id").as(idCol),
+        col("n_tokens"),
+        round(col("raw").cast("double") / (col("n_tokens") * half.toDouble), 6)
+          .as("score"),
+        (col("raw") > 0).as("keep"))
+  }
 }

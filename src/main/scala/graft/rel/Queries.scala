@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.graph.TemporalGraph
 import graft.algos.{BipartiteProjection, Components, ConnectedComponents, FastRP, Hits, KCore, LabelPropagation, Louvain, Metrics, PageRank, Paths, Scc, Triangles}
-import graft.ml.{CorpusOps, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.ml.{CorpusOps, Dedup, Sampling, SemDedup, Similarity, TextAnalysis}
 
 /**
  * The relational operator surface checked by the driver's DuckDB oracle:
@@ -2540,6 +2540,27 @@ object Queries {
           |FROM ch""".stripMargin)),
 
     (
+      "q_chunk_documents",
+      // per-document sliding-window chunking (RAG / context-window prep):
+      // 64-token chunks every 48 tokens, never crossing doc boundaries —
+      // a pure map (explode), no shuffle. DuckDB replays starts, ragged
+      // tail and the joined chunk text exactly.
+      (s, d) => CorpusOps.chunkDocuments(
+        t(s, d, "documents"), chunkTokens = 64, stride = 48),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+          |st AS (
+          |  SELECT doc_id, tk,
+          |    unnest(range(0, greatest(CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT), 0) + 1))
+          |      AS chunk_idx
+          |  FROM t)
+          |SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
+          |  least(64, len(tk) - chunk_idx * 48) AS n_toks,
+          |  array_to_string(tk[CAST(chunk_idx * 48 + 1 AS INT)
+          |                    : CAST(chunk_idx * 48 + 64 AS INT)], ' ') AS chunk_text
+          |FROM st""".stripMargin)),
+    (
       "q_text_redact",
       // PII redaction over text augmented with a deterministic synthetic
       // email + IPv4 + phone per doc (so the operator provably fires at
@@ -2584,6 +2605,145 @@ object Queries {
            |  md5(regexp_replace(t2, '$phone', '<PHONE>', 'g')) AS redacted_md5
            |FROM steps2""".stripMargin
       }),
+
+    (
+      "q_dedup_semantic",
+      // SemDeDup (Abbas et al. 2023): coarse-quantize embeddings into 16
+      // cells (deterministic sampled pivots, as IVF), pair within cells at
+      // cosine ≥ 0.35 (the synthetic embeddings cap at ~0.51 pairwise, so
+      // paper-scale 0.95 would be a 0-row green that proves little),
+      // components over the pair graph, keep the member FARTHEST from its
+      // centroid per cluster. DuckDB replays pivots, argmax assignment,
+      // pairing, recursive closure and the keep rule end to end.
+      (s, d) => SemDedup.semDedup(
+        t(s, d, "embeddings"), threshold = 0.35, nCells = 16, portable = true),
+      Some {
+        def cosSql(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b),
+             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             |    / (sqrt(list_sum(list_transform($a,
+             |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+             |     * sqrt(list_sum(list_transform($b,
+             |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))""".stripMargin
+        s"""WITH RECURSIVE piv AS MATERIALIZED (
+           |  SELECT pid, pv, row_number() OVER (ORDER BY h, pid) AS prank
+           |  FROM (SELECT vec_id AS pid, embedding AS pv,
+           |          (vec_id * 1103515245 + 12345) % 1000000007 AS h
+           |        FROM embeddings ORDER BY h, pid LIMIT 16)),
+           |pcos AS MATERIALIZED (
+           |  SELECT c.vec_id AS cid, p.prank,
+           |    ${cosSql("c.embedding", "p.pv")} AS cos
+           |  FROM embeddings c, piv p),
+           |assigned AS MATERIALIZED (
+           |  SELECT cid, cell, ccos FROM (
+           |    SELECT cid, prank AS cell, cos AS ccos,
+           |      row_number() OVER (PARTITION BY cid ORDER BY cos DESC, prank) AS arn
+           |    FROM pcos) WHERE arn = 1),
+           |pr AS MATERIALIZED (
+           |  SELECT a.cid AS a, b.cid AS b
+           |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.cid < b.cid
+           |  JOIN embeddings ea ON ea.vec_id = a.cid
+           |  JOIN embeddings eb ON eb.vec_id = b.cid
+           |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.35),
+           |ud AS MATERIALIZED (SELECT a, b FROM (
+           |  SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr)),
+           |r(id, m) AS (
+           |  SELECT a, b FROM ud
+           |  UNION
+           |  SELECT r.id, ud.b FROM r JOIN ud ON ud.a = r.m),
+           |comp AS (SELECT id, least(id, min(m)) AS cluster FROM r GROUP BY id),
+           |lab AS (
+           |  SELECT s.cid AS vec_id, s.cell, s.ccos,
+           |         coalesce(c.cluster, s.cid) AS cluster
+           |  FROM assigned s LEFT JOIN comp c ON c.id = s.cid)
+           |SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(ccos, 6) AS ccos,
+           |  cluster,
+           |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n,
+           |  (row_number() OVER (PARTITION BY cluster ORDER BY ccos, vec_id) = 1)
+           |    AS keep
+           |FROM lab""".stripMargin
+      }),
+    (
+      "q_dedup_lines",
+      // corpus-level line dedup (CCNet/RefinedWeb analog of C4's repeated-
+      // span rule): the testdata has no newlines, so both engines first
+      // rebuild each doc as 8-word lines (aligned chunks — 150+ repeat
+      // across docs at sf0.01), then every repeated line survives only at
+      // its globally-first (doc_id, idx) occurrence.
+      (s, d) => {
+        val tk = "split(text, '\\\\s+')"
+        val chunked = t(s, d, "documents").select(
+          col("doc_id"),
+          expr(
+            "array_join(transform(sequence(0, (size(" + tk + ") + 7) div 8 - 1), " +
+              "i -> array_join(slice(" + tk + ", i * 8 + 1, 8), ' ')), '\\n')").as("text"))
+        Dedup.dedupLines(chunked)
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+          |ch AS (
+          |  SELECT doc_id, list_transform(range(0, (len(tk) + 7) // 8),
+          |    i -> array_to_string(tk[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' '))
+          |    AS lines FROM t),
+          |l AS (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS j FROM ch),
+          |l2 AS (SELECT doc_id, j - 1 AS idx, lines[CAST(j AS INT)] AS line FROM l),
+          |k AS (SELECT doc_id, idx, line, md5(trim(line)) AS kk,
+          |        trim(line) = '' AS emp FROM l2),
+          |rn AS (SELECT doc_id, idx, line, emp,
+          |         row_number() OVER (PARTITION BY kk ORDER BY doc_id, idx) AS rn
+          |       FROM k),
+          |kp AS (SELECT doc_id, idx, line, (emp OR rn = 1) AS keep FROM rn)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE keep), '')
+          |    AS clean_text
+          |FROM kp GROUP BY doc_id""".stripMargin)),
+    (
+      "q_text_classifier",
+      // hashed-bag-of-words linear classifier (fastText/CCNet-filter
+      // shape): portable polynomial token hash → 4096 buckets → integer
+      // weight sum (order-independent long fold) → mean-margin score.
+      // Weights derive from the bucket index — the trained-model plug-in
+      // boundary; DuckDB replays hash, weights, sum and the one double
+      // division bit for bit.
+      (s, d) => TextAnalysis.classifierScore(
+        t(s, d, "documents"), dim = 4096, seed = 7L),
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tk
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(tk, ''), c -> CAST(ascii(c) % 65536 AS BIGINT))),
+           |      (acc, c) -> (acc * 31 + c) % 1000000007) % 4096 AS bkt
+           |  FROM tok WHERE tk <> ''),
+           |w AS (SELECT doc_id, (bkt + 7) * 2654435761 % 1000003 - 500001 AS w FROM b),
+           |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |        CAST(sum(w) AS BIGINT) AS raw FROM w GROUP BY doc_id)
+           |SELECT doc_id, n_tokens,
+           |  round(CAST(raw AS DOUBLE) / (n_tokens * 500001.0), 6) AS score,
+           |  raw > 0 AS keep
+           |FROM a""".stripMargin)),
+    (
+      "q_sample_epoch",
+      // deterministic epoch shuffle: training order as a pure function of
+      // (seed, epoch, id) — shard by full-range portable hash, position by
+      // (hash, id) within shard; NO global sort. DuckDB replays the hash
+      // and both window rules exactly.
+      (s, d) => Sampling
+        .epochShuffle(t(s, d, "documents"), nShards = 8, seed = 42L, epoch = 1,
+          portable = true)
+        .select(col("doc_id"), col("shard"), col("pos")),
+      Some(
+        """WITH h AS (
+          |  SELECT doc_id,
+          |    (42000127 + (doc_id % 1000000007) * 73856093) % 1000000007 AS h
+          |  FROM documents)
+          |SELECT doc_id, h % 8 AS shard,
+          |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+          |FROM h""".stripMargin)),
     (
       "q_text_analyze",
       (s, d) => TextAnalysis.analyze(t(s, d, "documents"))

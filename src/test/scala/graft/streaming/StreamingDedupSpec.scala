@@ -7,16 +7,20 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 import java.sql.Timestamp
 
+// top-level, not nested in the spec: an inner case class needs the outer
+// test instance, so its encoder falls back from codegen to interpreter
+// (WARN noise in every suite run)
+private[streaming] case class SdDoc(doc_id: Long, text: String, ts: Timestamp)
+
 class StreamingDedupSpec extends SparkSpec {
 
-  private case class Doc(doc_id: Long, text: String, ts: Timestamp)
   private def d(id: Long, text: String, sec: Long) =
-    Doc(id, text, new Timestamp(1704067200000L + sec * 1000L))
+    SdDoc(id, text, new Timestamp(1704067200000L + sec * 1000L))
 
   test("streaming exact dedup keeps first arrival, drops within- and cross-batch dups") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val source = MemoryStream[Doc]
+    val source = MemoryStream[SdDoc]
     val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
 
     val deduped = StreamingDedup.dedupExact(source.toDF(), delay = "1 hour")
@@ -46,7 +50,7 @@ class StreamingDedupSpec extends SparkSpec {
   test("normalized mode also drops case/punctuation variants across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val source = MemoryStream[Doc]
+    val source = MemoryStream[SdDoc]
     val ckpt = Files.createTempDirectory("graft-dedup-ckpt2").toString
 
     val deduped = StreamingDedup.dedupExact(source.toDF(), delay = "1 hour", normalized = true)

@@ -6,17 +6,21 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import java.nio.file.Files
 import java.sql.Timestamp
 
+// top-level, not nested in the spec: an inner case class needs the outer
+// test instance, so its encoder falls back from codegen to interpreter
+// (WARN noise in every suite run)
+private[streaming] case class WaEdge(src: Long, dst: Long, ts: Timestamp)
+
 class WindowedActivitySpec extends SparkSpec {
 
-  private case class Edge(src: Long, dst: Long, ts: Timestamp)
   private val t0 = 1704067200000L // 2024-01-01T00:00:00Z, minute-aligned
   private def e(src: Long, dst: Long, sec: Long) =
-    Edge(src, dst, new Timestamp(t0 + sec * 1000L))
+    WaEdge(src, dst, new Timestamp(t0 + sec * 1000L))
 
   test("per-node sliding windows emit once the watermark passes, with correct counts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val source = MemoryStream[Edge]
+    val source = MemoryStream[WaEdge]
     val ckpt = Files.createTempDirectory("graft-winact-ckpt").toString
 
     val act = WindowedActivity.nodeActivity(
@@ -56,7 +60,7 @@ class WindowedActivitySpec extends SparkSpec {
   test("late data within the watermark updates its window; edgeRate counts per window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val source = MemoryStream[Edge]
+    val source = MemoryStream[WaEdge]
     val ckpt = Files.createTempDirectory("graft-winrate-ckpt").toString
 
     val rate = WindowedActivity.edgeRate(
