@@ -2474,6 +2474,87 @@ object Queries {
           |FROM kept GROUP BY lang""".stripMargin)),
 
     (
+      "q_pipeline_train",
+      // the FULL training-prep recipe as one declarative plan: exact dedup
+      // (normalized fp, min doc_id survives) → held-out benchmark split
+      // (doc_id % 97 = 0) decontamination (5-gram overlap, GPT-3 appx C)
+      // → classifier gate (hashed linear model, keep = margin > 0) →
+      // concat-and-chunk packing into 256-token sequences → per-sequence
+      // fill stats. Every stage is the already-oracled operator; this row
+      // proves they COMPOSE in one Catalyst plan with no materialization
+      // barriers. DuckDB replays all four stages end to end.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+        val keep1 = docs.select(col("doc_id"), fp.as("fp"))
+          .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+        val train = docs
+          .join(keep1, Seq("doc_id"), "left_semi")
+          .filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+        val bench = docs.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+        val clean = CorpusOps.decontaminate(train, bench, n = 5)
+        val kept = clean.join(
+          TextAnalysis.classifierScore(clean).filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        CorpusOps.packSequences(kept, seqLen = 256, shards = 16)
+          .groupBy("seq_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            countDistinct("id").as("n_docs"),
+            sum("len").as("filled"))
+      },
+      Some(
+        """WITH fp AS (
+          |  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+          |  FROM documents),
+          |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+          |train AS (
+          |  SELECT d.doc_id, d.text FROM documents d JOIN keep1 USING (doc_id)
+          |  WHERE d.doc_id % 97 <> 0),
+          |tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM train),
+          |g AS (SELECT DISTINCT doc_id, gram FROM (
+          |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 5, 0) + 2),
+          |    i -> array_to_string(tk[i:i+4], ' '))) AS gram FROM tok)),
+          |btok AS (SELECT regexp_split_to_array(text, '\s+') AS tk
+          |         FROM documents WHERE doc_id % 97 = 0),
+          |bg AS (SELECT DISTINCT gram FROM (
+          |  SELECT unnest(list_transform(range(1, greatest(len(tk) - 5, 0) + 2),
+          |    i -> array_to_string(tk[i:i+4], ' '))) AS gram FROM btok)),
+          |dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)),
+          |decon AS (
+          |  SELECT t.doc_id, t.text FROM train t
+          |  LEFT JOIN dirty c ON c.doc_id = t.doc_id WHERE c.doc_id IS NULL),
+          |ctok AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tk
+          |  FROM decon),
+          |cw AS (
+          |  SELECT doc_id,
+          |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |       list_transform(string_split(tk, ''), c -> CAST(ascii(c) % 65536 AS BIGINT))),
+          |       (acc, c) -> (acc * 31 + c) % 1000000007) % 4096 + 42)
+          |      * 2654435761 % 1000003 - 500001 AS w
+          |  FROM ctok WHERE tk <> ''),
+          |clf AS (SELECT doc_id FROM cw GROUP BY doc_id HAVING sum(w) > 0),
+          |kept AS (SELECT d.doc_id, d.text FROM decon d JOIN clf USING (doc_id)),
+          |t2 AS (SELECT doc_id,
+          |         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+          |       FROM kept),
+          |c2 AS (SELECT doc_id, n,
+          |         CAST(sum(n) OVER (ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS s
+          |       FROM t2),
+          |x AS (SELECT doc_id, s, s + n AS e FROM c2),
+          |ch AS (SELECT doc_id, s, e, seq_id FROM (
+          |  SELECT doc_id, s, e, unnest(range(s // 256, (e - 1) // 256 + 1)) AS seq_id
+          |  FROM x)),
+          |chunk AS (SELECT doc_id, seq_id,
+          |  least(e, (seq_id + 1) * 256) - greatest(s, seq_id * 256) AS len FROM ch)
+          |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |  CAST(sum(len) AS BIGINT) AS filled
+          |FROM chunk GROUP BY seq_id""".stripMargin)),
+
+    (
       "q_text_decontaminate",
       // benchmark decontamination (GPT-3 appx C / PaLM overlap rule): per-doc
       // count of distinct word n-grams shared with an eval set — here a
