@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
  * ([[semDedupDropped]]) — the standard guardrail, never silent. The
  * connected components run on the PAIR graph only (tiny next to the
  * corpus); the corpus is labelled back with one left join.
+ *
+ * Sizing note: the pairing stage shuffles on `cell`, so its parallelism is
+ * bounded by nCells — size nCells ≥ the cluster's core count (the paper
+ * uses ~100k clusters at web scale, which also keeps cells under maxCell);
+ * the tiny defaults here fit the synthetic test corpus.
  */
 object SemDedup {
 
