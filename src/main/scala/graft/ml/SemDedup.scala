@@ -45,7 +45,7 @@ object SemDedup {
       seed: Long,
       portable: Boolean): DataFrame = {
     val pivotHash =
-      if (portable) expr(s"($idCol * 1103515245 + 12345) % 1000000007")
+      if (portable) expr(s"(pmod($idCol, 1000000007L) * 1103515245L + 12345L) % 1000000007L")
       else xxhash64(lit(seed), col(idCol))
     val sampled = corpus
       .select(col(idCol).as("pid"), col(vecCol).as("pv"), pivotHash.as("h"))

@@ -250,7 +250,7 @@ object Similarity {
     // family is an LCG over the id (pure integer SQL DuckDB replays
     // verbatim), the default is xxhash64
     val pivotHash =
-      if (portable) expr(s"($idCol * 1103515245 + 12345) % 1000000007")
+      if (portable) expr(s"(pmod($idCol, 1000000007L) * 1103515245L + 12345L) % 1000000007L")
       else xxhash64(lit(seed), col(idCol))
     val sampled = corpus
       .select(col(idCol).as("pid"), col(vecCol).as("pv"), pivotHash.as("h"))
@@ -335,7 +335,7 @@ object Similarity {
       seed: Long = 42L,
       portable: Boolean = false): DataFrame = {
     val codeHash =
-      if (portable) expr(s"($idCol * 1103515245 + 12345) % 1000000007")
+      if (portable) expr(s"(pmod($idCol, 1000000007L) * 1103515245L + 12345L) % 1000000007L")
       else xxhash64(lit(seed), col(idCol))
     val codebook = broadcast(
       corpus

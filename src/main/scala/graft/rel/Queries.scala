@@ -2124,7 +2124,7 @@ object Queries {
         s"""WITH piv AS MATERIALIZED (
            |  SELECT pid, pv, row_number() OVER (ORDER BY h, pid) AS prank
            |  FROM (SELECT vec_id AS pid, embedding AS pv,
-           |          (vec_id * 1103515245 + 12345) % 1000000007 AS h
+           |          ((vec_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS h
            |        FROM embeddings ORDER BY h, pid LIMIT 16)),
            |pcos AS MATERIALIZED (
            |  SELECT c.vec_id AS cid, p.prank,
@@ -2180,7 +2180,7 @@ object Queries {
         s"""WITH cb AS MATERIALIZED (
            |  SELECT code_id, codev, row_number() OVER (ORDER BY h, code_id) AS crank
            |  FROM (SELECT vec_id AS code_id, embedding AS codev,
-           |          (vec_id * 1103515245 + 12345) % 1000000007 AS h
+           |          ((vec_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS h
            |        FROM embeddings ORDER BY h, code_id LIMIT 16)),
            |encd AS MATERIALIZED (
            |  SELECT c.vec_id AS cid, b.crank,
@@ -2709,7 +2709,7 @@ object Queries {
         s"""WITH RECURSIVE piv AS MATERIALIZED (
            |  SELECT pid, pv, row_number() OVER (ORDER BY h, pid) AS prank
            |  FROM (SELECT vec_id AS pid, embedding AS pv,
-           |          (vec_id * 1103515245 + 12345) % 1000000007 AS h
+           |          ((vec_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS h
            |        FROM embeddings ORDER BY h, pid LIMIT 16)),
            |pcos AS MATERIALIZED (
            |  SELECT c.vec_id AS cid, p.prank,
