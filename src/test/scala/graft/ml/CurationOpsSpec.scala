@@ -63,6 +63,19 @@ class CurationOpsSpec extends SparkSpec {
       .filter(col("k") =!= 1L).count() == 0)
   }
 
+  test("semDedup portable sampler is total on full-range / negative ids (ANSI)") {
+    import spark.implicits._
+    // xxhash64-scale ids: the old raw id*1103515245 pivot hash raised
+    // under ANSI past |id| ~ 8.4e9; the pmod-first form must evaluate
+    val wild = spark.range(0, 200)
+      .select(
+        xxhash64(col("id")).as("vec_id"),
+        array((0 until 4).map(i => (rand(i).cast("float"))): _*).as("embedding"))
+    val out = SemDedup.semDedup(wild, threshold = 0.99, nCells = 4, portable = true)
+    assert(out.count() == 200)
+    assert(out.filter(col("keep")).count() > 0)
+  }
+
   test("semDedupDropped reports oversized cells instead of silently pairing them") {
     val dropped = SemDedup.semDedupDropped(vecs, nCells = 2, maxCell = 10, portable = true)
     // 500 vectors over 2 cells → both cells exceed 10 and must be reported
