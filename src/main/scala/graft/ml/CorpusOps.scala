@@ -106,15 +106,22 @@ object CorpusOps {
       seqLen: Int,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shards: Int = 256): DataFrame = {
+      shards: Int = 256,
+      idBounds: Option[(Long, Long)] = None): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val t = docs.select(
       col(idCol).as("id"),
       size(split(col(textCol), "\\s+")).cast("long").as("n"))
-    // contiguous range buckets of the order key (ids need not be dense)
-    val bounds = t.agg(min("id"), max("id")).first()
-    if (bounds.isNullAt(0)) return t.sparkSession.emptyDataFrame
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // contiguous range buckets of the order key (ids need not be dense).
+    // `idBounds` may be any SUPERSET of the actual id range (empty shards
+    // are harmless) — pass the raw table's min/max when `docs` is the tail
+    // of an expensive filter chain, so the 2-value bounds probe below
+    // doesn't re-execute that chain just to size the buckets.
+    val (lo, hi) = idBounds.getOrElse {
+      val bounds = t.agg(min("id"), max("id")).first()
+      if (bounds.isNullAt(0)) return t.sparkSession.emptyDataFrame
+      (bounds.getLong(0), bounds.getLong(1))
+    }
     val span = math.max((hi - lo) / shards + 1, 1L)
     // integer floor-div keeps the bucketing exact at xxhash64-scale ids
     // (double division loses integer precision past 2^53)

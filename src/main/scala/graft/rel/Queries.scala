@@ -2481,10 +2481,13 @@ object Queries {
       // → classifier gate (hashed linear model, keep = margin > 0) →
       // concat-and-chunk packing into 256-token sequences → per-sequence
       // fill stats. Every stage is the already-oracled operator; this row
-      // proves they COMPOSE in one Catalyst plan with no materialization
-      // barriers. DuckDB replays all four stages end to end.
+      // proves they COMPOSE in one Catalyst plan (the only driver-side
+      // value is packSequences' 2-value shard-bounds probe, fed here from
+      // the RAW table's min/max — a pushdown scan — so the expensive
+      // filter chain executes once). DuckDB replays all four stages.
       (s, d) => {
         val docs = t(s, d, "documents")
+        val b = docs.agg(min("doc_id"), max("doc_id")).first()
         val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
         val keep1 = docs.select(col("doc_id"), fp.as("fp"))
           .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
@@ -2496,7 +2499,8 @@ object Queries {
         val kept = clean.join(
           TextAnalysis.classifierScore(clean).filter(col("keep")).select("doc_id"),
           Seq("doc_id"), "left_semi")
-        CorpusOps.packSequences(kept, seqLen = 256, shards = 16)
+        CorpusOps.packSequences(kept, seqLen = 256, shards = 16,
+            idBounds = Some((b.getLong(0), b.getLong(1))))
           .groupBy("seq_id")
           .agg(
             count(lit(1)).as("n_chunks"),
