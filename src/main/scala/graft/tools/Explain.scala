@@ -47,6 +47,20 @@ object Explain {
     println("==== substring-dedup census (broadcast semi-join on dup hashes) ====")
     graft.SparkEntry.queries("q_dedup_substring")(spark, sfDir).explain("formatted")
 
+    // expected shape: ONE hashpartitioning exchange (groupBy doc id) fed
+    // by partial HashAggregates; weights are inline arithmetic, no join
+    println("==== hashed linear classifier (one partial-agg exchange) ====")
+    graft.SparkEntry.queries("q_text_classifier")(spark, sfDir).explain("formatted")
+
+    // expected shape: broadcast pivots → map-side argmax groupBy(id), then
+    // the cell window + in-cell pair join; CC runs on the tiny pair graph
+    println("==== SemDeDup assignment + within-cell pairing ====")
+    graft.SparkEntry.queries("q_dedup_semantic")(spark, sfDir).explain("formatted")
+
+    // expected shape: pure map — zero exchanges anywhere
+    println("==== document chunking (no shuffle) ====")
+    graft.SparkEntry.queries("q_chunk_documents")(spark, sfDir).explain("formatted")
+
     spark.stop()
   }
 
