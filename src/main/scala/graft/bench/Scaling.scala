@@ -122,6 +122,13 @@ object Scaling {
     edges.unpersist(false)
     // warm-up pass (JIT + codegen) then the measured run on the same CSR
     PageRank.runOnAdjacency(spark, adj, nodes, PageRank.Config(maxIter = 2, tol = 0.0))._1.count()
+    // Settle the heap before timing: all levels share one JVM, and the
+    // first-measured level otherwise inherits the prep garbage of the
+    // 400k-conversation generate + CSR build — every multi-level run on
+    // 2026-08-18 showed 13–17% GC share on its FIRST leg and ≤7% on later
+    // ones, an ordering artifact, not a property of the thread count.
+    System.gc()
+    Thread.sleep(500L)
     val before = listener.snapshot()
     val t0 = System.nanoTime()
     PageRank.runOnAdjacency(spark, adj, nodes, PageRank.Config(maxIter = steps, tol = 0.0))._1.count()
