@@ -267,6 +267,8 @@ object Bench {
     results += "dedup_lines" -> tLines
     val (_, tClf) = time(graft.ml.TextAnalysis.classifierScore(docs).count())
     results += "text_classifier" -> tClf
+    val (_, tNgram) = time(graft.ml.TextAnalysis.ngramCensus(docs).count())
+    results += "text_ngram_census" -> tNgram
     val (_, tShuf) = time(graft.ml.Sampling.epochShuffle(docs).count())
     results += "sample_epoch_shuffle" -> tShuf
     docs.unpersist(false)

@@ -352,4 +352,125 @@ object TextAnalysis {
           .as("score"),
         (col("raw") > 0).as("keep"))
   }
+
+  /** Shared counting stage of [[ngramCensus]] / [[ngramOrderStats]]:
+    * lowercase whitespace tokens, ONE posexplode + ONE per-document window
+    * pass computing max(orders)-1 leads, every order's gram assembled from
+    * the same lead row (null when the document ends early) and exploded,
+    * then the corpus-scale `groupBy(n, gram)` with map-side partial
+    * aggregation. Document frequency is a count-distinct expand on the
+    * same keys — only built when asked for, it doubles the pre-aggregation
+    * stream. Returns (n, gram, cnt[, doc_freq]). */
+  private def ngramCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      orders: Seq[Int],
+      withDocFreq: Boolean): DataFrame = {
+    require(orders.nonEmpty && orders.forall(n => n >= 1 && n <= 8), s"orders=$orders out of [1,8]")
+    val maxN = orders.max
+    val tok = docs
+      .select(
+        col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("tk"))
+      .select(col("id"), posexplode(col("tk")).as(Seq("pos", "w0")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val withLeads = tok.select(
+      col("id") +: col("w0") +:
+        (1 until maxN).map(i => lead("w0", i).over(w).as(s"w$i")): _*)
+    val gramArr = array(orders.map { n =>
+      struct(
+        lit(n).as("n"),
+        when(
+          col(s"w${n - 1}").isNotNull,
+          concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*)).as("gram"))
+    }: _*)
+    val grams = withLeads
+      .select(col("id"), explode(gramArr).as("og"))
+      .select(col("id"), col("og.n").as("n"), col("og.gram").as("gram"))
+      .filter(col("gram").isNotNull)
+    val aggs =
+      if (withDocFreq) Seq(count(lit(1)).as("cnt"), countDistinct("id").as("doc_freq"))
+      else Seq(count(lit(1)).as("cnt"))
+    grams.groupBy("n", "gram").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Distributed word n-gram census — the counting pass of an n-gram
+   * language model (the KenLM `lmplz` count step, Heafield 2011) and the
+   * usual corpus-inspection table (top collocations per order).
+   *
+   * Tokens are lowercase whitespace words; for each order in `orders` it
+   * counts every n-gram's corpus occurrences and document frequency, and
+   * returns the global top-`topK` per order ranked by (count desc, gram
+   * asc — deterministic at the boundary).
+   *
+   * Shape at scale (one plan, no persist, no recompute): tokenize +
+   * posexplode once; ONE window pass per document computes the
+   * `max(orders)-1` token leads; every order's gram is assembled from the
+   * same lead row and exploded (one row per (token, order)); then a single
+   * wordcount-shape `groupBy(n, gram)` with map-side partial aggregation
+   * carries the corpus-scale exchange (doc frequency rides along as a
+   * count-distinct expand on the same keys). The per-order top-k never
+   * funnels the corpus-sized count table into `|orders|` partitions: a
+   * first row_number over (n, salt-of-gram) keeps ≤ topK rows per salt
+   * bucket, and only the surviving `|orders|·saltBuckets·topK` rows meet
+   * the final per-order window.
+   *
+   * @return (n, gram, cnt, doc_freq, rank), rank 1..topK within each n
+   */
+  def ngramCensus(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      orders: Seq[Int] = Seq(1, 2, 3),
+      topK: Int = 100,
+      saltBuckets: Int = 64): DataFrame = {
+    require(topK >= 1 && saltBuckets >= 1, "topK and saltBuckets must be >= 1")
+    val counts = ngramCounts(docs, idCol, textCol, orders, withDocFreq = true)
+    val byCount = Seq(col("cnt").desc, col("gram").asc)
+    val phase1 = counts
+      .withColumn("__salt", pmod(xxhash64(col("gram")), lit(saltBuckets.toLong)))
+      .withColumn(
+        "__r1",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("n", "__salt").orderBy(byCount: _*)))
+      .filter(col("__r1") <= topK)
+      .drop("__salt", "__r1")
+    phase1
+      .withColumn(
+        "rank",
+        row_number()
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("n").orderBy(byCount: _*))
+          .cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("n").cast("long").as("n"), col("gram"), col("cnt"), col("doc_freq"), col("rank"))
+  }
+
+  /**
+   * Per-order n-gram summary statistics over the same census: total gram
+   * instances, distinct grams (vocabulary size at that order), hapax
+   * legomena (count-1 grams — the mass Kneser–Ney discounting keys on),
+   * and the modal gram's count. One extra tiny aggregate over the census
+   * counts; same corpus-scale shape as [[ngramCensus]].
+   *
+   * @return (n, total_grams, distinct_grams, hapax_grams, max_cnt)
+   */
+  def ngramOrderStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      orders: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    ngramCounts(docs, idCol, textCol, orders, withDocFreq = false)
+      .groupBy("n")
+      .agg(
+        sum("cnt").as("total_grams"),
+        count(lit(1)).as("distinct_grams"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_grams"),
+        max("cnt").as("max_cnt"))
+      .select(
+        col("n").cast("long").as("n"),
+        col("total_grams"), col("distinct_grams"), col("hapax_grams"), col("max_cnt"))
+  }
 }

@@ -2387,6 +2387,60 @@ object Queries {
           |FROM sig""".stripMargin)),
 
     (
+      "q_text_ngram_census",
+      // KenLM-style distributed n-gram counting: corpus count + doc
+      // frequency per word n-gram (orders 1–3), global top-25 per order,
+      // ties broken by gram for a deterministic boundary. Spark side is
+      // one explode + one lead-window + one wordcount groupBy + salted
+      // two-phase top-k (TextAnalysis.ngramCensus).
+      (s, d) => TextAnalysis.ngramCensus(t(s, d, "documents"), topK = 25),
+      Some(
+        """WITH tk AS MATERIALIZED (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS tk
+          |  FROM documents),
+          |grams AS MATERIALIZED (
+          |  SELECT doc_id, ns.n AS n,
+          |    unnest(list_transform(range(1, len(tk) - ns.n + 2),
+          |      i -> array_to_string(tk[i:i+ns.n-1], ' '))) AS gram
+          |  FROM tk, (VALUES (1), (2), (3)) ns(n)
+          |  WHERE len(tk) >= ns.n),
+          |counted AS (
+          |  SELECT n, gram, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
+          |  FROM grams GROUP BY n, gram),
+          |ranked AS (
+          |  SELECT CAST(n AS BIGINT) AS n, gram, cnt, doc_freq,
+          |    row_number() OVER (PARTITION BY n ORDER BY cnt DESC, gram) AS rank
+          |  FROM counted)
+          |SELECT n, gram, cnt, doc_freq, rank FROM ranked WHERE rank <= 25""".stripMargin)),
+
+    (
+      "q_text_ngram_stats",
+      // per-order LM census summary: total/distinct/hapax gram counts and
+      // the modal gram's count (the quantities Kneser-Ney discounting and
+      // vocabulary sizing read off the counting pass)
+      (s, d) => TextAnalysis.ngramOrderStats(t(s, d, "documents")),
+      Some(
+        """WITH tk AS MATERIALIZED (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS tk
+          |  FROM documents),
+          |grams AS MATERIALIZED (
+          |  SELECT doc_id, ns.n AS n,
+          |    unnest(list_transform(range(1, len(tk) - ns.n + 2),
+          |      i -> array_to_string(tk[i:i+ns.n-1], ' '))) AS gram
+          |  FROM tk, (VALUES (1), (2), (3)) ns(n)
+          |  WHERE len(tk) >= ns.n),
+          |counted AS (
+          |  SELECT n, gram, count(*) AS cnt FROM grams GROUP BY n, gram)
+          |SELECT CAST(n AS BIGINT) AS n,
+          |  CAST(sum(cnt) AS BIGINT) AS total_grams,
+          |  count(*) AS distinct_grams,
+          |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_grams,
+          |  max(cnt) AS max_cnt
+          |FROM counted GROUP BY n""".stripMargin)),
+
+    (
       "q_text_c4_clean",
       // C4-style line filter; the synthetic documents have no newlines or
       // terminal punctuation, so the oracle instance gates on word count

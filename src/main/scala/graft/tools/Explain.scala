@@ -61,6 +61,9 @@ object Explain {
     println("==== document chunking (no shuffle) ====")
     graft.SparkEntry.queries("q_chunk_documents")(spark, sfDir).explain("formatted")
 
+    println("==== ngram census (explode + lead window + wordcount groupBy + salted top-k) ====")
+    graft.SparkEntry.queries("q_text_ngram_census")(spark, sfDir).explain("formatted")
+
     spark.stop()
   }
 

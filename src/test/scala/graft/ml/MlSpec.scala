@@ -274,4 +274,44 @@ class MlSpec extends SparkSpec {
     val tiny = TextAnalysis.lmQuality(Seq((1L, "ab"), (2L, "abcd")).toDF("doc_id", "text"))
     assert(tiny.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("ngram census: counts, doc frequency, deterministic rank") {
+    val corpus = Seq(
+      (1L, "the cat THE cat sat"), // lowercased: the cat ×2 as a bigram
+      (2L, "the  dog"), // double space → no empty token
+      (3L, "solo")) // 1 token: no bigrams/trigrams
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.ngramCensus(corpus, topK = 100).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows((1L, "the")) == ((3L, 2L, 1L))) // 3 occurrences, 2 docs, top rank
+    assert(rows((1L, "cat")) == ((2L, 1L, 2L)))
+    assert(rows((2L, "the cat")) == ((2L, 1L, 1L)))
+    assert(rows((2L, "cat the"))._1 == 1L && rows((2L, "the dog"))._1 == 1L)
+    assert(rows((3L, "the cat the"))._1 == 1L && rows((3L, "cat the cat"))._1 == 1L)
+    // ties rank by gram asc: all trigrams have count 1, so rank order = gram order
+    val tri = rows.toSeq.collect { case ((3L, g), (_, _, rk)) => g -> rk }.sortBy(_._2)
+    assert(tri.map(_._1) == tri.map(_._1).sorted, s"tie-break must be gram asc: $tri")
+    assert(!rows.keys.exists(_._2 == "solo the") && !rows.keys.exists(_._2 == "dog solo"),
+      "grams must never cross document boundaries")
+    // topK boundary is deterministic and honored
+    val top2 = TextAnalysis.ngramCensus(corpus, topK = 2).collect()
+    assert(top2.count(_.getLong(0) == 1L) == 2 && top2.forall(_.getLong(4) <= 2L))
+    // salting never changes the result
+    val s1 = TextAnalysis.ngramCensus(corpus, saltBuckets = 1).collect().toSet
+    val s64 = TextAnalysis.ngramCensus(corpus, saltBuckets = 64).collect().toSet
+    assert(s1 == s64)
+  }
+
+  test("ngram order stats: totals, vocabulary, hapax") {
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    // unigrams: a×3 b×3 c×1 → total 7, distinct 3, hapax 1, max 3
+    // bigrams: "a b"×3, "b a"×1, "b c"×1 → total 5, distinct 3, hapax 2, max 3
+    // trigrams: "a b a","b a b","a b c" ×1 → total 3, distinct 3, hapax 3, max 1
+    val st = TextAnalysis.ngramOrderStats(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(st(1L) == ((7L, 3L, 1L, 3L)))
+    assert(st(2L) == ((5L, 3L, 2L, 3L)))
+    assert(st(3L) == ((3L, 3L, 3L, 1L)))
+  }
 }
