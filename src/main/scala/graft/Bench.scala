@@ -269,6 +269,10 @@ object Bench {
     results += "text_classifier" -> tClf
     val (_, tNgram) = time(graft.ml.TextAnalysis.ngramCensus(docs).count())
     results += "text_ngram_census" -> tNgram
+    // BPE induction: one corpus-scale word count, then 4 vocabulary-sized
+    // census rounds (pair explode → partial-agg → TakeOrdered(1) argmax)
+    val (_, tBpe) = time(graft.ml.Bpe.learnMerges(docs, rounds = 4).count())
+    results += "text_bpe_merges" -> tBpe
     val (_, tShuf) = time(graft.ml.Sampling.epochShuffle(docs).count())
     results += "sample_epoch_shuffle" -> tShuf
     docs.unpersist(false)

@@ -37,6 +37,52 @@ object Queries {
   private def epochMicros(c: org.apache.spark.sql.Column) =
     unix_micros(c.cast("timestamp_ltz"))
 
+  /** DuckDB CTE chain replaying `rounds` of BPE training relationally
+    * (shared by `q_text_bpe_merges` and `q_text_bpe_segment`): per round,
+    * a pair census + argmax (ties by pair asc), then the greedy-left merge
+    * applied as position explode → candidate marking (run-parity rule for
+    * `a==b` overlaps) → consumed-position drop → ordered re-collect. Ends
+    * with `sym{rounds+1}` = the post-training symbol state per word. */
+  private def bpeOracleCtes(rounds: Int): String = {
+    def round(r: Int): String =
+      s"""best$r AS (
+         |  SELECT pr.a, pr.b, pr.a || pr.b AS m, pr.c FROM (
+         |    SELECT p[1] AS a, p[2] AS b, CAST(sum(cnt) AS BIGINT) AS c
+         |    FROM (SELECT cnt, unnest(list_zip(syms, syms[2:])) AS p
+         |          FROM sym$r WHERE len(syms) > 1)
+         |    WHERE p[2] IS NOT NULL
+         |    GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1) pr),
+         |flat$r AS (
+         |  SELECT word, cnt, t['i'] AS i, t['s'] AS s FROM (
+         |    SELECT word, cnt, unnest(list_transform(range(1, len(syms)+1),
+         |      i -> struct_pack(i := i, s := syms[i]))) AS t FROM sym$r)),
+         |mark$r AS (
+         |  SELECT word, cnt, i, s, bb.a, bb.b, bb.m,
+         |    CASE WHEN s = bb.a AND lead(s) OVER (PARTITION BY word ORDER BY i) = bb.b
+         |         THEN 1 ELSE 0 END AS cand,
+         |    i - coalesce(max(CASE WHEN s <> bb.a THEN i END) OVER
+         |      (PARTITION BY word ORDER BY i
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - 1 AS off
+         |  FROM flat$r, best$r bb),
+         |g$r AS (
+         |  SELECT *, CASE WHEN cand = 1 AND (a <> b OR off % 2 = 0)
+         |            THEN 1 ELSE 0 END AS mg FROM mark$r),
+         |sym${r + 1} AS (
+         |  SELECT word, any_value(cnt) AS cnt,
+         |    list(CASE WHEN mg = 1 THEN m ELSE s END ORDER BY i) AS syms
+         |  FROM (SELECT *, coalesce(lag(mg) OVER (PARTITION BY word ORDER BY i), 0)
+         |          AS consumed FROM g$r)
+         |  WHERE consumed = 0 GROUP BY word)""".stripMargin
+    s"""WITH w0 AS (
+       |  SELECT tk AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                  t -> t <> '')) AS tk
+       |    FROM documents) GROUP BY 1),
+       |sym1 AS (SELECT word, cnt,
+       |  list_transform(range(1, length(word)+1), i -> word[i]) AS syms FROM w0),
+       |""".stripMargin + (1 to rounds).map(round).mkString(",\n") + "\n"
+  }
+
   /** Edge table derived from events: user of event k → user of the next
     * event of the same type, under the stable order (ts, event_id). */
   def eventEdges(spark: SparkSession, dir: String): DataFrame = {
@@ -2385,6 +2431,59 @@ object Queries {
           |   AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
           |   AND stopword_hits >= 2) AS gopher_pass
           |FROM sig""".stripMargin)),
+
+    (
+      "q_text_bpe_merges",
+      // BPE vocabulary induction (Sennrich et al. 2016): 4 learned merges
+      // over the distinct-word frequency table. The oracle replays each
+      // round as CTEs — pair census + argmax (ties by pair asc), then the
+      // greedy-left merge applied relationally (position explode, candidate
+      // marking with a run-parity rule for a==b overlaps, consumed-position
+      // drop, ordered re-collect) — provably equal to the Spark side's
+      // single aggregate() fold because a merge never creates an earlier
+      // occurrence of its own pair (see ml.Bpe scaladoc).
+      (s, d) => graft.ml.Bpe.learnMerges(t(s, d, "documents"), rounds = 4),
+      Some {
+        bpeOracleCtes(4) +
+          "SELECT * FROM (\n" +
+          (1 to 4)
+            .map(r =>
+              s"  SELECT CAST($r AS BIGINT) AS round, a, b, m AS merged, c AS cnt FROM best$r")
+            .mkString("\n  UNION ALL\n") +
+          "\n)"
+      }),
+
+    (
+      "q_text_bpe_segment",
+      // BPE inference: re-derive the 4-round merge table, then segment the
+      // 200 most frequent distinct words by applying the merges in rank
+      // order (nested greedy-left folds, column-only). Equal to the
+      // training-time symbol state — training applies the same merges in
+      // the same order to the same words — which is exactly what the
+      // oracle's sym5 CTE holds. seg is a joined string so the frame
+      // hash-compares portably.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = graft.ml.Bpe
+          .learnMerges(docs, rounds = 4)
+          .orderBy("round")
+          .collect() // bounded: one row per learned merge
+          .map(r => (r.getString(1), r.getString(2)))
+          .toSeq
+        val words = docs
+          .select(explode(filter(split(lower(col("text")), "\\s+"), w => w =!= "")).as("word"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word").asc)
+          .limit(200)
+        graft.ml.Bpe
+          .segmentWords(words, merges)
+          .select(col("word"), col("cnt"), array_join(col("pieces"), "|").as("seg"))
+      },
+      Some(
+        bpeOracleCtes(4) +
+          """SELECT word, cnt, array_to_string(syms, '|') AS seg
+            |FROM sym5 ORDER BY cnt DESC, word LIMIT 200""".stripMargin)),
 
     (
       "q_text_ngram_census",

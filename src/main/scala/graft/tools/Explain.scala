@@ -64,6 +64,35 @@ object Explain {
     println("==== ngram census (explode + lead window + wordcount groupBy + salted top-k) ====")
     graft.SparkEntry.queries("q_text_ngram_census")(spark, sfDir).explain("formatted")
 
+    // expected shape: one vocabulary-sized exchange (pair groupBy with
+    // partial aggregation) feeding TakeOrderedAndProject(limit=1) — the
+    // per-round census of BPE training; the corpus-scale word count
+    // happened once, before the loop
+    println("==== BPE pair census (partial-agg exchange + TakeOrdered argmax) ====")
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val words = docs
+        .select(explode(filter(split(lower(col("text")), "\\s+"), w => w =!= "")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn(
+          "syms",
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .localCheckpoint(true)
+      words
+        .filter(size(col("syms")) > 1)
+        .select(
+          col("cnt"),
+          explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .groupBy(col("p").getField("0").as("a"), col("p").getField("1").as("b"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .explain("formatted")
+    }
+
     spark.stop()
   }
 
