@@ -349,9 +349,9 @@ object Bench {
     // without BENCH.md prose): the SAME fixed-superstep PageRank job on
     // the SAME generated input at 2 vs 8 local cores, fresh session per
     // leg, the window bracketed by pure-CPU + memory-streaming
-    // calibrations. 2→8 is the pair where per-core WORK dominates at this
-    // input size — at 32 threads the bench-scale graph (~0.5 s/superstep)
-    // is fixed-overhead-bound and the ratio measures scheduling, not
+    // calibrations. 2→8 is the pair where per-core WORK dominates at a
+    // single-box size — at 32 threads even a 4×-bench-scale graph is
+    // fixed-overhead-bound and the ratio measures scheduling, not
     // scaling (measured: eff 0.16 with clean calibration brackets). The
     // GATE evidence proper stays with the full-size input
     // (graft.bench.Scaling, three pairs incl. 8→32 at 10-100× this size;
@@ -363,8 +363,16 @@ object Bench {
       val ideal = hiC.toDouble / loC
       val (loCal, hiCal, calR) = graft.bench.Calibration.cpuRatio(loC, hiC)
       val (_, _, memR) = graft.bench.Calibration.memRatio(loC, hiC)
-      val lo = scalingLeg(loC, nConvs, 8)
-      val hi = scalingLeg(hiC, nConvs, 8)
+      // 4× the headline input (capped at the full-size gate workload): at
+      // the bench-scale 564k edges the 8-core leg spends ~half of each
+      // 0.6 s superstep in fixed stage overhead, so ±0.2 s of scheduler
+      // noise swings the ratio 0.5↔0.8 between windows (observed). At
+      // ~2.3M edges both legs are work-dominant and the canary measures
+      // per-core scaling, not stage-launch latency.
+      val canaryConvs = math.min(4 * nConvs, 400000L)
+      extras += "scaling_convs" -> canaryConvs.toDouble
+      val lo = scalingLeg(loC, canaryConvs, 8)
+      val hi = scalingLeg(hiC, canaryConvs, 8)
       extras += "scaling_lo_cores" -> loC.toDouble
       extras += "scaling_hi_cores" -> hiC.toDouble
       extras += "scaling_supersteps" -> 8.0
@@ -374,6 +382,14 @@ object Bench {
       extras += "scaling_hi_median_superstep_sec" -> hi._2
       extras += "scaling_eff_total" -> (lo._1 / hi._1) / ideal
       extras += "scaling_eff_median" -> (lo._2 / hi._2) / ideal
+      // work-conservation check: executor task-seconds over each timed
+      // window. ratio ≈ 1.0 ⇒ both legs ran the same work and any wall-eff
+      // deviation is scheduling/driver overhead, not a scaling defect.
+      extras += "scaling_lo_task_sec" -> lo._3
+      extras += "scaling_hi_task_sec" -> hi._3
+      extras += "scaling_task_ratio" -> (if (lo._3 > 0) hi._3 / lo._3 else 0.0)
+      extras += "scaling_lo_gc_share" -> lo._4
+      extras += "scaling_hi_gc_share" -> hi._4
       extras += "scaling_calib_eff_window" -> calR / ideal
       extras += "scaling_mem_eff_window" -> memR / ideal
       val _ = (loCal, hiCal)
@@ -386,8 +402,19 @@ object Bench {
 
   /** One scaling leg: fresh local[cores] session, rebuild the transcript
     * graph + salted CSR, warm 2 supersteps, run `steps` timed supersteps.
-    * @return (totalSec, medianSuperstepSec) */
-  private def scalingLeg(cores: Int, numConvs: Long, steps: Int): (Double, Double) = {
+    * Alongside the walls it reports the timed window's executor
+    * TASK-seconds and GC share (StageMetricsListener delta): task-seconds
+    * are the per-core-work invariant — ≈ equal across legs when both
+    * measured the same job cleanly — so a wall-efficiency reading outside
+    * [0.8, 1.0] can be attributed (task_ratio ≉ 1 → a leg was perturbed;
+    * task_ratio ≈ 1 → the gap is scheduler/driver overhead, which at
+    * 2 local cores SHARES the cpus with tasks and biases efficiency HIGH,
+    * and on tiny inputs is fixed-cost-dominant and biases it LOW).
+    * @return (totalSec, medianSuperstepSec, taskSec, gcShare) */
+  private def scalingLeg(
+      cores: Int,
+      numConvs: Long,
+      steps: Int): (Double, Double, Double, Double) = {
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")
@@ -399,6 +426,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      val listener = new graft.bench.Calibration.StageMetricsListener
+      spark.sparkContext.addSparkListener(listener)
       val transcripts = TranscriptGen.transcripts(spark, numConvs)
       val edges = EdgeBuilder.edges(transcripts).persist()
       val g = TemporalGraph(edges)
@@ -407,14 +436,21 @@ object Bench {
       adj.count(); nodes.count()
       edges.unpersist(false)
       PageRank.runOnAdjacency(spark, adj, nodes, PageRank.Config(maxIter = 2, tol = 0.0))._1.count()
+      // heap-settle before the timed window (same fix as Scaling.runAt):
+      // without it the first leg inherits the whole preceding bench's
+      // garbage and reads 13-17% GC on its timed supersteps.
+      System.gc()
+      Thread.sleep(500L)
+      val pre = listener.snapshot()
       val t0 = System.nanoTime()
       val r = PageRank.runFull(spark, adj, nodes, PageRank.Config(maxIter = steps, tol = 0.0))
       r.state.count()
       val total = (System.nanoTime() - t0) / 1e9
+      val win = listener.delta(pre)
       val walls = r.metrics.flatMap(_.get("wallMs")).sorted
       val med = if (walls.isEmpty) total / steps else walls(walls.size / 2) / 1000.0
       adj.unpersist(false); nodes.unpersist(false)
-      (total, med)
+      (total, med, win("runTimeMs") / 1000.0, win("gcShare"))
     } finally spark.stop()
   }
 }
