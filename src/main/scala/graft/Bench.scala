@@ -392,6 +392,11 @@ object Bench {
       extras += "scaling_hi_gc_share" -> hi._4
       extras += "scaling_calib_eff_window" -> calR / ideal
       extras += "scaling_mem_eff_window" -> memR / ideal
+      // machine-normalized efficiency: wall efficiency divided by what the
+      // box's own pure-CPU busy-loop scaled 2→8 in the same window — the
+      // number to read on a shared-tenant host (raw and ceiling both kept).
+      extras += "scaling_eff_norm" ->
+        (lo._1 / hi._1) / ideal / math.max(calR / ideal, 0.01)
       val _ = (loCal, hiCal)
     }
 
