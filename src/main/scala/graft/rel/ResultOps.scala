@@ -58,10 +58,12 @@ object ResultOps {
    * rank-k value provably lies inside), counts the rows below, and
    * recurses into the ~2% bracket — O(log n) full passes, no sort. Once
    * the bracket fits [[MedianLocalBracket]], a TakeOrdered top-k resolves
-   * the exact element. If a bracket stops shrinking (mass duplicates
-   * around the median) the distinct-value cardinality inside the bracket
-   * is by construction small, and a per-value count collect resolves the
-   * rank exactly.
+   * the exact element. If a bracket stops shrinking (mass duplicates at
+   * the bracket boundaries), the boundary values' own counts either
+   * resolve the rank outright or the target falls in the STRICT interior,
+   * which by the quantile construction holds ≤ ~2% of the rows — so every
+   * round shrinks ~50× on both paths and nothing unbounded is ever
+   * collected.
    */
   def median(
       df: DataFrame,
@@ -86,28 +88,36 @@ object ResultOps {
       val inBracket = cur.filter(col("v") >= vlo && col("v") <= vhi)
       val bn = inBracket.count()
       if (bn >= curN) {
-        // two-point bracket that cannot shrink: duplicates dominate, so the
-        // distinct cardinality in the bracket is tiny — resolve by counts
-        val counts = inBracket.groupBy("v").agg(count(lit(1)).as("c"))
-          .orderBy("v").collect()
-        var cum = below // rows strictly below the bracket precede it in rank
-        val it = counts.iterator
-        while (it.hasNext) {
-          val r = it.next()
-          cum += r.getLong(1)
-          if (cum > target) return Some(r.getDouble(0))
-        }
-        return counts.lastOption.map(_.getDouble(0))
+        // bracket covers everything ⇒ the two boundary values are point
+        // masses holding ranks ~(frac±1%)·n and beyond (all rows below the
+        // lo-quantile rank must equal vlo, symmetrically vhi), so the
+        // STRICT interior holds ≤ ~2%·n rows. Resolve at a boundary when
+        // the target rank lands on its mass; otherwise recurse into the
+        // interior — still a ~50× shrink, with no unbounded collect.
+        val cLo = cur.filter(col("v") === vlo).count()
+        if (target < below + cLo) return Some(vlo)
+        val interior = cur.filter(col("v") > vlo && col("v") < vhi)
+        val cMid = interior.count()
+        if (target >= below + cLo + cMid) return Some(vhi)
+        target -= below + cLo
+        cur = interior
+        curN = cMid
+      } else {
+        target -= below
+        cur = inBracket
+        curN = bn
       }
-      target -= below
-      cur = inBracket
-      curN = bn
     }
     // exact within the final bracket: collect the ≤ localBracket doubles
     // (≤ ~2 MB at the default) and rank driver-side — no sort exchange at
     // all, and no TakeOrdered fallback-to-global-sort above the top-K
     // threshold for large in-bracket ranks
-    require(curN <= Int.MaxValue, s"median bracket failed to shrink: n=$curN")
+    // tripwire, not a path: both loop branches shrink ~50×/round, so 12
+    // rounds reduce any input below localBracket; 16× slack keeps the
+    // worst accepted collect ≈ 32 MB instead of silently OOMing the driver
+    require(
+      curN <= localBracket * 16,
+      s"median bracket failed to shrink: n=$curN after $rounds rounds")
     val arr = cur.collect().map(_.getDouble(0))
     if (arr.isEmpty) None
     else {

@@ -103,6 +103,29 @@ class RelSpec extends SparkSpec {
     assert(ResultOps.median(odd, "v").contains(5.0))
   }
 
+  test("median: point masses at BOTH bracket boundaries with a distinct interior") {
+    import spark.implicits._
+    // 49.5% of rows = 1.0, a 1% strictly-interior band of ALL-DISTINCT
+    // values, 49.5% = 2.0: the ±1% rank quantiles land on the two point
+    // masses, so the first bracket covers every row (the stall case). The
+    // stall branch must recurse into the ≤1% interior — never collect
+    // per-value counts of the whole bracket — and stay exact.
+    def shaped(loN: Long, midN: Long, hiN: Long) = spark.range(loN + midN + hiN)
+      .select(
+        when(col("id") < loN, lit(1.0))
+          .when(col("id") < loN + midN, lit(1.0) + (col("id") - loN + 1).cast("double") / 1e5)
+          .otherwise(lit(2.0)).as("v"))
+      .toDF()
+    // upper-middle rank 100000 falls at interior offset 1000+1 → 1.01001
+    assert(ResultOps.median(shaped(99000, 2000, 99000), "v", localBracket = 1000L)
+      .contains(1.01001))
+    // target landing on the lo / hi boundary masses resolves without recursion
+    assert(ResultOps.median(shaped(120000, 2000, 78000), "v", localBracket = 1000L)
+      .contains(1.0))
+    assert(ResultOps.median(shaped(78000, 2000, 120000), "v", localBracket = 1000L)
+      .contains(2.0))
+  }
+
   test("rolling/expanding window sets replicate the reference cursor") {
     // events at t = 0, 5, 10, 15 (ms); timelineEnd = 16
     val g = TemporalGraph.fromTriples(spark,
