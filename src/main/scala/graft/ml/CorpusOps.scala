@@ -122,10 +122,17 @@ object CorpusOps {
       if (bounds.isNullAt(0)) return t.sparkSession.emptyDataFrame
       (bounds.getLong(0), bounds.getLong(1))
     }
-    val span = math.max((hi - lo) / shards + 1, 1L)
-    // integer floor-div keeps the bucketing exact at xxhash64-scale ids
-    // (double division loses integer precision past 2^53)
-    val sharded = t.withColumn("shard", expr(s"(id - ${lo}L) div ${span}L"))
+    // bucket at HALF id resolution: full-range ids (xxhash64-scale) can
+    // span more than Long.MaxValue, so `id - lo` overflows (raises under
+    // ANSI) and `hi - lo` wraps silently on the driver, breaking the
+    // monotonic-bucketing invariant. `id div 2` is monotone and its range
+    // difference always fits a Long; bucket boundaries only need to be
+    // monotone and roughly balanced — the output offsets depend on global
+    // ORDER alone, not on where the buckets fall. (Integer div, not double
+    // division, which loses id precision past 2^53.)
+    val loH = lo / 2
+    val span = math.max((hi / 2 - loH) / shards + 1, 1L)
+    val sharded = t.withColumn("shard", expr(s"((id div 2L) - ${loH}L) div ${span}L"))
     // phase 1: per-shard exclusive running sum (parallel across shards)
     val local = sharded.withColumn(
       "local_s",

@@ -638,25 +638,20 @@ object Dedup {
 
   // ---------- corpus-level line dedup (C4/CCNet-style) ----------
 
-  /** One row per (document, line) with the line's global occurrence rank:
-    * (doc_id, idx, line, k, empty, rn). Lines are keyed by md5 of the
-    * trimmed content (md5 is portable to the DuckDB oracle); blank lines
-    * are never dedup candidates. */
-  private def lineOccurrences(
+  /** One row per (document, line), keyed for the dedup join: (doc_id, idx,
+    * line, k, empty). Lines are keyed by md5 of the trimmed content (md5 is
+    * portable to the DuckDB oracle); blank lines are never dedup
+    * candidates. */
+  private def corpusLines(
       docs: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
-    val lines = docs
+      textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), "\n")))
       .withColumnRenamed("pos", "idx")
       .withColumnRenamed("col", "line")
       .withColumn("k", md5(trim(col("line"))))
       .withColumn("empty", trim(col("line")) === "")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("k")
-      .orderBy(col("doc_id"), col("idx"))
-    lines.withColumn("rn", row_number().over(w))
-  }
 
   /** Line census: how often each distinct (trimmed) line occurs across the
     * corpus and in how many documents — the observability face of
@@ -687,23 +682,34 @@ object Dedup {
    * lines always survive. Documents are reconstructed in original line
    * order.
    *
-   * Scale shape — stated plainly, like the substring census: the
-   * occurrence-rank window partitions by line hash, i.e. ONE exchange
-   * carrying a row per corpus LINE (the canonical cost of corpus-global
-   * line dedup; map-side reduction cannot help because most lines are
-   * unique), then one groupBy(doc) to reassemble. Both keys are
-   * high-cardinality and unskewed after the blank-line carve-out; the
-   * heavy-hitter lines (boilerplate) are exactly the rows the window
-   * dedups, bounded per key by their occurrence count.
+   * Scale shape — stated plainly, like the substring census: the global
+   * first occurrence per line is `min(struct(doc_id, idx))` over the line
+   * hash — an AGGREGATE, not a rank window, deliberately: min is map-side
+   * combinable, so the heavy-hitter boilerplate lines (nav bars, cookie
+   * banners at 10^8 occurrences in a web corpus) collapse to one row per
+   * partition before the exchange, where a `row_number` window would sort
+   * every occurrence of the hottest key in a single task that AQE cannot
+   * split. The firsts table (one row per DISTINCT line) joins back to the
+   * corpus-line stream — a shuffle join AQE can skew-split — then one
+   * groupBy(doc) reassembles. The corpus-line stream is exchanged once
+   * for the join and once for the reassembly, the canonical cost.
    *
    * @return (doc_id, n_lines, n_kept, clean_text)
    */
   def dedupLines(
       docs: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    lineOccurrences(docs, idCol, textCol)
-      .withColumn("keep", col("empty") || col("rn") === 1)
+      textCol: String = "text"): DataFrame = {
+    val lines = corpusLines(docs, idCol, textCol)
+    val firsts = lines
+      .filter(!col("empty"))
+      .groupBy("k")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    lines
+      .join(firsts, Seq("k"), "left")
+      .withColumn(
+        "keep",
+        col("empty") || struct(col("doc_id"), col("idx")) === col("first"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),
@@ -715,4 +721,5 @@ object Dedup {
                 when(col("keep"), struct(col("idx"), col("line"))))),
             x => x("line")),
           "\n").as("clean_text"))
+  }
 }

@@ -145,7 +145,9 @@ final class QueryServer(
           case None => notFound(rel)
           case Some(st) =>
             val snap = st.compact()
-            (200, s"""{"path":"$rel","snapshot":$snap}""")
+            val o = mapper.createObjectNode().put("path", rel)
+            o.put("snapshot", snap)
+            (200, o.toString)
         }
 
       case ("POST", rel) if rel.nonEmpty =>
@@ -158,7 +160,10 @@ final class QueryServer(
         if (!dir.startsWith(base)) return notFound(rel)
         val st = new GraphStore(dir.toString, spark)
         val batch = st.append(edges)
-        (200, s"""{"path":"$rel","batch":$batch,"rows":${edges.count()}}""")
+        val o = mapper.createObjectNode().put("path", rel)
+        o.put("batch", batch)
+        o.put("rows", edges.count())
+        (200, o.toString)
 
       case _ => (405, err("use GET /graphs, POST /graphs/<path>[, /compact]"))
     }

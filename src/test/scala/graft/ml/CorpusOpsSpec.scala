@@ -79,6 +79,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(run(16) == run(64))
   }
 
+  test("packSequences: full-range xxhash64-scale ids (id span exceeds Long.MaxValue)") {
+    val session = spark
+    import session.implicits._
+    // ids straddle the whole signed-Long range, so `hi - lo` wraps and a
+    // raw `id - lo` raises under ANSI — the half-resolution bucketing must
+    // keep the packing identical to the order-equivalent small-id corpus
+    val big = Seq(
+      (Long.MinValue + 13L, "a b c"), (-77L, "d e f g h"),
+      (4242L, "i j"), (Long.MaxValue - 9L, "k l m n o p q"))
+      .toDF("doc_id", "text")
+    val rows = CorpusOps.packSequences(big, seqLen = 4, shards = 8)
+      .orderBy("seq_id", "seq_off")
+      .select("seq_id", "seq_off", "doc_off", "len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val small = CorpusOps.packSequences(
+      Seq((10L, "a b c"), (20L, "d e f g h"), (30L, "i j"), (40L, "k l m n o p q"))
+        .toDF("doc_id", "text"),
+      seqLen = 4, shards = 8)
+      .orderBy("seq_id", "seq_off")
+      .select("seq_id", "seq_off", "doc_off", "len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == small.toSeq)
+  }
+
   test("redaction replaces emails, IPs, phones, in that order") {
     val session = spark
     import session.implicits._
