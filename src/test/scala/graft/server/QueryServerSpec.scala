@@ -130,4 +130,40 @@ class QueryServerSpec extends SparkSpec {
       assert(r2.get("rowCount").asInt == 2 && !r2.get("truncated").asBoolean)
     } finally srv.stop()
   }
+
+  test("GraphClient.sendGraph exports a graph (export_to analog) and queries round-trip") {
+    import graft.graph.TemporalGraph
+    val work = Files.createTempDirectory("graft-server-client").toString
+    val srv = new QueryServer(spark, work)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      assert(GraphClient.isHealthy(base))
+      assert(!GraphClient.isHealthy(s"http://127.0.0.1:1")) // nothing there
+      val g = TemporalGraph.fromTriples(spark,
+        Seq((1L, 2L, 10L), (2L, 3L, 20L), (3L, 4L, 30L), (4L, 1L, 40L), (1L, 3L, 50L)))
+      // batchSize 2 → 3 WAL commits, then compaction folds them
+      val sent = GraphClient.sendGraph(g, base, "ns2/exported", batchSize = 2)
+      assert(sent == 5L)
+      val (_, cat) = get(port, "/graphs")
+      val entry = {
+        val it = mapper.readTree(cat).elements()
+        var found: com.fasterxml.jackson.databind.JsonNode = null
+        while (it.hasNext) { val n = it.next(); if (n.get("name").asText == "exported") found = n }
+        found
+      }
+      assert(entry != null && entry.get("namespace").asText == "ns2")
+      assert(entry.hasNonNull("headSnapshot")) // compaction advanced HEAD
+      // the served copy answers the wire format with every shipped edge
+      val q = GraphClient.query(base, "ns2/exported",
+        """{"view":[],"select":{"target":"edges","sort":[{"column":"ts","desc":false}]}}""")
+      val res = mapper.readTree(q)
+      assert(res.get("rowCount").asInt == 5, q)
+      assert(res.get("rows").get(0).get("src").asLong == 1L)
+      // and the Cypher surface sees the same graph
+      val c = GraphClient.cypher(base, "ns2/exported",
+        "MATCH (a)-[e]->(b) WHERE e.ts >= 30 RETURN a, b ORDER BY b LIMIT 10")
+      assert(mapper.readTree(c).get("rowCount").asInt == 3, c)
+    } finally srv.stop()
+  }
 }
