@@ -341,13 +341,36 @@ object TemporalMotifs {
     tris // persisted; [[global]]/[[local]] unpersist after their census job
   }
 
-  /** Global 40-dim census. @return (motif_id 0..39, count). */
+  /** Global 40-dim census at one delta. @return (motif_id 0..39, count). */
   def global(
       spark: SparkSession,
       g: TemporalGraph,
       deltaMs: Long,
+      maxEventsPerEntity: Int = DefaultMaxEventsPerEntity): DataFrame =
+    globalMulti(spark, g, Seq(deltaMs), maxEventsPerEntity)
+      .select(col("motif_id"), col("count"))
+
+  /**
+   * Global census for a RANGE of timescales in one graph pass — the
+   * reference's `temporal_three_node_motif_multi`
+   * (global_temporal_three_node_motifs.rs:267): every delta shares the
+   * event exchange, the per-entity sorted event lists and the triangle
+   * enumeration (the expensive parts); only the O(events) counting kernels
+   * re-run per delta, inside the same task over the same cached arrays.
+   * Cost is build-once + nDeltas × kernel, vs nDeltas × everything for
+   * repeated [[global]] calls.
+   *
+   * @return (delta_ms, motif_id 0..39, count) — 40 rows per delta.
+   */
+  def globalMulti(
+      spark: SparkSession,
+      g: TemporalGraph,
+      deltas: Seq[Long],
       maxEventsPerEntity: Int = DefaultMaxEventsPerEntity): DataFrame = {
     import spark.implicits._
+    require(deltas.nonEmpty, "globalMulti: need at least one delta")
+    val deltaArr: Array[Long] = deltas.toArray // serializable, loop-friendly
+    val nD = deltaArr.length
     val ev = g.edges
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), col("ts"), col("event_id"))
@@ -397,10 +420,17 @@ object TemporalMotifs {
       pairEvents
         .select(col("ts").as[Array[Long]], col("dir").as[Array[Int]])
         .map { case (ts, dirs) =>
-          val c = twoNodeCounts(ts, dirs, deltaMs)
-          Array.tabulate(8)(i => c(i) + c(7 - i)) // both perspectives
+          val out = new Array[Long](8 * nD)
+          var di = 0
+          while (di < nD) {
+            val c = twoNodeCounts(ts, dirs, deltaArr(di))
+            var i = 0
+            while (i < 8) { out(8 * di + i) = c(i) + c(7 - i); i += 1 } // both perspectives
+            di += 1
+          }
+          out
         },
-      8))
+      8 * nD))
 
     // -- star block: one kernel run per center node --
     val starEvents = ev
@@ -416,8 +446,17 @@ object TemporalMotifs {
     val fStar24 = Future(sumVectors(
       starEvents
         .select(col("ts").as[Array[Long]], col("dir").as[Array[Int]], col("nbr").as[Array[Long]])
-        .map { case (ts, dirs, nbrs) => starCounts(ts, dirs, nbrs, deltaMs) },
-      24))
+        .map { case (ts, dirs, nbrs) =>
+          val out = new Array[Long](24 * nD)
+          var di = 0
+          while (di < nD) {
+            val c = starCounts(ts, dirs, nbrs, deltaArr(di))
+            System.arraycopy(c, 0, out, 24 * di, 24)
+            di += 1
+          }
+          out
+        },
+      24 * nD))
 
     // -- triangle block: degree-oriented enumeration over the pair keys
     // (the groupBy(a, b) output IS the distinct undirected edge set, so the
@@ -445,9 +484,16 @@ object TemporalMotifs {
             // sorted ids = [v, u, w] with v = x1 (smaller of the u,v pair),
             // u = x2, w = x3 (the intersection neighbour, largest)
             val _ = x1
-            triangleKernelForSorted(x2, x3, ts, srcs, dsts, deltaMs)
+            val out = new Array[Long](8 * nD)
+            var di = 0
+            while (di < nD) {
+              val c = triangleKernelForSorted(x2, x3, ts, srcs, dsts, deltaArr(di))
+              System.arraycopy(c, 0, out, 8 * di, 8)
+              di += 1
+            }
+            out
           },
-        8)
+        8 * nD)
       tris.unpersist(false)
       v
     }
@@ -459,15 +505,19 @@ object TemporalMotifs {
     ev.unpersist(false)
     pairEvents.unpersist(false)
 
-    // assemble: star24 − cycled two8 ++ two8 ++ tri8 (reference :63-74, :293)
-    val rows = (0 until 40).map { i =>
+    // assemble per delta: star24 − cycled two8 ++ two8 ++ tri8
+    // (reference :63-74, :293; the adjustment is linear per delta slice)
+    val rows = for {
+      di <- 0 until nD
+      i <- 0 until 40
+    } yield {
       val c =
-        if (i < 24) star24(i) - two8(i % 8)
-        else if (i < 32) two8(i - 24)
-        else tri8(i - 32)
-      (i, c)
+        if (i < 24) star24(24 * di + i) - two8(8 * di + i % 8)
+        else if (i < 32) two8(8 * di + (i - 24))
+        else tri8(8 * di + (i - 32))
+      (deltaArr(di), i, c)
     }
-    rows.toDF("motif_id", "count")
+    rows.toDF("delta_ms", "motif_id", "count")
   }
 
   /**

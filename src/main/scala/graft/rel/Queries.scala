@@ -159,6 +159,24 @@ object Queries {
    * Every multiply-referenced CTE is MATERIALIZED — DuckDB otherwise
    * re-inlines it per reference and the plan grows multiplicatively.
    */
+  /** Full brute-force global 40-slot census at one delta — a complete
+    * `WITH … SELECT (motif_id, count)` statement, nestable as a DuckDB
+    * subquery so the multi-delta oracle can UNION ALL several deltas. */
+  private def motifGlobalCensusSql(deltaMs: Long): String =
+    s"""WITH ${motifBaseSql(deltaMs)},
+       |counts AS (
+       |  SELECT m AS motif_id, count(*) AS c FROM star_triples GROUP BY m
+       |  UNION ALL
+       |  SELECT 24 + m, count(*) FROM (
+       |    SELECT m FROM two_triples UNION ALL SELECT 7 - m FROM two_triples
+       |  ) t GROUP BY m
+       |  UNION ALL
+       |  SELECT 32 + m, count(*) FROM tri_triples GROUP BY m)
+       |SELECT CAST(r.range AS INT) AS motif_id,
+       |       CAST(coalesce(sum(c.c), 0) AS BIGINT) AS count
+       |FROM range(40) r LEFT JOIN counts c ON c.motif_id = r.range
+       |GROUP BY r.range""".stripMargin
+
   private def motifBaseSql(deltaMs: Long): String =
     s"""ev AS MATERIALIZED (
        |  SELECT user_id AS src, dst, epoch_us(ts)//1000 AS tms, event_id
@@ -1424,20 +1442,22 @@ object Queries {
       // oracle = brute-force triple enumeration (see motifBaseSql — kernel
       // equivalence property-tested in TemporalMotifsBruteForceSpec).
       (s, d) => graft.algos.TemporalMotifs.global(s, eventGraph(s, d), deltaMs = 7200000L),
-      Some(
-        s"""WITH ${motifBaseSql(7200000L)},
-           |counts AS (
-           |  SELECT m AS motif_id, count(*) AS c FROM star_triples GROUP BY m
-           |  UNION ALL
-           |  SELECT 24 + m, count(*) FROM (
-           |    SELECT m FROM two_triples UNION ALL SELECT 7 - m FROM two_triples
-           |  ) t GROUP BY m
-           |  UNION ALL
-           |  SELECT 32 + m, count(*) FROM tri_triples GROUP BY m)
-           |SELECT CAST(r.range AS INT) AS motif_id,
-           |       CAST(coalesce(sum(c.c), 0) AS BIGINT) AS count
-           |FROM range(40) r LEFT JOIN counts c ON c.motif_id = r.range
-           |GROUP BY r.range""".stripMargin)),
+      Some(motifGlobalCensusSql(7200000L))),
+
+    (
+      "q_graph_temporal_motifs_multi",
+      // multi-timescale census (temporal_three_node_motif_multi,
+      // global_temporal_three_node_motifs.rs:267): one shared graph pass,
+      // kernels re-run per delta. Oracle = the single-delta brute force at
+      // each delta (DuckDB CTEs nested per UNION ALL branch), so the multi
+      // path is checked against the same independent enumeration as
+      // q_graph_temporal_motifs rather than against our own global().
+      (s, d) => graft.algos.TemporalMotifs
+        .globalMulti(s, eventGraph(s, d), Seq(3600000L, 7200000L)),
+      Some(Seq(3600000L, 7200000L).map { dlt =>
+        s"""SELECT CAST($dlt AS BIGINT) AS delta_ms, motif_id, count
+           |FROM (${motifGlobalCensusSql(dlt)})""".stripMargin
+      }.mkString("\nUNION ALL\n"))),
 
     (
       "q_graph_temporal_motifs_local",

@@ -40,6 +40,27 @@ class TemporalMotifsSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("globalMulti: one shared pass equals per-delta global at each timescale") {
+    val deltas = Seq(3L, 10L)
+    val multi = TemporalMotifs
+      .globalMulti(spark, fixtureGraph, deltas)
+      .collect()
+      .map(r => (r.getAs[Long]("delta_ms"), r.getAs[Int]("motif_id")) -> r.getAs[Long]("count"))
+      .toMap
+    assert(multi.size == 80)
+    for (d <- deltas) {
+      val single = TemporalMotifs
+        .global(spark, fixtureGraph, deltaMs = d)
+        .collect()
+        .map(r => r.getAs[Int]("motif_id") -> r.getAs[Long]("count"))
+        .toMap
+      for (m <- 0 until 40)
+        assert(multi((d, m)) == single(m), s"delta=$d motif=$m")
+    }
+    // the two timescales genuinely differ on this fixture (delta matters)
+    assert((0 until 40).exists(m => multi((3L, m)) != multi((10L, m))))
+  }
+
   test("two-node kernel fixture (three_node_motifs.rs two_node_test)") {
     // events: OUT@1, IN@2, IN@3, delta 5
     val c = TemporalMotifs.twoNodeCounts(Array(1L, 2L, 3L), Array(1, 0, 0), 5L)

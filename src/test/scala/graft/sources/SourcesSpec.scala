@@ -80,4 +80,48 @@ class SourcesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(all == Set((1L, 2L, 10L), (2L, 3L, 20L), (3L, 4L, 30L), (4L, 5L, 40L)))
   }
+
+  test("GraphArchive: export → import round-trips the full store; peek reads metadata") {
+    val root = Files.createTempDirectory("graft-arch-src").toString
+    val store = new GraphStore(root, spark)
+    def batch(es: Seq[(Long, Long, Long)]) =
+      es.toDF("src", "dst", "ts")
+        .withColumn("event_id", lit(0L))
+        .withColumn("layer", lit("_d"))
+    store.append(batch(Seq((1L, 2L, 10L), (2L, 3L, 20L))))
+    store.compact()
+    store.append(batch(Seq((3L, 4L, 30L)))) // post-snapshot tail must survive too
+
+    val zip = Files.createTempDirectory("graft-arch-zip").resolve("g.zip").toString
+    GraphArchive.exportArchive(store, zip)
+
+    val meta = GraphArchive.peek(zip)
+    assert(meta.contains("\"graft-graph-archive\"") && meta.contains("\"head\":0"))
+
+    val dest = Files.createTempDirectory("graft-arch-dst").toString + "/imported"
+    val back = GraphArchive.importArchive(zip, dest, spark)
+    assert(back.headSnapshot.contains(0L))
+    assert(back.committedBatches == store.committedBatches)
+    val got = back.read().edges.select("src", "dst", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 10L), (2L, 3L, 20L), (3L, 4L, 30L)))
+
+    // guard rails: refuses to import over an existing store
+    intercept[IllegalArgumentException](GraphArchive.importArchive(zip, dest, spark))
+  }
+
+  test("GraphArchive: zip-slip entries are rejected") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val evil = Files.createTempDirectory("graft-arch-evil").resolve("evil.zip")
+    val zos = new ZipOutputStream(Files.newOutputStream(evil))
+    zos.putNextEntry(new ZipEntry(GraphArchive.RootMetaEntry))
+    zos.write("""{"format":"graft-graph-archive","version":1}""".getBytes)
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("../escape.txt"))
+    zos.write("x".getBytes)
+    zos.closeEntry()
+    zos.close()
+    val dest = Files.createTempDirectory("graft-arch-evil-dst").toString + "/s"
+    intercept[IllegalArgumentException](GraphArchive.importArchive(evil.toString, dest, spark))
+  }
 }
