@@ -131,6 +131,63 @@ object Metrics {
     joined.select(col("id"), round(value, 6).as("balance"))
   }
 
+  /**
+   * Directed degree assortativity (Newman 2002/2003): the Pearson
+   * correlation, over distinct directed edges (self-loops excluded),
+   * between a degree of the source and a degree of the target —
+   * `(xMode, yMode) = ("out", "in")` is the classic out–in assortativity.
+   * Positive r: high-fan-out pages link to high-fan-in pages (hub→authority
+   * mixing); negative: disassortative (the common web-graph case).
+   *
+   * Exactness/portability: all five moment sums are exact integer sums in
+   * decimal(38,0) (long·long degree products would overflow ANSI longs on
+   * hub-heavy graphs; decimal keeps them exact to 38 digits), cast to
+   * double ONCE for the final closed-form division — the identical
+   * round-to-nearest both engines apply to an exact integer — so the
+   * DuckDB oracle hash-matches at full precision. One aggregation over the
+   * edge-degree join; both degree joins are on the edge table's own keys.
+   *
+   * @return one row: (n_edges, assortativity ROUND 6)
+   */
+  def degreeAssortativity(
+      g: TemporalGraph,
+      xMode: String = "out",
+      yMode: String = "in"): DataFrame = {
+    def degOf(mode: String, keyCol: String, alias: String): DataFrame = {
+      val e = g.simpleEdges.filter(col("src") =!= col("dst"))
+      val grouped = mode match {
+        case "out" => e.groupBy(col("src").as(keyCol))
+        case "in"  => e.groupBy(col("dst").as(keyCol))
+        case other => throw new IllegalArgumentException(s"degree mode: $other")
+      }
+      grouped.agg(count(lit(1)).as(alias))
+    }
+    val e = g.simpleEdges.filter(col("src") =!= col("dst"))
+    val dec = "decimal(38,0)"
+    val xy = e
+      .join(degOf(xMode, "src", "xd"), Seq("src"))
+      .join(degOf(yMode, "dst", "yd"), Seq("dst"))
+      .select(col("xd").cast(dec).as("x"), col("yd").cast(dec).as("y"))
+    xy.agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(
+        col("n_edges"),
+        round(
+          (col("n_edges").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt(
+              (col("n_edges").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n_edges").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))),
+          6).as("assortativity"))
+  }
+
   /** Alternating boolean mask by node iteration order (the reference's
     * test-only mock, algorithms/alternating_mask.rs:22: `i % 2 != 0` over
     * node enumeration). The reference's order is VID insertion order; the

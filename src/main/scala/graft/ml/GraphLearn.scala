@@ -1,0 +1,270 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.bsp.SuperstepRunner
+import graft.graph.TemporalGraph
+
+/**
+ * Graph-ML training-data preparation: the operators a link-prediction /
+ * GNN / node-embedding training pipeline runs over a web-scale link graph
+ * before any model sees a batch. Everything is DETERMINISTIC in the
+ * [[Sampling]] sense — sampling decisions are pure functions of
+ * (seed, entity ids) in the portable hash family, so outputs are stable
+ * under repartitioning, re-runs and engines (the DuckDB oracle replays
+ * every operator end-to-end; `rand()`-based sampling has none of these
+ * properties and cannot be audited).
+ *
+ * Scale shapes (the part that must survive 100 TB):
+ *  - [[neighborSample]]: per hop, the candidate ranking runs over DISTINCT
+ *    frontier parents only (semi-join prune BEFORE the per-source window;
+ *    Spark 4's WindowGroupLimit pre-limits each partition to the fan-out
+ *    before the rank exchange), then fans out to (seed, parent) pairs by a
+ *    bounded ≤ k join. No step touches more than |frontier|·k rows.
+ *  - [[randomWalks]]: one adjacency exchange TOTAL (the salted CSR is
+ *    persisted hash-partitioned on src and reused every step, the
+ *    superstep contract from the iterative algorithms); each step ships
+ *    one row per live walker per touched CSR shard — a walker at a
+ *    degree-10M hub costs ⌈deg/maxShard⌉ shard rows, never a 10M-row
+ *    explode, because the per-shard argmin is a fused array expression.
+ *  - [[linkSplit]]: a stateless projection (no shuffle at all).
+ *  - [[negativeSample]]: candidate generation joins (src, k) probes to a
+ *    hash-bucketed node table — per probe the fan-out is ONE bucket
+ *    (~|V|/nBuckets rows), tunable, never a cross join against |V|; the
+ *    rejection anti-join runs on the ≤ |E|·k sampled pairs only.
+ */
+object GraphLearn {
+
+  private val P = 1000000007L
+  // one multiplier per mixed component (primes; same family as Sampling).
+  // Public: the oracle SQL builders in rel.Queries mirror hash part order
+  // and multipliers exactly, via [[hmixSql]].
+  val M1 = 73856093L
+  val M2 = 19349663L
+  val M3 = 83492791L
+  val M4 = 15485863L
+
+  /** pmod into [0, P) — ANSI-total for full-range longs (see Sampling). */
+  private def pm(c: Column): Column = pmod(c.cast("long"), lit(P))
+
+  /**
+   * Portable multi-component hash: fold each component as
+   * `acc = (acc + pmod(x, P)·m mod P) mod P`. Every intermediate stays
+   * below P·maxM ≈ 8.3e16 ≪ 2^63, so the same expression evaluates
+   * identically (and without ANSI overflow) in Spark and DuckDB; the
+   * SQL twin is [[hmixSql]].
+   */
+  def hmix(seed: Long, parts: (Column, Long)*): Column = {
+    val s = ((seed % P) + P) % P
+    parts.foldLeft(lit(s): Column) { case (acc, (c, m)) =>
+      (acc + pm(c) * m % P) % P
+    }
+  }
+
+  /** DuckDB text of [[hmix]] — identical fold, identical reductions. */
+  def hmixSql(seed: Long, parts: (String, Long)*): String = {
+    val s = ((seed % P) + P) % P
+    parts.foldLeft(s"CAST($s AS BIGINT)") { case (acc, (x, m)) =>
+      s"(($acc + ((CAST($x AS BIGINT) % $P + $P) % $P) * $m % $P) % $P)"
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Link-prediction dataset: edge split + negative sampling
+  // ------------------------------------------------------------------
+
+  /**
+   * Deterministic train/val/test split of an edge table for link
+   * prediction: each edge's assignment is a pure function of
+   * (seed, src, dst), so the split is identical on any partitioning and
+   * any engine, and re-running with the same seed never leaks val/test
+   * edges into train. Adds a `split` column; nothing else moves — this is
+   * a stateless projection that composes with any downstream filter
+   * (`split = 'train'` pushes to the scan).
+   */
+  def linkSplit(
+      edges: DataFrame,
+      trainFrac: Double = 0.8,
+      valFrac: Double = 0.1,
+      seed: Long = 42L,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"invalid fractions: train=$trainFrac val=$valFrac")
+    val u = hmix(seed, (col(srcCol), M1), (col(dstCol), M2)) % 1000000L
+    val tThr = math.round(trainFrac * 1e6)
+    val vThr = math.round((trainFrac + valFrac) * 1e6)
+    edges.withColumn(
+      "split",
+      when(u < tThr, lit("train")).when(u < vThr, lit("val")).otherwise(lit("test")))
+  }
+
+  /**
+   * Deterministic negative sampling for link prediction: for each distinct
+   * positive source and k-index draw a candidate destination, reject
+   * self-pairs and true edges (the standard filtered-uniform scheme).
+   *
+   * The draw is a two-level hash so it never enumerates |V| per probe:
+   * nodes are pre-bucketed by `hash(id) mod nBuckets`; a probe (src, k)
+   * hashes to ONE bucket and takes the bucket member minimizing
+   * `hash(seed, src, k, id)` — per-probe work is one bucket (~|V|/nBuckets
+   * rows, sized by the caller), the distribution over nodes is uniform up
+   * to bucket-population variance, and every choice replays in SQL.
+   * Probes whose candidate is rejected are DROPPED, not re-drawn
+   * (re-drawing is a data-dependent loop; callers wanting exactly k
+   * survivors oversample — the shortfall is visible as missing k-indices,
+   * the no-silent-caps convention).
+   *
+   * @return (src, k_idx, neg_dst) — ≤ k rows per distinct source
+   */
+  def negativeSample(
+      edges: DataFrame,
+      k: Int = 2,
+      nBuckets: Int = 64,
+      seed: Long = 42L,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(k > 0 && nBuckets > 0, s"k=$k nBuckets=$nBuckets must be positive")
+    val pos = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val nodes = pos.select(col("src").as("id"))
+      .union(pos.select(col("dst").as("id"))).distinct()
+      .withColumn("bucket", hmix(seed, (col("id"), M3)) % nBuckets)
+    val probes = pos.select("src").distinct()
+      .withColumn("k_idx", explode(array((0 until k).map(i => lit(i)): _*)))
+      .withColumn("bucket", hmix(seed, (col("src"), M1), (col("k_idx"), M2)) % nBuckets)
+    val cand = probes.join(nodes, Seq("bucket"))
+      .withColumn("__h",
+        hmix(seed, (col("src"), M1), (col("k_idx"), M2), (col("id"), M4)))
+      .groupBy("src", "k_idx")
+      .agg(min(struct(col("__h"), col("id"))).as("m"))
+      .select(col("src"), col("k_idx").cast("long").as("k_idx"), col("m.id").as("neg_dst"))
+    cand
+      .filter(col("neg_dst") =!= col("src"))
+      .join(pos.withColumnRenamed("dst", "neg_dst"), Seq("src", "neg_dst"), "left_anti")
+      .select("src", "k_idx", "neg_dst") // pin order (using-join hoists keys)
+  }
+
+  // ------------------------------------------------------------------
+  // GNN fan-out sampling (GraphSAGE-style layer sampling)
+  // ------------------------------------------------------------------
+
+  /**
+   * Multi-hop deterministic neighbor sampling — the GraphSAGE /
+   * PinSAGE-style fan-out that turns a web-scale graph into bounded
+   * per-seed computation trees for minibatch GNN training: hop h keeps at
+   * most `fanouts(h-1)` out-neighbors per frontier node, chosen as the
+   * neighbors minimizing `hash(seed, hop, node, nbr)` (ties by nbr).
+   *
+   * The per-node hop-h sample is a pure function of (seed, hop, node) —
+   * deliberately SHARED across seeds whose trees meet at a node (layer-wise
+   * sampling): dedup-able work, and the union of trees stays a subgraph
+   * bounded by |frontier|·k. Seeds revisiting a node at a different hop
+   * draw a fresh sample (hop is mixed into the hash).
+   *
+   * @param seeds one column `seed` — the minibatch's root nodes
+   * @return (seed, hop 1-based, src, dst): the sampled computation tree
+   *         edges, grouped per seed; hop-h dst values are hop-h+1 srcs
+   */
+  def neighborSample(
+      spark: SparkSession,
+      g: TemporalGraph,
+      seeds: DataFrame,
+      fanouts: Seq[Int],
+      seed: Long = 42L): DataFrame = {
+    require(fanouts.nonEmpty && fanouts.forall(_ > 0), s"bad fanouts: $fanouts")
+    val edges = g.simpleEdges
+    var frontier = seeds.select(col("seed")).distinct()
+      .withColumn("src", col("seed"))
+    var out: Option[DataFrame] = None
+    for ((k, i) <- fanouts.zipWithIndex) {
+      val hop = i + 1
+      val parents = frontier.select("src").distinct()
+      val w = Window.partitionBy("src").orderBy(col("__h"), col("dst"))
+      val ranked = edges.join(parents, Seq("src"), "left_semi")
+        .withColumn("__h", hmix(seed, (lit(hop), M3), (col("src"), M1), (col("dst"), M2)))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .select("src", "dst")
+      val block = frontier.join(ranked, Seq("src"))
+        .select(col("seed"), lit(hop.toLong).as("hop"), col("src"), col("dst"))
+      out = Some(out.fold(block)(_.unionByName(block)))
+      frontier = block.select(col("seed"), col("dst").as("src")).distinct()
+    }
+    out.get
+  }
+
+  // ------------------------------------------------------------------
+  // Deterministic random-walk corpus (DeepWalk / node2vec input)
+  // ------------------------------------------------------------------
+
+  /**
+   * Walk-corpus generation for skip-gram node embeddings (DeepWalk):
+   * `nWalks` walks of ≤ `length` steps start at every node; at each step
+   * the walker at `cur` moves to the out-neighbor minimizing
+   * `hash(seed, start, walk, step, nbr)` (ties by nbr) — a deterministic
+   * stand-in for the uniform transition that keeps the corpus replayable
+   * row-for-row (each (start, walk) traces ONE fixed path; across the
+   * corpus the per-step choices are hash-uniform over each node's
+   * neighborhood, which is what the embedding objective samples from).
+   * Walkers at a sink (no out-edges) stop early.
+   *
+   * Runs under [[SuperstepRunner]] like every iterative algorithm: the
+   * salted CSR ([[TemporalGraph.adjacencyOut]]) is persisted
+   * hash-partitioned on src once; each step exchanges only the live
+   * walker frame. The per-shard argmin is `array_min` over a
+   * `transform`-ed (hash, nbr) struct array — a fused columnar loop, no
+   * explode — and shard minima combine in the walker-key groupBy, so hub
+   * sharding never leaves the CSR row count. The accumulated corpus rides
+   * in the superstep state (re-checkpointed per step — O(length²·walkers)
+   * writes; length is small by contract, enforced ≤ 64).
+   *
+   * @return (start, walk, step 0-based, node) — step 0 is the start node
+   */
+  def randomWalks(
+      spark: SparkSession,
+      g: TemporalGraph,
+      length: Int = 8,
+      nWalks: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    require(length >= 1 && length <= 64, s"length=$length out of [1, 64]")
+    require(nWalks >= 1 && nWalks <= 1024, s"nWalks=$nWalks out of [1, 1024]")
+    val adj = g.adjacencyOut
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = g.nodes
+      .select(col("id").as("start"))
+      .withColumn("walk", explode(array((0 until nWalks).map(i => lit(i.toLong)): _*)))
+      .withColumn("step", lit(0L))
+      .withColumn("node", col("start"))
+
+    val res = SuperstepRunner.run(
+      spark, init, SuperstepRunner.RunConfig(maxSteps = length, runId = s"walks-$seed")) {
+      (state, k) =>
+        val frontier = state
+          .filter(col("step") === (k - 1).toLong)
+          .select(col("start"), col("walk"), col("node").as("cur"))
+        val pick = transform(
+          col("dsts"),
+          x => struct(
+            hmix(seed, (col("start"), M1), (col("walk"), M2), (lit(k), M3), (x, M4)).as("h"),
+            x.as("n")))
+        val chosen = frontier
+          .join(adj, frontier("cur") === adj("src"))
+          .select(col("start"), col("walk"), array_min(pick).as("m"))
+          .groupBy("start", "walk")
+          .agg(min(col("m")).as("m"))
+          .select(col("start"), col("walk"), lit(k.toLong).as("step"), col("m.n").as("node"))
+        val next = state.unionByName(chosen)
+        SuperstepRunner.Step(
+          next,
+          st => {
+            val live = st.filter(col("step") === k.toLong).count()
+            (live == 0L, Map("live" -> live.toDouble))
+          })
+    }
+    adj.unpersist(false)
+    res.state
+  }
+}

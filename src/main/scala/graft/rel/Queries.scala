@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.graph.TemporalGraph
 import graft.algos.{BipartiteProjection, Components, ConnectedComponents, FastRP, Hits, KCore, LabelPropagation, Louvain, Metrics, PageRank, Paths, Scc, Triangles}
-import graft.ml.{CorpusOps, Dedup, Sampling, SemDedup, Similarity, TextAnalysis}
+import graft.ml.{CorpusOps, Dedup, GraphLearn, Sampling, SemDedup, Similarity, TextAnalysis}
 
 /**
  * The relational operator surface checked by the driver's DuckDB oracle:
@@ -1835,6 +1835,139 @@ object Queries {
            |m0 AS (SELECT a, b, w FROM r0 WHERE false),
            |$steps
            |SELECT a AS src, b AS dst, CAST(w AS BIGINT) AS weight FROM m$rounds""".stripMargin
+      }),
+
+    (
+      "q_graph_assortativity",
+      // directed out–in degree assortativity (Newman 2002) — exact integer
+      // moment sums (decimal(38,0) ↔ HUGEINT), one double division at the
+      // end, identical IEEE op order both engines.
+      (s, d) => Metrics.degreeAssortativity(eventGraph(s, d)),
+      Some(
+        s"""WITH $graphBaseSql,
+           |ee AS (SELECT src, dst FROM e WHERE src <> dst),
+           |od AS (SELECT src, count(*) AS xd FROM ee GROUP BY src),
+           |idg AS (SELECT dst, count(*) AS yd FROM ee GROUP BY dst),
+           |xy AS (SELECT CAST(od.xd AS HUGEINT) AS x, CAST(idg.yd AS HUGEINT) AS y
+           |       FROM ee JOIN od USING (src) JOIN idg USING (dst))
+           |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           |  round((CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE)
+           |         - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+           |    / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE)
+           |            - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+           |         * (CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE)
+           |            - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE))), 6)
+           |    AS assortativity
+           |FROM xy""".stripMargin)),
+
+    (
+      "q_graph_link_split",
+      // deterministic link-prediction edge split (ml.GraphLearn.linkSplit):
+      // assignment is a pure function of (seed, src, dst) in the portable
+      // hash family — stateless projection, replayed term for term.
+      (s, d) => GraphLearn.linkSplit(eventEdges(s, d), 0.6, 0.2, seed = 42L)
+        .select(col("src"), col("dst"), col("event_id"), col("split")),
+      Some {
+        val u = s"(${GraphLearn.hmixSql(42L, "src" -> GraphLearn.M1, "dst" -> GraphLearn.M2)} % 1000000)"
+        s"""WITH e0 AS ($eventEdgesSql)
+           |SELECT src, dst, event_id,
+           |  CASE WHEN $u < 600000 THEN 'train'
+           |       WHEN $u < 800000 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM e0""".stripMargin
+      }),
+
+    (
+      "q_graph_negative_sample",
+      // two-level hash negative sampling (ml.GraphLearn.negativeSample):
+      // probe → one node bucket → in-bucket argmin, reject self/true edges.
+      (s, d) => GraphLearn.negativeSample(
+        eventEdges(s, d).select("src", "dst"), k = 2, nBuckets = 16, seed = 42L),
+      Some {
+        import GraphLearn._
+        val bNode = s"(${hmixSql(42L, "id" -> M3)} % 16)"
+        val bProbe = s"(${hmixSql(42L, "src" -> M1, "k_idx" -> M2)} % 16)"
+        val h = hmixSql(42L, "p.src" -> M1, "p.k_idx" -> M2, "n.id" -> M4)
+        s"""WITH e0 AS ($eventEdgesSql),
+           |e AS (SELECT DISTINCT src, dst FROM e0),
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+           |nb AS (SELECT id, $bNode AS bucket FROM nodes),
+           |probes AS (SELECT src, CAST(k.range AS BIGINT) AS k_idx
+           |           FROM (SELECT DISTINCT src FROM e) s, range(2) k),
+           |pb AS (SELECT src, k_idx, $bProbe AS bucket FROM probes),
+           |cand AS (
+           |  SELECT p.src, p.k_idx, n.id AS neg_dst,
+           |    row_number() OVER (PARTITION BY p.src, p.k_idx ORDER BY $h, n.id) AS rn
+           |  FROM pb p JOIN nb n USING (bucket))
+           |SELECT src, k_idx, neg_dst FROM cand c
+           |WHERE rn = 1 AND neg_dst <> src
+           |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.src AND e.dst = c.neg_dst)"""
+          .stripMargin
+      }),
+
+    (
+      "q_graph_neighbor_sample",
+      // GraphSAGE-style 2-hop fan-out sampling (ml.GraphLearn
+      // .neighborSample, fanouts [3,2]) from a 20% hash sample of nodes;
+      // per-(hop, node) choices replayed by ranked windows in DuckDB.
+      (s, d) => {
+        val g = eventGraph(s, d)
+        val seeds = g.nodes.select(col("id").as("seed"))
+          .filter(GraphLearn.hmix(42L, col("id") -> GraphLearn.M1) % 1000000L < 200000L)
+        GraphLearn.neighborSample(s, g, seeds, Seq(3, 2), seed = 42L)
+      },
+      Some {
+        import GraphLearn._
+        def hk(hop: Int) =
+          hmixSql(42L, hop.toString -> M3, "e.src" -> M1, "e.dst" -> M2)
+        s"""WITH $graphBaseSql,
+           |seeds AS (SELECT id AS seed FROM nodes
+           |          WHERE ${hmixSql(42L, "id" -> M1)} % 1000000 < 200000),
+           |p1 AS (SELECT DISTINCT seed AS src FROM seeds),
+           |r1 AS (SELECT src, dst FROM (
+           |  SELECT e.src, e.dst,
+           |    row_number() OVER (PARTITION BY e.src ORDER BY ${hk(1)}, e.dst) AS rn
+           |  FROM e JOIN p1 USING (src)) WHERE rn <= 3),
+           |b1 AS (SELECT s.seed, CAST(1 AS BIGINT) AS hop, r.src, r.dst
+           |       FROM seeds s JOIN r1 r ON r.src = s.seed),
+           |f2 AS (SELECT DISTINCT seed, dst AS src FROM b1),
+           |p2 AS (SELECT DISTINCT src FROM f2),
+           |r2 AS (SELECT src, dst FROM (
+           |  SELECT e.src, e.dst,
+           |    row_number() OVER (PARTITION BY e.src ORDER BY ${hk(2)}, e.dst) AS rn
+           |  FROM e JOIN p2 USING (src)) WHERE rn <= 2)
+           |SELECT * FROM b1
+           |UNION ALL
+           |SELECT f.seed, CAST(2 AS BIGINT) AS hop, r.src, r.dst
+           |FROM f2 f JOIN r2 r ON r.src = f.src""".stripMargin
+      }),
+
+    (
+      "q_graph_random_walks",
+      // deterministic DeepWalk corpus (ml.GraphLearn.randomWalks, length 4,
+      // 2 walks/node): per-step argmin-hash transition replayed as ranked
+      // step CTEs over the same edge set.
+      (s, d) => GraphLearn.randomWalks(s, eventGraph(s, d), length = 4, nWalks = 2, seed = 42L),
+      Some {
+        import GraphLearn._
+        def h(k: Int) =
+          hmixSql(42L, "f.start" -> M1, "f.walk" -> M2, k.toString -> M3, "e.dst" -> M4)
+        def step(k: Int) =
+          s"""s$k AS MATERIALIZED (
+             |  SELECT start, walk, CAST($k AS BIGINT) AS step, dst AS node FROM (
+             |    SELECT f.start, f.walk, e.dst,
+             |      row_number() OVER (PARTITION BY f.start, f.walk ORDER BY ${h(k)}, e.dst) AS rn
+             |    FROM f${k - 1} f JOIN e ON e.src = f.cur) WHERE rn = 1),
+             |f$k AS (SELECT start, walk, node AS cur FROM s$k)""".stripMargin
+        s"""WITH $graphBaseSql,
+           |s0 AS (SELECT id AS start, CAST(w.range AS BIGINT) AS walk,
+           |              CAST(0 AS BIGINT) AS step, id AS node
+           |       FROM nodes, range(2) w),
+           |f0 AS (SELECT start, walk, node AS cur FROM s0),
+           |${(1 to 4).map(step).mkString(",\n")}
+           |SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4""".stripMargin
       }),
 
     (
