@@ -45,6 +45,7 @@ object GraphLearn {
   val M2 = 19349663L
   val M3 = 83492791L
   val M4 = 15485863L
+  val M5 = 49979693L
 
   /** pmod into [0, P) — ANSI-total for full-range longs (see Sampling). */
   private def pm(c: Column): Column = pmod(c.cast("long"), lit(P))
@@ -266,5 +267,120 @@ object GraphLearn {
     }
     adj.unpersist(false)
     res.state
+  }
+
+  /**
+   * TIME-RESPECTING walk corpus (CTDNE, Nguyen et al. 2018) — the temporal
+   * twin of [[randomWalks]] for a temporal link graph: a walker at node
+   * `cur` holding time `t` may only traverse edge EVENTS with
+   * `src = cur AND ts > t` (strictly later — causal paths, the same
+   * ordering [[graft.algos.Paths.temporalReachability]] respects), takes
+   * the event minimizing `hash(seed, start, walk, step, dst, ts)` (ties by
+   * (dst, ts)) and adopts that event's timestamp. Walks start at every
+   * node at time `startTs` (default: before everything).
+   *
+   * Scale shape = [[randomWalks]]: one persisted salted temporal CSR
+   * (events grouped per src, hub-sharded), per-step eligibility + argmin
+   * fused into `array_min(transform(filter(...)))` over the shard arrays —
+   * no event explode, walker frame is the only per-step exchange.
+   *
+   * @return (start, walk, step 0-based, node, ts) — step 0 carries startTs
+   */
+  def temporalWalks(
+      spark: SparkSession,
+      g: TemporalGraph,
+      length: Int = 8,
+      nWalks: Int = 1,
+      seed: Long = 42L,
+      startTs: Long = Long.MinValue,
+      maxShard: Int = TemporalGraph.DefaultMaxShard): DataFrame = {
+    require(length >= 1 && length <= 64, s"length=$length out of [1, 64]")
+    require(nWalks >= 1 && nWalks <= 1024, s"nWalks=$nWalks out of [1, 1024]")
+    // salted temporal CSR over distinct (src, dst, ts) events — the
+    // adjacencyOut sharding contract, entries carry the event time
+    val ev = g.edges.select(col("src"), col("dst"), col("ts")).distinct()
+    val deg = ev.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = ev
+      .join(deg, Seq("src"))
+      .withColumn(
+        "salt",
+        pmod(xxhash64(col("dst"), col("ts")),
+          greatest(ceil(col("deg") / maxShard.toDouble), lit(1L))).cast("int"))
+      .groupBy("src", "salt")
+      .agg(collect_list(struct(col("ts"), col("dst"))).as("evs"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val init = g.nodes
+      .select(col("id").as("start"))
+      .withColumn("walk", explode(array((0 until nWalks).map(i => lit(i.toLong)): _*)))
+      .withColumn("step", lit(0L))
+      .withColumn("node", col("start"))
+      .withColumn("ts", lit(startTs))
+
+    val res = SuperstepRunner.run(
+      spark, init, SuperstepRunner.RunConfig(maxSteps = length, runId = s"twalks-$seed")) {
+      (state, k) =>
+        val frontier = state
+          .filter(col("step") === (k - 1).toLong)
+          .select(col("start"), col("walk"), col("node").as("cur"), col("ts").as("t"))
+        val pick = transform(
+          filter(col("evs"), x => x("ts") > col("t")),
+          x => struct(
+            hmix(seed, (col("start"), M1), (col("walk"), M2), (lit(k), M3),
+              (x("dst"), M4), (x("ts"), M5)).as("h"),
+            x("dst").as("n"),
+            x("ts").as("ets")))
+        val chosen = frontier
+          .join(adj, frontier("cur") === adj("src"))
+          .select(col("start"), col("walk"), array_min(pick).as("m"))
+          .filter(col("m").isNotNull)
+          .groupBy("start", "walk")
+          .agg(min(col("m")).as("m"))
+          .select(
+            col("start"), col("walk"), lit(k.toLong).as("step"),
+            col("m.n").as("node"), col("m.ets").as("ts"))
+        val next = state.unionByName(chosen)
+        SuperstepRunner.Step(
+          next,
+          st => {
+            val live = st.filter(col("step") === k.toLong).count()
+            (live == 0L, Map("live" -> live.toDouble))
+          })
+    }
+    adj.unpersist(false)
+    res.state
+  }
+
+  /**
+   * Skip-gram training pairs over a walk corpus (the DeepWalk/node2vec
+   * objective's input): for every walk position, emit (center, context)
+   * for contexts within `window` steps on EITHER side. Expressed as
+   * 2·window `lead` projections over ONE per-walk sort — a single exchange
+   * on the walk key, no self-join, no corpus blow-up beyond the 2·window
+   * output factor (walk length is bounded, so per-key state is bounded).
+   *
+   * @param walks output of [[randomWalks]]/[[temporalWalks]]
+   *              (start, walk, step, node)
+   * @return (start, walk, step, offset ±1..±window, center, context)
+   */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1 && window <= 16, s"window=$window out of [1, 16]")
+    val w = Window.partitionBy("start", "walk").orderBy("step")
+    val base = walks.select(col("start"), col("walk"), col("step"), col("node"))
+    val shifted = (1 to window).foldLeft(base) { (df, o) =>
+      df.withColumn(s"__l$o", lead(col("node"), o).over(w))
+    }
+    val parts = (1 to window).flatMap { o =>
+      Seq(
+        shifted.filter(col(s"__l$o").isNotNull).select(
+          col("start"), col("walk"), col("step"), lit(o.toLong).as("offset"),
+          col("node").as("center"), col(s"__l$o").as("context")),
+        shifted.filter(col(s"__l$o").isNotNull).select(
+          col("start"), col("walk"), (col("step") + o).as("step"),
+          lit(-o.toLong).as("offset"),
+          col(s"__l$o").as("center"), col("node").as("context")))
+    }
+    parts.reduce(_.unionByName(_))
   }
 }

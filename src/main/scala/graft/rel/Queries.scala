@@ -1971,6 +1971,88 @@ object Queries {
       }),
 
     (
+      "q_graph_temporal_walks",
+      // time-respecting walk corpus (CTDNE): eligible transitions are edge
+      // EVENTS strictly later than the walker's clock; replayed per step
+      // with the eligibility predicate in the join condition.
+      (s, d) => GraphLearn.temporalWalks(
+        s, eventGraph(s, d), length = 3, nWalks = 1, seed = 42L, startTs = 0L),
+      Some {
+        import GraphLearn._
+        def h(k: Int) = hmixSql(
+          42L, "f.start" -> M1, "f.walk" -> M2, k.toString -> M3,
+          "e.dst" -> M4, "e.tms" -> M5)
+        def step(k: Int) =
+          s"""s$k AS MATERIALIZED (
+             |  SELECT start, walk, CAST($k AS BIGINT) AS step, dst AS node, tms AS ts FROM (
+             |    SELECT f.start, f.walk, e.dst, e.tms,
+             |      row_number() OVER (PARTITION BY f.start, f.walk
+             |                         ORDER BY ${h(k)}, e.dst, e.tms) AS rn
+             |    FROM f${k - 1} f JOIN ev e ON e.src = f.cur AND e.tms > f.t)
+             |  WHERE rn = 1),
+             |f$k AS (SELECT start, walk, node AS cur, ts AS t FROM s$k)""".stripMargin
+        s"""WITH e0t AS (
+           |  SELECT user_id AS src, dst, tms FROM (
+           |    SELECT user_id, epoch_us(ts)//1000 AS tms,
+           |           lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+           |ev AS (SELECT DISTINCT src, dst, tms FROM e0t),
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT src AS id FROM ev UNION ALL SELECT dst FROM ev)),
+           |s0 AS (SELECT id AS start, CAST(0 AS BIGINT) AS walk,
+           |              CAST(0 AS BIGINT) AS step, id AS node, CAST(0 AS BIGINT) AS ts
+           |       FROM nodes),
+           |f0 AS (SELECT start, walk, node AS cur, ts AS t FROM s0),
+           |${(1 to 3).map(step).mkString(",\n")}
+           |SELECT * FROM s0 UNION ALL SELECT * FROM s1
+           |UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3""".stripMargin
+      }),
+
+    (
+      "q_graph_skipgram_pairs",
+      // skip-gram (center, context) pairs over the deterministic walk
+      // corpus — the full DeepWalk input pipeline in one plan; oracle
+      // replays the walks then the ±2 lead projections.
+      (s, d) => GraphLearn.skipGramPairs(
+        GraphLearn.randomWalks(s, eventGraph(s, d), length = 4, nWalks = 2, seed = 42L),
+        window = 2),
+      Some {
+        import GraphLearn._
+        def h(k: Int) =
+          hmixSql(42L, "f.start" -> M1, "f.walk" -> M2, k.toString -> M3, "e.dst" -> M4)
+        def step(k: Int) =
+          s"""s$k AS MATERIALIZED (
+             |  SELECT start, walk, CAST($k AS BIGINT) AS step, dst AS node FROM (
+             |    SELECT f.start, f.walk, e.dst,
+             |      row_number() OVER (PARTITION BY f.start, f.walk ORDER BY ${h(k)}, e.dst) AS rn
+             |    FROM f${k - 1} f JOIN e ON e.src = f.cur) WHERE rn = 1),
+             |f$k AS (SELECT start, walk, node AS cur FROM s$k)""".stripMargin
+        s"""WITH $graphBaseSql,
+           |s0 AS (SELECT id AS start, CAST(w.range AS BIGINT) AS walk,
+           |              CAST(0 AS BIGINT) AS step, id AS node
+           |       FROM nodes, range(2) w),
+           |f0 AS (SELECT start, walk, node AS cur FROM s0),
+           |${(1 to 4).map(step).mkString(",\n")},
+           |walks AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |          UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4),
+           |led AS (SELECT start, walk, step, node,
+           |  lead(node, 1) OVER (PARTITION BY start, walk ORDER BY step) AS l1,
+           |  lead(node, 2) OVER (PARTITION BY start, walk ORDER BY step) AS l2
+           |  FROM walks)
+           |SELECT start, walk, step, CAST(1 AS BIGINT) AS offset,
+           |       node AS center, l1 AS context FROM led WHERE l1 IS NOT NULL
+           |UNION ALL
+           |SELECT start, walk, step + 1, CAST(-1 AS BIGINT), l1, node
+           |FROM led WHERE l1 IS NOT NULL
+           |UNION ALL
+           |SELECT start, walk, step, CAST(2 AS BIGINT), node, l2
+           |FROM led WHERE l2 IS NOT NULL
+           |UNION ALL
+           |SELECT start, walk, step + 2, CAST(-2 AS BIGINT), l2, node
+           |FROM led WHERE l2 IS NOT NULL""".stripMargin
+      }),
+
+    (
       "q_graph_layout",
       // Fruchterman–Reingold layout (layout/fruchterman_reingold.rs),
       // FULL-REPLAY oracle (upgraded from rows-only in r4): the exact

@@ -153,6 +153,75 @@ class GraphLearnSpec extends SparkSpec {
     assert(walks.count() == 3 * 4) // 3-cycle: every walker completes all steps
   }
 
+  test("temporalWalks: time-respecting, argmin replay, sinks stop, partition-invariant") {
+    // events with timestamps; (1→2@10) (1→2@5) (2→3@20) (2→4@15) (3→1@30) (2→3@8)
+    val tEdges = Seq(
+      (1L, 2L, 10L), (1L, 2L, 5L), (2L, 3L, 20L), (2L, 4L, 15L),
+      (3L, 1L, 30L), (2L, 3L, 8L), (4L, 1L, 25L), (1L, 3L, 12L)
+    ).toDF("src", "dst", "ts")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("layer", lit("_d"))
+    val g = TemporalGraph(tEdges)
+    val walks = GraphLearn.temporalWalks(spark, g, length = 4, nWalks = 2, seed = 13L, startTs = 0L)
+    val rows = walks.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val events = tEdges.select("src", "dst", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).distinct
+
+    val P = 1000000007L
+    def pmod(x: Long) = ((x % P) + P) % P
+    def h(start: Long, walk: Long, step: Long, nbr: Long, ts: Long): Long = {
+      var acc = 13L % P
+      acc = (acc + pmod(start) * 73856093L % P) % P
+      acc = (acc + pmod(walk) * 19349663L % P) % P
+      acc = (acc + pmod(step) * 83492791L % P) % P
+      acc = (acc + pmod(nbr) * 15485863L % P) % P
+      (acc + pmod(ts) * 49979693L % P) % P
+    }
+    for (((start, walk), path0) <- rows.groupBy(t => (t._1, t._2))) {
+      val path = path0.sortBy(_._3)
+      assert(path.head._4 == start && path.head._5 == 0L)
+      var cur = start; var t = 0L; var step = 1L
+      for (p <- path.tail) {
+        val elig = events.filter(e => e._1 == cur && e._3 > t)
+        assert(elig.nonEmpty)
+        val best = elig.minBy(e => (h(start, walk, step, e._2, e._3), e._2, e._3))
+        assert(p._4 == best._2 && p._5 == best._3,
+          s"walk ($start,$walk) step $step: got (${p._4},${p._5}) want (${best._2},${best._3})")
+        assert(p._5 > t, "time must strictly increase")
+        cur = p._4; t = p._5; step += 1
+      }
+      // early stop only when nothing is eligible
+      if (path.length < 5)
+        assert(!events.exists(e => e._1 == path.last._4 && e._3 > path.last._5))
+    }
+    val walks2 = GraphLearn.temporalWalks(
+      spark, TemporalGraph(tEdges.repartition(7)), length = 4, nWalks = 2, seed = 13L, startTs = 0L)
+    assert(walks2.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet == rows.toSet)
+  }
+
+  test("skipGramPairs: exact pair set for a known corpus") {
+    val walks = Seq(
+      // walk A: 1 → 2 → 3 → 4 ; walk B: 5 → 6
+      (1L, 0L, 0L, 1L), (1L, 0L, 1L, 2L), (1L, 0L, 2L, 3L), (1L, 0L, 3L, 4L),
+      (5L, 0L, 0L, 5L), (5L, 0L, 1L, 6L)
+    ).toDF("start", "walk", "step", "node")
+    val pairs = GraphLearn.skipGramPairs(walks, window = 2)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val want = Set(
+      // walk A, offset +1/-1
+      (1L, 0L, 1L, 1L, 2L), (1L, 1L, 1L, 2L, 3L), (1L, 2L, 1L, 3L, 4L),
+      (1L, 1L, -1L, 2L, 1L), (1L, 2L, -1L, 3L, 2L), (1L, 3L, -1L, 4L, 3L),
+      // walk A, offset +2/-2
+      (1L, 0L, 2L, 1L, 3L), (1L, 1L, 2L, 2L, 4L),
+      (1L, 2L, -2L, 3L, 1L), (1L, 3L, -2L, 4L, 2L),
+      // walk B
+      (5L, 0L, 1L, 5L, 6L), (5L, 1L, -1L, 6L, 5L))
+    assert(got == want)
+  }
+
   test("degreeAssortativity: hand-computed fixture and perfect chain") {
     // 2-regular-ish: star out of 1 → assortativity of (out-deg(src), in-deg(dst))
     import graft.algos.Metrics
