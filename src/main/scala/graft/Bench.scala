@@ -226,6 +226,30 @@ object Bench {
     extras += "temporal_motifs_median" -> motifReps.sorted.apply(1)
     extras += "temporal_motifs_best" -> motifReps.min
 
+    // --- graph-ML training-prep (ml.GraphLearn) on the RA graph: walks
+    // exercise the persisted salted CSR under the superstep loop (hub
+    // argmin is the fused array kernel); sampling exercises the
+    // semi-join-pruned rank windows ---
+    val (walkOut, tWalks) = time {
+      val w = graft.ml.GraphLearn.randomWalks(spark, ra, length = 8, nWalks = 1)
+      (w, w.count())
+    }
+    results += "graph_random_walks" -> tWalks
+    extras += "graph_walk_steps_per_sec" -> walkOut._2 / tWalks
+    val (_, tSkip) = time(
+      graft.ml.GraphLearn.skipGramPairs(walkOut._1, window = 2).count())
+    results += "graph_skipgram_pairs" -> tSkip
+    val (_, tTw) = time(
+      graft.ml.GraphLearn.temporalWalks(spark, ra, length = 8, nWalks = 1).count())
+    results += "graph_temporal_walks" -> tTw
+    val (_, tNs) = time {
+      val seeds = ra.nodes.select(col("id").as("seed"))
+        .filter(graft.ml.GraphLearn.hmix(
+          42L, (col("id"), graft.ml.GraphLearn.M1)) % 1000000L < 200000L)
+      graft.ml.GraphLearn.neighborSample(spark, ra, seeds, Seq(10, 5)).count()
+    }
+    results += "graph_neighbor_sample" -> tNs
+
     // --- one relational headline on the provided testdata ---
     val (_, tRel) = time(SparkEntry.queries("q_agg_groupby")(spark, sfDir).count())
     results += "q_agg_groupby" -> tRel
