@@ -353,6 +353,74 @@ object GraphLearn {
   }
 
   /**
+   * Topological link-prediction features for candidate node pairs — the
+   * classic Liben-Nowell/Kleinberg feature set a link-prediction trainer
+   * joins onto its (positive ∪ negative) candidate table:
+   *
+   *  - `cn`      common-neighbour count |N(a) ∩ N(b)| (BOTH-direction,
+   *              distinct, self-loops excluded)
+   *  - `jaccard` cn / |N(a) ∪ N(b)| (0.0 when both neighborhoods empty)
+   *  - `aa`      Adamic–Adar Σ_{w ∈ N(a)∩N(b)} 1/ln(deg w) — the fold runs
+   *              over the SORTED intersection (degree-decorated neighbour
+   *              arrays are sort_array'd, and `array_intersect` preserves
+   *              first-array order), so the float sum has ONE fixed order:
+   *              replayable bit-for-bit by the oracle, stable across
+   *              partitionings (deg w ≥ 2 for any common neighbour, so
+   *              ln ≥ ln 2 — no division blow-up)
+   *  - `pa`      preferential attachment deg(a)·deg(b) (long; overflows
+   *              only if BOTH endpoints exceed degree ~3·10⁹)
+   *
+   * Scale shape: two joins of the pair table against the degree-decorated
+   * neighbour-array table (one row per node, array bounded by degree — the
+   * adjacencyOut CSR caveat applies: pair features against a degree-10⁸
+   * hub need the hub row; cap with a degree filter upstream if that
+   * matters), then pure array expressions — no per-pair explode, no
+   * triangle-style enumeration.
+   *
+   * @param pairs candidate pairs; extra columns (label, …) pass through
+   */
+  def linkFeatures(
+      spark: SparkSession,
+      g: TemporalGraph,
+      pairs: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = g.undirectedPairs.filter(col("node") =!= col("nbr"))
+    val deg = und.groupBy("node").agg(count(lit(1)).as("deg"))
+    val narr = und
+      .join(
+        deg.select(col("node").as("nbr"), col("deg").as("nbr_deg")), Seq("nbr"))
+      .groupBy("node")
+      .agg(sort_array(collect_list(struct(col("nbr"), col("nbr_deg")))).as("narr"))
+    val emptyArr = array().cast("array<struct<nbr:bigint,nbr_deg:bigint>>")
+    val withA = pairs.join(
+      narr.select(col("node").as(srcCol), col("narr").as("__na")), Seq(srcCol), "left")
+    val withB = withA.join(
+      narr.select(col("node").as(dstCol), col("narr").as("__nb")), Seq(dstCol), "left")
+    val cnA = array_intersect(
+      coalesce(col("__na"), emptyArr), coalesce(col("__nb"), emptyArr))
+    val da = size(coalesce(col("__na"), emptyArr)).cast("long")
+    val db = size(coalesce(col("__nb"), emptyArr)).cast("long")
+    withB
+      .withColumn("__cn", cnA)
+      .withColumn("cn", size(col("__cn")).cast("long"))
+      .withColumn(
+        "jaccard",
+        when(da + db - col("cn") > 0L,
+          round(col("cn").cast("double") / (da + db - col("cn")).cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "aa",
+        round(
+          aggregate(
+            col("__cn"), lit(0.0),
+            (acc, x) => acc + lit(1.0) / log(x("nbr_deg").cast("double"))),
+          6))
+      .withColumn("pa", da * db)
+      .drop("__na", "__nb", "__cn")
+  }
+
+  /**
    * Skip-gram training pairs over a walk corpus (the DeepWalk/node2vec
    * objective's input): for every walk position, emit (center, context)
    * for contexts within `window` steps on EITHER side. Expressed as

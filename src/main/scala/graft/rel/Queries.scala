@@ -1971,6 +1971,76 @@ object Queries {
       }),
 
     (
+      "q_graph_link_features",
+      // the composed link-prediction table: test-split positives ∪ hash
+      // negatives, joined with Liben-Nowell/Kleinberg topological features
+      // (common neighbours, Jaccard, Adamic–Adar, preferential attachment)
+      // in one plan. AA's float fold runs over the SORTED intersection, so
+      // DuckDB replays the sum bit-for-bit (fixed order + 6dp round).
+      (s, d) => {
+        val g = eventGraph(s, d)
+        val e = g.simpleEdges
+        val posTest = GraphLearn.linkSplit(e, 0.6, 0.2, seed = 42L)
+          .filter(col("split") === "test")
+          .select(col("src"), col("dst"))
+          .withColumn("label", lit(1L))
+        val negs = GraphLearn.negativeSample(e, k = 1, nBuckets = 16, seed = 42L)
+          .select(col("src"), col("neg_dst").as("dst"))
+          .withColumn("label", lit(0L))
+        GraphLearn.linkFeatures(s, g, posTest.unionByName(negs))
+          .select("src", "dst", "label", "cn", "jaccard", "aa", "pa")
+      },
+      Some {
+        import GraphLearn._
+        val u = s"(${hmixSql(42L, "src" -> M1, "dst" -> M2)} % 1000000)"
+        val bNode = s"(${hmixSql(42L, "id" -> M3)} % 16)"
+        val bProbe = s"(${hmixSql(42L, "src" -> M1, "0" -> M2)} % 16)"
+        val hNeg = hmixSql(42L, "p.src" -> M1, "0" -> M2, "n.id" -> M4)
+        s"""WITH $graphBaseSql,
+           |split_test AS (SELECT src, dst, CAST(1 AS BIGINT) AS label FROM e
+           |               WHERE $u >= 800000),
+           |nb2 AS (SELECT id, $bNode AS bucket FROM nodes),
+           |pb AS (SELECT src, $bProbe AS bucket FROM (SELECT DISTINCT src FROM e)),
+           |negc AS (
+           |  SELECT p.src, n.id AS dst,
+           |    row_number() OVER (PARTITION BY p.src ORDER BY $hNeg, n.id) AS rn
+           |  FROM pb p JOIN nb2 n USING (bucket)),
+           |negs AS (SELECT src, dst, CAST(0 AS BIGINT) AS label FROM negc c
+           |         WHERE rn = 1 AND dst <> src
+           |           AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.src AND e.dst = c.dst)),
+           |cand AS (SELECT * FROM split_test UNION ALL SELECT * FROM negs),
+           |und AS (SELECT a AS node, b AS nbr FROM u WHERE a <> b),
+           |degt AS (SELECT node, count(*) AS deg FROM und GROUP BY node),
+           |narr AS (SELECT node, list(nbr ORDER BY nbr) AS nl,
+           |                list(nbr_deg ORDER BY nbr) AS dl FROM (
+           |  SELECT und.node, und.nbr, d.deg AS nbr_deg
+           |  FROM und JOIN degt d ON d.node = und.nbr) GROUP BY node),
+           |f AS (
+           |  SELECT c.src, c.dst, c.label,
+           |    coalesce(na.nl, CAST([] AS BIGINT[])) AS anl,
+           |    coalesce(na.dl, CAST([] AS BIGINT[])) AS adl,
+           |    coalesce(nb.nl, CAST([] AS BIGINT[])) AS bnl
+           |  FROM cand c
+           |  LEFT JOIN narr na ON na.node = c.src
+           |  LEFT JOIN narr nb ON nb.node = c.dst),
+           |g2 AS (
+           |  SELECT src, dst, label, len(anl) AS da, len(bnl) AS db,
+           |    list_filter(list_zip(anl, adl), x -> list_contains(bnl, x[1])) AS cnz
+           |  FROM f)
+           |SELECT src, dst, label,
+           |  CAST(len(cnz) AS BIGINT) AS cn,
+           |  CASE WHEN da + db - len(cnz) > 0
+           |       THEN round(CAST(len(cnz) AS DOUBLE) / CAST(da + db - len(cnz) AS DOUBLE), 6)
+           |       ELSE 0.0 END AS jaccard,
+           |  CASE WHEN len(cnz) = 0 THEN 0.0
+           |       ELSE round(list_reduce(
+           |              list_transform(cnz, x -> 1.0 / ln(CAST(x[2] AS DOUBLE))),
+           |              (a, b) -> a + b), 6) END AS aa,
+           |  CAST(da AS BIGINT) * CAST(db AS BIGINT) AS pa
+           |FROM g2""".stripMargin
+      }),
+
+    (
       "q_graph_temporal_walks",
       // time-respecting walk corpus (CTDNE): eligible transitions are edge
       // EVENTS strictly later than the walker's clock; replayed per step

@@ -201,6 +201,40 @@ class GraphLearnSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet == rows.toSet)
   }
 
+  test("linkFeatures: brute-force parity on the fixture incl. empty intersections") {
+    val g = fixtureGraph
+    val pairs = Seq(
+      (1L, 2L, 1L), (2L, 6L, 1L), (1L, 7L, 0L), (7L, 4L, 0L), (1L, 99L, 0L)
+    ).toDF("src", "dst", "label")
+    val got = GraphLearn.linkFeatures(spark, g, pairs)
+      .select("src", "dst", "label", "cn", "jaccard", "aa", "pa")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toMap
+    assert(got.size == 5)
+
+    // brute-force BOTH-direction neighbourhoods
+    val es = fixtureEdges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(t => t._1 != t._2)
+    val nbrs = (es ++ es.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap.withDefaultValue(Set.empty[Long])
+    for (((a, b), (_, cn, jac, aa, pa)) <- got) {
+      val (na, nb) = (nbrs(a), nbrs(b))
+      val inter = (na intersect nb).toVector.sorted
+      assert(cn == inter.size, s"cn($a,$b)")
+      val denom = na.size + nb.size - inter.size
+      val wantJ = if (denom > 0) math.rint(inter.size.toDouble / denom * 1e6) / 1e6 else 0.0
+      assert(jac == wantJ, s"jaccard($a,$b): $jac vs $wantJ")
+      val wantAa = math.rint(
+        inter.foldLeft(0.0)((acc, w) => acc + 1.0 / math.log(nbrs(w).size.toDouble)) * 1e6) / 1e6
+      assert(math.abs(aa - wantAa) < 1e-9, s"aa($a,$b): $aa vs $wantAa")
+      assert(pa == na.size.toLong * nb.size, s"pa($a,$b)")
+    }
+    // the unknown node 99 has empty features
+    assert(got((1L, 99L)) == ((0L, 0L, 0.0, 0.0, 0L)))
+  }
+
   test("skipGramPairs: exact pair set for a known corpus") {
     val walks = Seq(
       // walk A: 1 → 2 → 3 → 4 ; walk B: 5 → 6
