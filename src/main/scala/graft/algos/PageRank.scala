@@ -71,6 +71,95 @@ object PageRank {
     (r.state.select("id", "score"), r.steps)
   }
 
+  /**
+   * Personalized PageRank (Haveliwala 2002) — the seed-relative relevance
+   * score GNN pipelines use for neighbourhood selection (PPRGo) and
+   * recommenders use for candidate generation: teleport AND sink mass
+   * redistribute to the seed distribution p (uniform over the seed set)
+   * instead of uniformly, so score mass stays near the seeds:
+   *
+   *   score' = (1−d)·p + d·Σ msgs + d·sink_mass·p
+   *
+   * With seeds = all nodes this IS standard PageRank (p = 1/n — asserted
+   * in PageRankSpec). Same superstep plan as [[runFull]]: one persisted
+   * salted-CSR join per step, sink mass as an in-plan broadcast aggregate;
+   * the personalization column rides in the state, so personalization adds
+   * ZERO exchanges. Convergence uses the same Σ‖Δ‖ ≤ tol·n gate.
+   *
+   * @param seeds one column `id`; duplicates ignored
+   * @return (id, score) per node
+   */
+  def personalized(
+      spark: SparkSession,
+      g: TemporalGraph,
+      seeds: DataFrame,
+      cfg: Config = Config()): DataFrame = {
+    val adj = g.adjacencyOut(cfg.maxShard).persist()
+    try {
+      val base = g.nodes
+        .join(
+          adj.select(col("src").as("id"), col("out_deg")).dropDuplicates("id"),
+          Seq("id"),
+          "left")
+        .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+      val seedSet = seeds.select(col("id")).distinct()
+      val sCount = seedSet.count().toDouble
+      require(sCount > 0, "personalized: empty seed set")
+      val n = base.count().toDouble
+      val damp = cfg.damping
+      val init = base
+        .join(seedSet.withColumn("__s", lit(1)), Seq("id"), "left")
+        .select(
+          col("id"), col("out_deg"),
+          when(col("__s").isNotNull, lit(1.0 / sCount)).otherwise(lit(0.0)).as("p"))
+        .withColumn("score", col("p"))
+
+      val result = SuperstepRunner.run(
+        spark,
+        init,
+        RunConfig(
+          maxSteps = cfg.maxIter,
+          checkpointDir = cfg.checkpointDir,
+          checkpointEvery = cfg.checkpointEvery,
+          runId = "ppr")) { (state, _) =>
+        val sinkAgg = broadcast(
+          state
+            .filter(col("out_deg") === 0)
+            .agg(coalesce(sum("score"), lit(0.0)).as("sink_mass")))
+        val msgs = adj
+          .join(state.select(col("id"), col("score")), adj("src") === col("id"))
+          .select(explode(col("dsts")).as("id"), (col("score") / col("out_deg")).as("w"))
+          .groupBy("id")
+          .agg(sum("w").as("msum"))
+        val newScore =
+          lit(1.0 - damp) * col("p") +
+            lit(damp) * coalesce(col("msum"), lit(0.0)) +
+            lit(damp) * col("sink_mass") * col("p")
+        val next = state
+          .join(msgs, Seq("id"), "left")
+          .crossJoin(sinkAgg)
+          .select(
+            col("id"), col("out_deg"), col("p"),
+            newScore.as("score"),
+            abs(newScore - col("score")).as("diff"))
+        Step(
+          next.select("id", "out_deg", "p", "score", "diff"),
+          { materialized =>
+            if (cfg.tol <= 0.0) (false, Map.empty)
+            else {
+              val row = materialized
+                .agg(sum(if (cfg.useL2Norm) col("diff") * col("diff") else col("diff")).as("d"))
+                .first()
+              val d = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+              val normed = if (cfg.useL2Norm) math.sqrt(d) else d
+              (normed <= cfg.tol * n, Map("diff" -> normed))
+            }
+          })
+      }
+      result.state.select("id", "score")
+    } finally adj.unpersist(false)
+  }
+
   /** As [[runOnAdjacency]], returning the full [[SuperstepRunner.RunResult]]
     * — the per-superstep `wallMs` metrics let benches report a MEDIAN
     * superstep time, robust to mid-run tenancy bursts on a shared host

@@ -347,6 +347,41 @@ object Queries {
       s"\nSELECT id, round(score, 6) AS score FROM s$iters"
   }
 
+  /** Fixed-iteration PERSONALIZED PageRank replay (PageRank.personalized):
+    * teleport and sink mass redistribute to the seed distribution; the
+    * seed set is `nodes WHERE seedPred`. Same structure as
+    * [[pageRankOracleSqlOver]] with p riding in every step. */
+  private def pprOracleSql(iters: Int, damping: Double, seedPred: String): String = {
+    val head =
+      s"""WITH $graphBaseSql,
+         |od AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
+         |deg AS (SELECT n.id, coalesce(od.outdeg, 0) AS outdeg
+         |        FROM nodes n LEFT JOIN od ON n.id = od.id),
+         |seeds AS (SELECT id FROM nodes WHERE $seedPred),
+         |sn AS (SELECT CAST(count(*) AS DOUBLE) AS sc FROM seeds),
+         |pv AS MATERIALIZED (
+         |  SELECT d.id, d.outdeg,
+         |    CASE WHEN s.id IS NOT NULL THEN 1.0 / (SELECT sc FROM sn)
+         |         ELSE 0.0 END AS p
+         |  FROM deg d LEFT JOIN seeds s ON s.id = d.id),
+         |s0 AS MATERIALIZED (SELECT id, outdeg, p, p AS score FROM pv)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT d.id, d.outdeg, d.p,
+         |    (1.0 - $damping) * d.p
+         |      + $damping * coalesce(m.msum, 0)
+         |      + $damping
+         |        * (SELECT coalesce(sum(score), 0) FROM s${k - 1} WHERE outdeg = 0)
+         |        * d.p AS score
+         |  FROM pv d LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p2.score / p2.outdeg) AS msum
+         |    FROM e JOIN s${k - 1} p2 ON e.src = p2.id GROUP BY e.dst) m ON d.id = m.id)"""
+        .stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT id, round(score, 6) AS score FROM s$iters"
+  }
+
   /** Fixed-iteration HITS (semantics of algos/Hits: received sums along
     * both directions, normalized by the global received totals). */
   private def hitsOracleSql(iters: Int): String = {
@@ -993,6 +1028,22 @@ object Queries {
         ranks.select(col("id"), round(col("score"), 6).as("score"))
       },
       Some(pageRankOracleSql(iters = 20, damping = 0.85))),
+
+    (
+      "q_graph_pagerank_personalized",
+      // personalized PageRank (Haveliwala 2002; the PPRGo/recommendation
+      // seed-relevance score) from a 10% hash seed sample, pinned 20
+      // supersteps, tol=0 — same replay discipline as q_graph_pagerank.
+      (s, d) => {
+        val g = eventGraph(s, d)
+        val seeds = g.nodes.select(col("id"))
+          .filter(GraphLearn.hmix(42L, col("id") -> GraphLearn.M1) % 1000000L < 100000L)
+        PageRank.personalized(s, g, seeds, PageRank.Config(maxIter = 20, tol = 0.0))
+          .select(col("id"), round(col("score"), 6).as("score"))
+      },
+      Some(pprOracleSql(
+        iters = 20, damping = 0.85,
+        seedPred = s"${GraphLearn.hmixSql(42L, "id" -> GraphLearn.M1)} % 1000000 < 100000"))),
 
     (
       "q_graph_wcc",

@@ -71,4 +71,34 @@ class PageRankSpec extends SparkSpec {
     val expected = Map[Long, Double](1L -> 0.38694, 2L -> 0.20195, 3L -> 0.20916, 4L -> 0.20195)
     assertClose(ranks(dup, PageRank.Config(maxIter = 1000, useL2Norm = true)), expected, 1e-5)
   }
+
+  test("personalized: all-nodes seed set degenerates to standard PageRank") {
+    import spark.implicits._
+    val edges = Seq[(Long, Long)]((1, 2), (1, 4), (2, 3), (3, 1), (4, 1))
+    val g = TemporalGraph.fromTriples(
+      spark, edges.zipWithIndex.map { case ((s, d), i) => (s, d, i.toLong) })
+    val cfg = PageRank.Config(maxIter = 50, tol = 0.0)
+    val std = PageRank.run(spark, g, cfg).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ppr = PageRank
+      .personalized(spark, g, Seq(1L, 2L, 3L, 4L).toDF("id"), cfg)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(std.keySet == ppr.keySet)
+    std.foreach { case (k, v) => assert(math.abs(ppr(k) - v) < 1e-12, s"node $k") }
+  }
+
+  test("personalized: mass conserved and confined to the seed component") {
+    import spark.implicits._
+    // two disjoint cycles; seed only in the first
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10))
+    val g = TemporalGraph.fromTriples(
+      spark, edges.zipWithIndex.map { case ((s, d), i) => (s, d, i.toLong) })
+    val ppr = PageRank
+      .personalized(spark, g, Seq(1L).toDF("id"), PageRank.Config(maxIter = 60, tol = 0.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-9, s"total mass ${ppr.values.sum}")
+    assert(ppr(10L) == 0.0 && ppr(11L) == 0.0 && ppr(12L) == 0.0)
+    // seed holds the largest score (teleport returns mass to it every step)
+    assert(ppr(1L) > ppr(2L) && ppr(1L) > ppr(3L))
+  }
 }
