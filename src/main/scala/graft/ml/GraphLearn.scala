@@ -393,10 +393,19 @@ object GraphLearn {
       .groupBy("node")
       .agg(sort_array(collect_list(struct(col("nbr"), col("nbr_deg")))).as("narr"))
     val emptyArr = array().cast("array<struct<nbr:bigint,nbr_deg:bigint>>")
-    val withA = pairs.join(
-      narr.select(col("node").as(srcCol), col("narr").as("__na")), Seq(srcCol), "left")
-    val withB = withA.join(
-      narr.select(col("node").as(dstCol), col("narr").as("__nb")), Seq(dstCol), "left")
+    // join both sides against the SAME narr subtree (aliases, renames only
+    // above the join): the two shuffle exchanges of the neighbour-array
+    // aggregation are then identical, so Catalyst's ReuseExchange computes
+    // narr ONCE at scale instead of once per side
+    val na = narr.as("__gl_na")
+    val nb = narr.as("__gl_nb")
+    val withA = pairs.join(na, pairs(srcCol) === col("__gl_na.node"), "left")
+    val withB = withA
+      .join(nb, col(dstCol) === col("__gl_nb.node"), "left")
+      .withColumn("__na", col("__gl_na.narr"))
+      .withColumn("__nb", col("__gl_nb.narr"))
+      .drop(col("__gl_na.node")).drop(col("__gl_na.narr"))
+      .drop(col("__gl_nb.node")).drop(col("__gl_nb.narr"))
     val cnA = array_intersect(
       coalesce(col("__na"), emptyArr), coalesce(col("__nb"), emptyArr))
     val da = size(coalesce(col("__na"), emptyArr)).cast("long")

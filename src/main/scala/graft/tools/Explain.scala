@@ -93,6 +93,19 @@ object Explain {
         .explain("formatted")
     }
 
+    // expected shape: semi-join prune of the edge table to frontier
+    // parents BEFORE the per-source rank window; WindowGroupLimit
+    // pre-limits each partition to the fan-out before the window exchange
+    println("==== GNN neighbor sampling (pruned rank windows) ====")
+    graft.SparkEntry.queries("q_graph_neighbor_sample")(spark, sfDir).explain("formatted")
+
+    // expected shape: candidate pairs join the degree-decorated neighbour
+    // arrays twice (SortMergeJoin/shuffled-hash on the node key, one row
+    // per node), features are ProjectExec array expressions — NO
+    // CartesianProduct, no per-pair explode
+    println("==== link-prediction features (two array joins, no explode) ====")
+    graft.SparkEntry.queries("q_graph_link_features")(spark, sfDir).explain("formatted")
+
     spark.stop()
   }
 

@@ -235,6 +235,21 @@ class GraphLearnSpec extends SparkSpec {
     assert(got((1L, 99L)) == ((0L, 0L, 0.0, 0.0, 0L)))
   }
 
+  test("linkFeatures plan: neighbour-array aggregation reused across both joins") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = Seq((1L, 2L), (2L, 6L)).toDF("src", "dst")
+      val df = GraphLearn.linkFeatures(spark, fixtureGraph, pairs)
+      df.collect() // finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(
+        plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"narr computed twice — no exchange reuse in:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("skipGramPairs: exact pair set for a known corpus") {
     val walks = Seq(
       // walk A: 1 → 2 → 3 → 4 ; walk B: 5 → 6
