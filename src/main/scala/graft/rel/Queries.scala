@@ -382,6 +382,34 @@ object Queries {
       s"\nSELECT id, round(score, 6) AS score FROM s$iters"
   }
 
+  /** Iterated HyperBall register CTEs (algos.Reach.registers): r0 = each
+    * node's own register from the portable hash (index = h mod 16,
+    * ρ = 27 − ⌊log₂(h div 16)⌋ via length(bin(w)) — no float log), then
+    * union+max merges with out-neighbour registers per step. */
+  private def reachRegistersCtes(iters: Int): String = {
+    val h = GraphLearn.hmixSql(42L, "id" -> GraphLearn.M1)
+    val head =
+      s"""$graphBaseSql,
+         |h0 AS (SELECT id, $h AS h FROM nodes),
+         |r0 AS MATERIALIZED (
+         |  SELECT id, CAST(h % 16 AS BIGINT) AS j,
+         |    CAST(CASE WHEN h // 16 = 0 THEN 27
+         |              ELSE 27 - length(bin(h // 16)) END AS BIGINT) AS rho
+         |  FROM h0)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT id, j, max(rho) AS rho FROM (
+         |    SELECT id, j, rho FROM r${k - 1}
+         |    UNION ALL
+         |    SELECT e.src AS id, r.j, r.rho FROM e JOIN r${k - 1} r ON e.dst = r.id)
+         |  GROUP BY id, j)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  private def reachRegistersSql(iters: Int): String =
+    s"WITH ${reachRegistersCtes(iters)}\nSELECT id, j, rho FROM r$iters"
+
   /** Fixed-iteration HITS (semantics of algos/Hits: received sums along
     * both directions, normalized by the global received totals). */
   private def hitsOracleSql(iters: Int): String = {
@@ -2019,6 +2047,37 @@ object Queries {
            |${(1 to 4).map(step).mkString(",\n")}
            |SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
            |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4""".stripMargin
+      }),
+
+    (
+      "q_graph_reach_registers",
+      // HyperBall (Boldi–Vigna 2013) sparse HLL registers of every node's
+      // 3-hop out-ball — integer-exact state, replayed as iterated
+      // union+max CTEs over the same portable hash.
+      (s, d) => graft.algos.Reach.registers(s, eventGraph(s, d), iters = 3),
+      Some(reachRegistersSql(iters = 3))),
+
+    (
+      "q_graph_reach_estimate",
+      // per-node ball-size estimate from the registers: HLL raw estimate
+      // over an exact-integer denominator + linear-counting small-range
+      // correction — a pure per-node function, no cross-node float sums.
+      (s, d) => graft.algos.Reach.estimate(
+        graft.algos.Reach.registers(s, eventGraph(s, d), iters = 3)),
+      Some {
+        val c = 0.673 * 256.0 * 134217728.0
+        s"""WITH ${reachRegistersCtes(iters = 3)},
+           |agg AS (SELECT id, count(*) AS np,
+           |               sum(CAST(power(2, 27 - rho) AS BIGINT)) AS ps
+           |        FROM r3 GROUP BY id),
+           |pre AS (SELECT id, (16 - np) AS v0,
+           |               $c / CAST((16 - np) * 134217728 + ps AS DOUBLE) AS raw
+           |        FROM agg)
+           |SELECT id,
+           |  round(CASE WHEN raw <= ${2.5 * 16} AND v0 > 0
+           |             THEN 16.0 * ln(16.0 / CAST(v0 AS DOUBLE))
+           |             ELSE raw END, 6) AS ball_est
+           |FROM pre""".stripMargin
       }),
 
     (
