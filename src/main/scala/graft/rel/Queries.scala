@@ -2050,6 +2050,43 @@ object Queries {
       }),
 
     (
+      "q_graph_ktruss",
+      // 32-truss decomposition (Cohen 2008): recount-and-peel to fixpoint;
+      // the oracle replays PINNED rounds (a converged truss is a fixpoint
+      // of recount+filter, so extra SQL rounds are no-ops — the k-core
+      // oracle precedent). k = 32 sits inside the event graph's support
+      // range at sf0.01 (min 29, median 50) so peeling genuinely removes
+      // and recounts; cascade behaviour is covered by TrussSpec fixtures.
+      // Output = surviving canonical edges + final within-truss support.
+      (s, d) => graft.algos.Truss.run(s, eventGraph(s, d), k = 32),
+      Some {
+        val rounds = 8
+        val steps = (0 until rounds).map { r =>
+          s"""u$r AS MATERIALIZED (
+             |  SELECT a AS node, b AS nbr FROM t$r UNION ALL SELECT b, a FROM t$r),
+             |sup$r AS MATERIALIZED (
+             |  SELECT x.node AS a, y.node AS b, count(*) AS sup
+             |  FROM u$r x JOIN u$r y ON x.nbr = y.nbr AND x.node < y.node
+             |  GROUP BY x.node, y.node),
+             |t${r + 1} AS MATERIALIZED (
+             |  SELECT t.a, t.b FROM t$r t
+             |  JOIN sup$r s ON s.a = t.a AND s.b = t.b WHERE s.sup >= 30)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS ($eventEdgesSql),
+           |t0 AS MATERIALIZED (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e0 WHERE src <> dst),
+           |$steps,
+           |uF AS (SELECT a AS node, b AS nbr FROM t$rounds
+           |       UNION ALL SELECT b, a FROM t$rounds),
+           |supF AS (SELECT x.node AS a, y.node AS b, count(*) AS sup
+           |         FROM uF x JOIN uF y ON x.nbr = y.nbr AND x.node < y.node
+           |         GROUP BY x.node, y.node)
+           |SELECT t.a, t.b, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+           |FROM t$rounds t LEFT JOIN supF s ON s.a = t.a AND s.b = t.b""".stripMargin
+      }),
+
+    (
       "q_graph_reach_registers",
       // HyperBall (Boldi–Vigna 2013) sparse HLL registers of every node's
       // 3-hop out-ball — integer-exact state, replayed as iterated
