@@ -79,13 +79,138 @@ object Reach {
   }
 
   /**
+   * Per-node ball-size estimates at EVERY t = 0..iters — the quantity
+   * HyperBall was built for (Boldi–Vigna 2013 §5 compute harmonic and
+   * closeness centrality from exactly these per-step deltas). Runs the
+   * same superstep loop as [[registers]]; after each step the |V|-row
+   * estimate frame is local-checkpointed (its own blocks — superstep
+   * states are freed eagerly, so a lazy view over them would not survive).
+   * Per-step overhead: ONE extra exchange — the ≤16·|V|-row register frame
+   * re-keys from (id, j) to id for the estimate aggregation — and the
+   * resulting frames land hash-partitioned on id, so the centrality joins
+   * downstream are exchange-free.
+   *
+   * Estimates are UNROUNDED: downstream folds must start from the raw
+   * doubles (both engines compute them identically from exact-integer
+   * denominators) — per-step decimal rounding would let Spark's
+   * BigDecimal-exact `round` and DuckDB's float `round` pick ADJACENT
+   * doubles at a boundary, and the fold amplifies that 1e-6 input gap
+   * past the final rounding. Round once, at the end.
+   *
+   * @return one (id, ball_est, unrounded) frame per t, index 0..iters
+   */
+  def ballSeries(
+      spark: SparkSession,
+      g: TemporalGraph,
+      iters: Int,
+      seed: Long = 42L): Vector[DataFrame] = {
+    require(iters >= 1 && iters <= 64, s"iters=$iters out of [1, 64]")
+    def pin(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftSqlInternals.resetStats(df.localCheckpoint(true))
+    val e = g.simpleEdges
+    val init = registers(spark, g, iters = 0, seed = seed)
+    val ests = scala.collection.mutable.ArrayBuffer(pin(estimateRaw(init)))
+    SuperstepRunner.run(
+      spark, init, RunConfig(maxSteps = iters, runId = s"hyperball-series-$seed")) {
+      (state, _) =>
+        val msgs = e
+          .join(state, e("dst") === state("id"))
+          .select(e("src").as("id"), col("j"), col("rho"))
+        val next = state
+          .unionByName(msgs)
+          .groupBy("id", "j")
+          .agg(max("rho").as("rho"))
+        Step(next, { m => ests += pin(estimateRaw(m)); (false, Map.empty) })
+    }
+    ests.toVector
+  }
+
+  /**
+   * Harmonic and closeness centrality from the HyperBall ball series —
+   * the paper's headline application. With ΔB(t) = max(|B(t)|−|B(t−1)|, 0)
+   * (clamped: HLL estimates are not strictly monotone at rounding scale):
+   *
+   *  - harmonic_est  = Σ_t ΔB(t)/t            (Boldi–Vigna harmonic centrality)
+   *  - closeness_est = (|B(T)|−1) / Σ_t t·ΔB(t)  over the REACHABLE set
+   *    (0 when nothing is reached — the disconnected-graph convention)
+   *  - ball_est      = |B(T)|
+   *
+   * The per-step estimate frames are hash-partitioned on id, so the T+1
+   * joins below are exchange-free; folds are explicit left-to-right
+   * chains over the UNROUNDED per-step estimates (see [[ballSeries]]), so
+   * the DuckDB oracle replays every float op in the same order from
+   * bit-identical inputs; rounding happens once, on the outputs.
+   *
+   * @return (id, ball_est, harmonic_est ROUND 6, closeness_est ROUND 6)
+   */
+  def harmonicCloseness(
+      spark: SparkSession,
+      g: TemporalGraph,
+      iters: Int,
+      seed: Long = 42L): DataFrame = {
+    val series = ballSeries(spark, g, iters, seed)
+    val wide = series.zipWithIndex
+      .map { case (f, t) => f.select(col("id"), col("ball_est").as(s"b$t")) }
+      .reduce((a, b) => a.join(b, Seq("id")))
+    val deltas = (1 to iters).map(t => greatest(col(s"b$t") - col(s"b${t - 1}"), lit(0.0)))
+    val harmonic = deltas.zipWithIndex.map { case (d, i) => d / (i + 1).toDouble }.reduce(_ + _)
+    val sumDist = deltas.zipWithIndex.map { case (d, i) => d * (i + 1).toDouble }.reduce(_ + _)
+    val closeness =
+      when(sumDist > 0.0, (col(s"b$iters") - 1.0) / sumDist).otherwise(lit(0.0))
+    val out = org.apache.spark.sql.GraftSqlInternals.resetStats(
+      wide.select(
+        col("id"),
+        round(col(s"b$iters"), 6).as("ball_est"),
+        round(harmonic, 6).as("harmonic_est"),
+        round(closeness, 6).as("closeness_est"))
+        .localCheckpoint(true))
+    series.foreach(f =>
+      org.apache.spark.sql.GraftSqlInternals.cachedRdd(f).foreach(_.unpersist(false)))
+    out
+  }
+
+  /**
+   * Integer effective diameter from the ball series: the smallest t with
+   * N(t) ≥ q·N(T), N(t) = Σ_v |B(v,t)| the neighbourhood function — the
+   * web-graph "90% effective diameter" when q = 0.9 (reported WITHOUT the
+   * fractional interpolation: the integer form avoids dividing by
+   * near-zero late-step increments, which would amplify float-sum noise
+   * past oracle rounding). One bounded (≤ iters+1 row) collect.
+   *
+   * @return one row (eff_diameter, reach_total ROUND 2)
+   */
+  def effectiveDiameter(
+      spark: SparkSession,
+      g: TemporalGraph,
+      iters: Int,
+      q: Double = 0.9,
+      seed: Long = 42L): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"q=$q out of (0, 1]")
+    val series = ballSeries(spark, g, iters, seed)
+    val ns = series.map(f => f.agg(sum("ball_est")).first().getDouble(0))
+    series.foreach(f =>
+      org.apache.spark.sql.GraftSqlInternals.cachedRdd(f).foreach(_.unpersist(false)))
+    val target = q * ns.last
+    val eff = ns.indexWhere(_ >= target)
+    import spark.implicits._
+    Seq((eff.toLong, ns.last))
+      .toDF("eff_diameter", "rt")
+      .select(col("eff_diameter"), round(col("rt"), 2).as("reach_total"))
+  }
+
+  /**
    * Per-node ball-size estimate from a [[registers]] frame: the HLL raw
    * estimate α·m²/Σ2^{−ρ_j} with the standard small-range (linear
    * counting) correction m·ln(m/V₀) when raw ≤ 2.5m and V₀ > 0 zero
    * registers remain. Pure per-node function — no cross-node float sums.
    * @return (id, ball_est ROUND 6)
    */
-  def estimate(registersDf: DataFrame): DataFrame = {
+  def estimate(registersDf: DataFrame): DataFrame =
+    estimateRaw(registersDf).select(col("id"), round(col("ball_est"), 6).as("ball_est"))
+
+  /** As [[estimate]] without the final 6-dp rounding — the form downstream
+    * float folds ([[harmonicCloseness]]) must consume (see [[ballSeries]]). */
+  def estimateRaw(registersDf: DataFrame): DataFrame = {
     val c = Alpha16 * (M.toDouble * M.toDouble) * Scale.toDouble
     registersDf
       .groupBy("id")
@@ -98,11 +223,10 @@ object Reach {
         (lit(M.toLong) - col("np")).as("v0"))
       .select(
         col("id"),
-        round(
-          when(
-            lit(c) / col("denom").cast("double") <= 2.5 * M && col("v0") > 0L,
-            lit(M.toDouble) * log(lit(M.toDouble) / col("v0").cast("double")))
-            .otherwise(lit(c) / col("denom").cast("double")),
-          6).as("ball_est"))
+        when(
+          lit(c) / col("denom").cast("double") <= 2.5 * M && col("v0") > 0L,
+          lit(M.toDouble) * log(lit(M.toDouble) / col("v0").cast("double")))
+          .otherwise(lit(c) / col("denom").cast("double"))
+          .as("ball_est"))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.TemporalGraph
-import graft.algos.{BipartiteProjection, Components, ConnectedComponents, FastRP, Hits, KCore, LabelPropagation, Louvain, Metrics, PageRank, Paths, Scc, Triangles}
+import graft.algos.{BipartiteProjection, Centrality, Components, ConnectedComponents, FastRP, Hits, KCore, LabelPropagation, Louvain, Metrics, PageRank, Paths, Scc, Triangles}
 import graft.ml.{CorpusOps, Dedup, GraphLearn, Sampling, SemDedup, Similarity, TextAnalysis}
 
 /**
@@ -410,6 +410,65 @@ object Queries {
   private def reachRegistersSql(iters: Int): String =
     s"WITH ${reachRegistersCtes(iters)}\nSELECT id, j, rho FROM r$iters"
 
+  /** Per-step ball-size estimate CTE `b$k` from register CTE `r$k` —
+    * the HLL raw-estimate + linear-counting form of algos.Reach
+    * .estimateRaw: UNROUNDED (the per-node value is a pure function of
+    * exact integers, so both engines produce the same double; per-step
+    * decimal rounding could pick adjacent doubles at a boundary and the
+    * downstream folds would amplify that past final rounding). */
+  private def ballEstimateCte(k: Int): String = {
+    val c = 0.673 * 256.0 * 134217728.0
+    s"""b$k AS MATERIALIZED (
+       |  SELECT id,
+       |    CASE WHEN raw <= ${2.5 * 16} AND v0 > 0
+       |         THEN 16.0 * ln(16.0 / CAST(v0 AS DOUBLE))
+       |         ELSE raw END AS b
+       |  FROM (SELECT id, (16 - np) AS v0,
+       |               $c / CAST((16 - np) * 134217728 + ps AS DOUBLE) AS raw
+       |        FROM (SELECT id, count(*) AS np,
+       |                     sum(CAST(power(2, 27 - rho) AS BIGINT)) AS ps
+       |              FROM r$k GROUP BY id)))""".stripMargin
+  }
+
+  /** HyperBall harmonic/closeness centrality replay
+    * (algos.Reach.harmonicCloseness): unrounded per-step ball estimates,
+    * clamped deltas, explicit left-to-right float folds, round-6 once at
+    * the end. */
+  private def harmonicOracleSql(iters: Int): String = {
+    val bCtes = (0 to iters).map(ballEstimateCte).mkString(",\n")
+    val joins = (1 to iters).map(k => s"JOIN b$k USING (id)").mkString(" ")
+    val ds = (1 to iters)
+      .map(k => s"greatest(b$k.b - b${k - 1}.b, 0.0) AS d$k").mkString(",\n        ")
+    val harm = (1 to iters).map(k => s"d$k/$k.0").mkString(" + ")
+    val dist = (1 to iters).map(k => s"d$k*$k.0").mkString(" + ")
+    s"""WITH ${reachRegistersCtes(iters)},
+       |$bCtes,
+       |w AS (SELECT b0.id, b$iters.b AS bt,
+       |        $ds
+       |      FROM b0 $joins)
+       |SELECT id, round(bt, 6) AS ball_est,
+       |  round($harm, 6) AS harmonic_est,
+       |  round(CASE WHEN $dist > 0.0 THEN (bt - 1.0) / ($dist)
+       |        ELSE 0.0 END, 6) AS closeness_est
+       |FROM w""".stripMargin
+  }
+
+  /** Integer effective diameter from the neighbourhood function
+    * (algos.Reach.effectiveDiameter). */
+  private def effDiameterOracleSql(iters: Int, q: Double): String = {
+    val bCtes = (0 to iters).map(ballEstimateCte).mkString(",\n")
+    val nRows = (0 to iters)
+      .map(k => s"SELECT $k AS t, sum(b) AS nt FROM b$k").mkString("\n  UNION ALL ")
+    s"""WITH ${reachRegistersCtes(iters)},
+       |$bCtes,
+       |n AS ($nRows)
+       |SELECT
+       |  CAST((SELECT min(t) FROM n
+       |        WHERE nt >= $q * (SELECT nt FROM n WHERE t = $iters)) AS BIGINT)
+       |    AS eff_diameter,
+       |  round((SELECT nt FROM n WHERE t = $iters), 2) AS reach_total""".stripMargin
+  }
+
   /** Fixed-iteration HITS (semantics of algos/Hits: received sums along
     * both directions, normalized by the global received totals). */
   private def hitsOracleSql(iters: Int): String = {
@@ -437,6 +496,51 @@ object Queries {
     }
     (head +: steps).mkString(",\n") +
       s"\nSELECT id, round(hub, 6) AS hub_score, round(auth, 6) AS auth_score FROM h$iters"
+  }
+
+  /** Fixed-iteration sup-norm eigenvector power iteration
+    * (algos.Centrality.eigenvector: recv = in-message sum, then divide by
+    * the global max — max is aggregation-order-independent). */
+  private def eigenvectorOracleSql(iters: Int): String = {
+    val head =
+      s"""WITH $graphBaseSql,
+         |x0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS score FROM nodes)""".stripMargin
+    val steps = (1 to iters).flatMap { k =>
+      Seq(
+        s"""r$k AS MATERIALIZED (
+           |  SELECT n.id, coalesce(m.v, 0) AS recv
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.score) AS v
+           |    FROM e JOIN x${k - 1} p ON e.src = p.id GROUP BY e.dst) m
+           |  ON n.id = m.id)""".stripMargin,
+        s"""x$k AS MATERIALIZED (
+           |  SELECT id, recv / (SELECT CASE WHEN max(recv) = 0 THEN 1
+           |                     ELSE max(recv) END FROM r$k) AS score
+           |  FROM r$k)""".stripMargin)
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT id, round(score, 6) AS score FROM x$iters"
+  }
+
+  /** Fixed-iteration Katz centrality (algos.Centrality.katz:
+    * x ← β + α·Σ_{u→v} x(u), init x = β), reported max-normalized: the
+    * raw truncated sum grows multiplicatively when α·λ_max > 1, and at
+    * large magnitudes float-sum order noise outruns 6-dp rounding — the
+    * normalized profile stays O(1) at any α. */
+  private def katzOracleSql(iters: Int, alpha: Double, beta: Double): String = {
+    val head =
+      s"""WITH $graphBaseSql,
+         |x0 AS MATERIALIZED (SELECT id, CAST($beta AS DOUBLE) AS score FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""x$k AS MATERIALIZED (
+         |  SELECT n.id, CAST($beta AS DOUBLE) + CAST($alpha AS DOUBLE) * coalesce(m.v, 0) AS score
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.score) AS v
+         |    FROM e JOIN x${k - 1} p ON e.src = p.id GROUP BY e.dst) m
+         |  ON n.id = m.id)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT id, round(score / (SELECT max(score) FROM x$iters), 6) AS score FROM x$iters"
   }
 
   /** Synchronous LPA with the (votes desc, label desc) tie-break. */
@@ -1459,6 +1563,28 @@ object Queries {
           round(col("auth_score"), 6).as("auth_score")),
       Some(hitsOracleSql(iters = 20))),
     (
+      "q_graph_eigenvector",
+      // sup-norm power iteration (Bonacich 1987), pinned 20 supersteps —
+      // beyond the reference's centrality module; same replay discipline
+      // as q_graph_pagerank.
+      (s, d) => Centrality.eigenvector(
+        s, eventGraph(s, d), Centrality.Config(maxIter = 20, tol = 0.0))
+        .select(col("id"), round(col("score"), 6).as("score")),
+      Some(eigenvectorOracleSql(iters = 20))),
+    (
+      "q_graph_katz",
+      // Katz centrality (Katz 1953), α=0.01 β=1, pinned 20 supersteps,
+      // max-normalized output (see katzOracleSql — raw magnitudes outrun
+      // 6-dp rounding when α·λ_max > 1)
+      (s, d) => {
+        val k = Centrality.katz(
+          s, eventGraph(s, d), alpha = 0.01, beta = 1.0,
+          Centrality.Config(maxIter = 20, tol = 0.0))
+        val mx = broadcast(k.agg(max("score").as("mx")))
+        k.crossJoin(mx).select(col("id"), round(col("score") / col("mx"), 6).as("score"))
+      },
+      Some(katzOracleSql(iters = 20, alpha = 0.01, beta = 1.0))),
+    (
       "q_graph_component_sizes",
       (s, d) => Components.componentSizes(s, eventGraph(s, d)),
       Some(s"$wccClosureSql\nSELECT label, count(*) AS size FROM labels GROUP BY label")),
@@ -2116,6 +2242,23 @@ object Queries {
            |             ELSE raw END, 6) AS ball_est
            |FROM pre""".stripMargin
       }),
+
+    (
+      "q_graph_harmonic",
+      // HyperBall's headline application (Boldi–Vigna 2013 §5): harmonic +
+      // closeness centrality from the per-step ball estimates — per-step
+      // 6-dp rounding on both sides pins every downstream float op to
+      // identical inputs; folds are explicit left-to-right chains.
+      (s, d) => graft.algos.Reach.harmonicCloseness(s, eventGraph(s, d), iters = 3),
+      Some(harmonicOracleSql(iters = 3))),
+
+    (
+      "q_graph_eff_diameter",
+      // integer 90% effective diameter from the neighbourhood function
+      // N(t) = Σ_v |B(v,t)| (the interpolated fractional form would divide
+      // by near-zero late-step increments — noise past oracle rounding)
+      (s, d) => graft.algos.Reach.effectiveDiameter(s, eventGraph(s, d), iters = 3, q = 0.9),
+      Some(effDiameterOracleSql(iters = 3, q = 0.9))),
 
     (
       "q_graph_link_features",
