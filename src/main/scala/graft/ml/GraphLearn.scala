@@ -270,6 +270,110 @@ object GraphLearn {
   }
 
   /**
+   * node2vec-BIASED walk corpus (Grover & Leskovec 2016): the 2nd-order
+   * walk whose transition out of `cur` is weighted by where the candidate
+   * sits relative to the PREVIOUS node — `wReturn` for going back to prev
+   * (the paper's 1/p), `wInner` for candidates adjacent to prev (BFS-ish,
+   * weight 1), `wOuter` for distance-2 candidates (1/q, DFS-ish). Step 1
+   * is uniform (no prev), and weights here are small INTEGERS: the pick
+   * replicates each candidate `w` times and takes the hash-argmin over
+   * all (candidate, replica) pairs — P(c) = w(c)/Σw EXACTLY (all Σw
+   * hashes are exchangeable, each is the minimum with equal probability),
+   * with zero float arithmetic, so the corpus is replayable row-for-row
+   * by the DuckDB oracle like [[randomWalks]].
+   *
+   * Scale shape: the salted out-CSR and the undirected neighbour-array
+   * table are both persisted hash-partitioned ONCE; each step exchanges
+   * only the walker frame (twice: once keyed on prev for the
+   * classification array, once on cur for the candidates). Per
+   * walker-shard row the cost is one `array_intersect(dsts_shard,
+   * prev_nbrs)` — O(|shard| + deg(prev)) — plus ≤ maxWeight·|shard|
+   * replica hashes; a hub PREV contributes its (single, linkFeatures-
+   * style) full neighbour array to that scan, a hub CUR only ever
+   * appears as bounded shard rows.
+   *
+   * @return (start, walk, step 0-based, node) — step 0 is the start node
+   */
+  def node2vecWalks(
+      spark: SparkSession,
+      g: TemporalGraph,
+      length: Int = 8,
+      nWalks: Int = 1,
+      wReturn: Int = 1,
+      wInner: Int = 1,
+      wOuter: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    require(length >= 1 && length <= 64, s"length=$length out of [1, 64]")
+    require(nWalks >= 1 && nWalks <= 1024, s"nWalks=$nWalks out of [1, 1024]")
+    Seq("wReturn" -> wReturn, "wInner" -> wInner, "wOuter" -> wOuter).foreach {
+      case (n, w) => require(w >= 1 && w <= 16, s"$n=$w out of [1, 16]")
+    }
+    val adj = g.adjacencyOut
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nbrs = g.undirectedPairs
+      .filter(col("node") =!= col("nbr"))
+      .groupBy("node")
+      .agg(sort_array(collect_list(col("nbr"))).as("pn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emptyArr = array().cast("array<bigint>")
+    val init = g.nodes
+      .select(col("id").as("start"))
+      .withColumn("walk", explode(array((0 until nWalks).map(i => lit(i.toLong)): _*)))
+      .withColumn("step", lit(0L))
+      .withColumn("node", col("start"))
+      .withColumn("prev", lit(null).cast("long"))
+
+    val res = SuperstepRunner.run(
+      spark, init, SuperstepRunner.RunConfig(maxSteps = length, runId = s"n2v-$seed")) {
+      (state, k) =>
+        val frontier = state
+          .filter(col("step") === (k - 1).toLong)
+          .select(col("start"), col("walk"), col("node").as("cur"), col("prev"))
+        val classified = frontier
+          .join(nbrs, frontier("prev") === nbrs("node"), "left")
+          .select(
+            col("start"), col("walk"), col("cur"), col("prev"),
+            coalesce(col("pn"), emptyArr).as("pn"))
+        val joined = classified
+          .join(adj, classified("cur") === adj("src"))
+          // once per (walker, shard) row, NOT per candidate
+          .withColumn("inter", array_intersect(col("dsts"), col("pn")))
+        def weight(c: Column): Column =
+          when(col("prev").isNull, lit(1L))
+            .when(c === col("prev"), lit(wReturn.toLong))
+            .when(array_contains(col("inter"), c), lit(wInner.toLong))
+            .otherwise(lit(wOuter.toLong))
+        val pick = array_min(flatten(transform(
+          col("dsts"),
+          c => transform(
+            sequence(lit(0L), weight(c) - 1L),
+            r => struct(
+              hmix(seed,
+                (col("start"), M1), (col("walk"), M2), (lit(k), M3),
+                (c, M4), (r, M5)).as("h"),
+              c.as("n"))))))
+        val chosen = joined
+          .select(col("start"), col("walk"), col("cur"), pick.as("m"))
+          .groupBy("start", "walk", "cur") // cur is unique per (start, walk)
+          .agg(min(col("m")).as("m"))
+          .select(
+            col("start"), col("walk"), lit(k.toLong).as("step"),
+            col("m.n").as("node"), col("cur").as("prev"))
+        val next = state.unionByName(chosen)
+        SuperstepRunner.Step(
+          next,
+          st => {
+            val live = st.filter(col("step") === k.toLong).count()
+            (live == 0L, Map("live" -> live.toDouble))
+          })
+    }
+    adj.unpersist(false)
+    nbrs.unpersist(false)
+    res.state.select("start", "walk", "step", "node")
+  }
+
+  /**
    * TIME-RESPECTING walk corpus (CTDNE, Nguyen et al. 2018) — the temporal
    * twin of [[randomWalks]] for a temporal link graph: a walker at node
    * `cur` holding time `t` may only traverse edge EVENTS with

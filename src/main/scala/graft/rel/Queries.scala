@@ -2176,6 +2176,51 @@ object Queries {
       }),
 
     (
+      "q_graph_node2vec_walks",
+      // node2vec 2nd-order biased corpus (ml.GraphLearn.node2vecWalks,
+      // length 3, weights return=2/inner=1/outer=4): the integer-replica
+      // weighted argmin replays as ranked CTEs — candidates join a replica
+      // range bounded by their CASE weight, prev-adjacency via EXISTS on
+      // the undirected pair set (Spark uses a sorted neighbour array; the
+      // membership predicate is identical).
+      (s, d) => GraphLearn.node2vecWalks(
+        s, eventGraph(s, d), length = 3, nWalks = 1,
+        wReturn = 2, wInner = 1, wOuter = 4, seed = 42L),
+      Some {
+        import GraphLearn._
+        def h(k: Int) = hmixSql(
+          42L, "cand.start" -> M1, "cand.walk" -> M2, k.toString -> M3,
+          "cand.c" -> M4, "r.range" -> M5)
+        def step(k: Int) =
+          s"""c$k AS MATERIALIZED (
+             |  SELECT f.start, f.walk, f.cur, e.dst AS c,
+             |    CASE WHEN f.prev IS NULL THEN 1
+             |         WHEN e.dst = f.prev THEN 2
+             |         WHEN EXISTS (SELECT 1 FROM u
+             |                      WHERE u.a = f.prev AND u.b = e.dst) THEN 1
+             |         ELSE 4 END AS w
+             |  FROM f${k - 1} f JOIN e ON e.src = f.cur),
+             |s$k AS MATERIALIZED (
+             |  SELECT start, walk, CAST($k AS BIGINT) AS step, c AS node,
+             |         cur AS prev FROM (
+             |    SELECT cand.start, cand.walk, cand.cur, cand.c,
+             |      row_number() OVER (PARTITION BY cand.start, cand.walk
+             |                         ORDER BY ${h(k)}, cand.c) AS rn
+             |    FROM c$k cand JOIN range(16) r ON r.range < cand.w)
+             |  WHERE rn = 1),
+             |f$k AS (SELECT start, walk, node AS cur, prev FROM s$k)""".stripMargin
+        s"""WITH $graphBaseSql,
+           |s0 AS (SELECT id AS start, CAST(0 AS BIGINT) AS walk,
+           |              CAST(0 AS BIGINT) AS step, id AS node,
+           |              CAST(NULL AS BIGINT) AS prev FROM nodes),
+           |f0 AS (SELECT start, walk, node AS cur, prev FROM s0),
+           |${(1 to 3).map(step).mkString(",\n")}
+           |SELECT start, walk, step, node FROM (
+           |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
+           |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)""".stripMargin
+      }),
+
+    (
       "q_graph_ktruss",
       // 32-truss decomposition (Cohen 2008): recount-and-peel to fixpoint;
       // the oracle replays PINNED rounds (a converged truss is a fixpoint

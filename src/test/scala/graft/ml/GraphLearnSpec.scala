@@ -153,6 +153,82 @@ class GraphLearnSpec extends SparkSpec {
     assert(walks.count() == 3 * 4) // 3-cycle: every walker completes all steps
   }
 
+  test("node2vecWalks: weighted-replica argmin replay, all three weight classes, invariances") {
+    val g = fixtureGraph
+    val (wr, wn, wo) = (4, 1, 2)
+    val walks = GraphLearn.node2vecWalks(
+      spark, g, length = 4, nWalks = 2, wReturn = wr, wInner = wn, wOuter = wo, seed = 9L)
+    val rows = walks.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val adj = fixtureEdges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val und = fixtureEdges.select("src", "dst").collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val P = 1000000007L
+    def pmod(x: Long) = ((x % P) + P) % P
+    def h(seed: Long, parts: (Long, Long)*): Long =
+      parts.foldLeft(((seed % P) + P) % P) { case (acc, (x, m)) =>
+        (acc + pmod(x) * m % P) % P
+      }
+    val Ms = Seq(73856093L, 19349663L, 83492791L, 15485863L, 49979693L)
+    def weightOf(prev: Option[Long], c: Long): Int = prev match {
+      case None                        => 1
+      case Some(p) if c == p           => wr
+      case Some(p) if und(p).contains(c) => wn
+      case _                           => wo
+    }
+    assert(rows.count(_._3 == 0L) == 14)
+    var sawReturn, sawInner, sawOuter = false
+    for (((start, walk), path0) <- rows.groupBy(t => (t._1, t._2))) {
+      val path = path0.sortBy(_._3).map(_._4).toVector
+      assert(path.head == start)
+      var prev = Option.empty[Long]
+      var cur = start
+      var step = 1L
+      for (next <- path.tail) {
+        val cands = adj(cur)
+        val expect = cands.flatMap { c =>
+          val w = weightOf(prev, c)
+          if (w == wr && prev.contains(c)) sawReturn = true
+          else if (prev.isDefined && w == wn) sawInner = true
+          else if (prev.isDefined && w == wo) sawOuter = true
+          (0 until w).map { r =>
+            (h(9L, Seq(start, walk, step, c, r.toLong).zip(Ms): _*), c)
+          }
+        }.min
+        assert(next == expect._2, s"walk ($start,$walk) step $step: got $next want ${expect._2}")
+        prev = Some(cur); cur = next; step += 1
+      }
+      if (path.length < 5) assert(!adj.contains(path.last))
+    }
+    assert(sawReturn || sawInner || sawOuter) // weight classes exercised
+    // partition invariance
+    val walks2 = GraphLearn.node2vecWalks(
+      spark, TemporalGraph(fixtureEdges.repartition(7)), length = 4, nWalks = 2,
+      wReturn = wr, wInner = wn, wOuter = wo, seed = 9L)
+    assert(walks2.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == rows.toSet)
+    // all-weights-1 degenerates to a uniform (first-order-distribution) walk:
+    // every transition must still be a real edge and walks run full length
+    val uni = GraphLearn.node2vecWalks(spark, g, length = 3, nWalks = 1, seed = 2L)
+    uni.collect().groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (_, p) =>
+      val path = p.sortBy(_.getLong(2)).map(_.getLong(3)).toVector
+      path.sliding(2).foreach {
+        case Vector(a, b) => assert(adj(a).contains(b))
+        case _            =>
+      }
+    }
+  }
+
+  test("node2vecWalks: ANSI-total on full-range ids") {
+    val walks = GraphLearn.node2vecWalks(
+      spark, bigIdGraph, length = 3, nWalks = 1, wReturn = 2, wInner = 1, wOuter = 3, seed = 1L)
+    assert(walks.count() == 3 * 4) // 3-cycle: every walker completes all steps
+  }
+
   test("temporalWalks: time-respecting, argmin replay, sinks stop, partition-invariant") {
     // events with timestamps; (1→2@10) (1→2@5) (2→3@20) (2→4@15) (3→1@30) (2→3@8)
     val tEdges = Seq(
