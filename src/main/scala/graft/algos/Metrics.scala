@@ -200,4 +200,60 @@ object Metrics {
       col("id"),
       (row_number().over(w) % 2 === 0).as("bool_col"))
   }
+
+  /**
+   * Per-community conductance φ(S) = cut(S) / min(vol(S), 2m − vol(S)) —
+   * THE standard community-quality score to evaluate a
+   * [[Louvain]]/[[LabelPropagation]] partition (Kannan–Vempala–Vetta
+   * 2004; complements [[Louvain.modularity]]). Over the canonical
+   * undirected simple graph: cut(S) = edges with exactly one endpoint in
+   * S, vol(S) = Σ_{v∈S} deg(v), m = |undirected edges|; φ = 0 for an
+   * isolated community, and communities whose volume is 0 report 0.
+   *
+   * Plan: the canonical edge set joins the label frame twice (broadcast
+   * when small, hash otherwise — Catalyst's call) and partial-aggregates
+   * per label — two |E|-keyed exchanges and one |labels| aggregation,
+   * nothing quadratic; 2m rides along as a one-row broadcast.
+   *
+   * @param labels (id, label) — any partition assignment
+   * @return (label, n_nodes, volume, cut_edges, conductance ROUND 6)
+   */
+  def conductance(g: TemporalGraph, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("id"), col("label"))
+    val e = g.canonicalUndirected
+    val el = e
+      .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+      .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
+    // each cut edge counts toward BOTH endpoint communities
+    val cut = el
+      .filter(col("la") =!= col("lb"))
+      .select(explode(array(col("la"), col("lb"))).as("label"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("cut_edges"))
+    val deg = g.undirectedPairs
+      .filter(col("node") =!= col("nbr"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    val vol = lab
+      .join(deg, lab("id") === deg("node"), "left")
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("volume"))
+    val totalDeg = broadcast(deg.agg(coalesce(sum("deg"), lit(0L)).as("m2")))
+    val denom = least(col("volume"), col("m2") - col("volume"))
+    vol
+      .join(cut, Seq("label"), "left")
+      .crossJoin(totalDeg)
+      .select(
+        col("label"),
+        col("n_nodes"),
+        col("volume"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        round(
+          when(denom > 0L,
+            coalesce(col("cut_edges"), lit(0L)).cast("double") / denom.cast("double"))
+            .otherwise(lit(0.0)),
+          6).as("conductance"))
+  }
 }

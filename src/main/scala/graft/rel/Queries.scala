@@ -2176,6 +2176,45 @@ object Queries {
       }),
 
     (
+      "q_graph_conductance",
+      // per-community conductance (Kannan–Vempala–Vetta 2004) of a
+      // deterministic 4-way hash partition — the community-quality
+      // evaluation metric paired with Louvain/LPA; hash labels make the
+      // partition itself replayable (a heuristic partition would not be).
+      (s, d) => {
+        val g = eventGraph(s, d)
+        val labels = g.nodes.select(
+          col("id"),
+          (GraphLearn.hmix(7L, col("id") -> GraphLearn.M1) % 4L).as("label"))
+        Metrics.conductance(g, labels)
+      },
+      Some {
+        val h = GraphLearn.hmixSql(7L, "id" -> GraphLearn.M1)
+        s"""WITH $graphBaseSql,
+           |lab AS (SELECT id, $h % 4 AS label FROM nodes),
+           |ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |       FROM e WHERE src <> dst),
+           |el AS (SELECT la.label AS la, lb.label AS lb
+           |       FROM ce JOIN lab la ON ce.a = la.id JOIN lab lb ON ce.b = lb.id),
+           |cut AS (SELECT label, count(*) AS cut_edges FROM (
+           |  SELECT la AS label FROM el WHERE la <> lb
+           |  UNION ALL SELECT lb FROM el WHERE la <> lb) GROUP BY label),
+           |deg AS (SELECT node, count(*) AS deg FROM (
+           |  SELECT a AS node FROM ce UNION ALL SELECT b FROM ce) GROUP BY node),
+           |vol AS (SELECT l.label, count(*) AS n_nodes,
+           |               CAST(coalesce(sum(d.deg), 0) AS BIGINT) AS volume
+           |        FROM lab l LEFT JOIN deg d ON l.id = d.node GROUP BY l.label),
+           |m2 AS (SELECT CAST(coalesce(sum(deg), 0) AS BIGINT) AS m2 FROM deg)
+           |SELECT v.label, v.n_nodes, v.volume,
+           |  CAST(coalesce(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+           |  round(CASE WHEN least(v.volume, m2.m2 - v.volume) > 0
+           |        THEN CAST(coalesce(c.cut_edges, 0) AS DOUBLE)
+           |             / least(v.volume, m2.m2 - v.volume)
+           |        ELSE 0.0 END, 6) AS conductance
+           |FROM vol v LEFT JOIN cut c ON v.label = c.label, m2""".stripMargin
+      }),
+
+    (
       "q_graph_node2vec_walks",
       // node2vec 2nd-order biased corpus (ml.GraphLearn.node2vecWalks,
       // length 3, weights return=2/inner=1/outer=4): the integer-replica

@@ -110,4 +110,41 @@ class MetricsSpec extends SparkSpec {
       assert(math.abs(got(k)._2 - a) < 1e-3, s"auth $k: ${got(k)._2} vs $a")
     }
   }
+
+  test("conductance: brute-force parity on a two-cluster fixture") {
+    import spark.implicits._
+    // K3 {1,2,3} and K3 {4,5,6} joined by one bridge 3-4, plus isolate 7
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4), (7, 7))
+    val g = graph(edges)
+    val labels = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 20L), (7L, 30L))
+      .toDF("id", "label")
+    val got = Metrics.conductance(g, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+
+    // brute force: canonical undirected edges, no self-loops
+    val und = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val lab = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deg = und.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+    val m2 = deg.values.sum
+    for (l <- Seq(10L, 20L, 30L)) {
+      val members = lab.collect { case (id, ll) if ll == l => id }.toSet
+      val vol = members.toSeq.map(deg).sum
+      val cut = und.count { case (a, b) => members.contains(a) != members.contains(b) }.toLong
+      val den = math.min(vol, m2 - vol)
+      val phi = if (den > 0) cut.toDouble / den else 0.0
+      val (gn, gv, gc, gp) = got(l)
+      assert(gn == members.size.toLong, s"n_nodes $l")
+      assert(gv == vol, s"volume $l")
+      assert(gc == cut, s"cut $l")
+      assert(math.abs(gp - math.rint(phi * 1e6) / 1e6) < 1e-12, s"conductance $l")
+    }
+    // the two cliques each see exactly the bridge: cut 1, vol 7 (3+2+2... )
+    assert(got(10L)._3 == 1L && got(20L)._3 == 1L)
+    assert(got(30L) == ((1L, 0L, 0L, 0.0))) // isolate: zero volume, phi 0
+  }
 }
