@@ -249,6 +249,22 @@ object Bench {
       graft.ml.GraphLearn.neighborSample(spark, ra, seeds, Seq(10, 5)).count()
     }
     results += "graph_neighbor_sample" -> tNs
+    val (_, tN2v) = time(
+      graft.ml.GraphLearn.node2vecWalks(
+        spark, ra, length = 8, nWalks = 1, wReturn = 2, wInner = 1, wOuter = 4).count())
+    results += "graph_node2vec_walks" -> tN2v
+    // HyperBall harmonic/closeness (8 rounds: past the RA graph's
+    // effective diameter) — the ball-series superstep + the T+1
+    // exchange-free centrality joins
+    val (_, tHarm) = time(
+      graft.algos.Reach.harmonicCloseness(spark, ra, iters = 8).count())
+    results += "graph_harmonic" -> tHarm
+    // eigenvector on the transcript graph (same CSR + superstep shape as
+    // PageRank/HITS — comparability row for the message-join family)
+    val (_, tEig) = time(
+      graft.algos.Centrality.eigenvector(
+        spark, g, graft.algos.Centrality.Config(maxIter = 10, tol = 0.0)).count())
+    results += "eigenvector" -> tEig
 
     // --- one relational headline on the provided testdata ---
     val (_, tRel) = time(SparkEntry.queries("q_agg_groupby")(spark, sfDir).count())
