@@ -2176,6 +2176,44 @@ object Queries {
       }),
 
     (
+      "q_graph_pagerank_windowed",
+      // centrality EVOLUTION: PageRank per rolling window — the
+      // reference's signature composition (WindowSet → algorithm,
+      // raphtory/src/db/api/view/time.rs + centrality/pagerank.rs): three
+      // fixed 10-day tumbling windows over the Jan-2024 event span, each
+      // replayed by the windowed-base PageRank CTE ladder. Windowing
+      // filters EDGE timestamps (edges are built from the full event
+      // sequence first, then the view narrows), matching
+      // TemporalGraph.window semantics.
+      (s, d) => {
+        val g = eventGraph(s, d)
+        val w0 = 1704067200000L // 2024-01-01T00:00:00Z
+        val step = 864000000L   // 10 days
+        (0 until 3).map { k =>
+          val lo = w0 + k * step
+          PageRank.run(s, g.window(lo, lo + step), PageRank.Config(maxIter = 10, tol = 0.0))
+            .select(lit(lo).as("w_start"), col("id"), round(col("score"), 6).as("score"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        def windowedBase(lo: Long, hi: Long) =
+          s"""e0 AS (SELECT user_id AS src, dst, epoch_us(ts) // 1000 AS tsm FROM (
+             |  SELECT user_id, event_type, event_id, ts,
+             |    lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+             |  FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+             |e AS (SELECT DISTINCT src, dst FROM e0 WHERE tsm >= $lo AND tsm < $hi),
+             |nodes AS (SELECT DISTINCT id FROM (
+             |  SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))""".stripMargin
+        val w0 = 1704067200000L
+        val step = 864000000L
+        (0 until 3).map { k =>
+          val lo = w0 + k * step
+          val inner = pageRankOracleSqlOver(windowedBase(lo, lo + step), iters = 10, damping = 0.85)
+          s"SELECT CAST($lo AS BIGINT) AS w_start, id, score FROM (\n$inner\n)"
+        }.mkString("\nUNION ALL\n")
+      }),
+
+    (
       "q_graph_conductance",
       // per-community conductance (Kannan–Vempala–Vetta 2004) of a
       // deterministic 4-way hash partition — the community-quality
