@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.TemporalGraph
-import graft.algos.{BipartiteProjection, Centrality, Components, ConnectedComponents, FastRP, Hits, KCore, LabelPropagation, Louvain, Metrics, PageRank, Paths, Scc, Triangles}
+import graft.algos.{BipartiteProjection, Centrality, Components, ConnectedComponents, FastRP, Hits, Independent, KCore, LabelPropagation, Louvain, Metrics, PageRank, Paths, Scc, Triangles}
 import graft.ml.{CorpusOps, Dedup, GraphLearn, Sampling, SemDedup, Similarity, TextAnalysis}
 
 /**
@@ -2173,6 +2173,91 @@ object Queries {
            |${(1 to 4).map(step).mkString(",\n")}
            |SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
            |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4""".stripMargin
+      }),
+
+    (
+      "q_graph_mis",
+      // maximal independent set (Luby 1986, FIXED hash priorities ⇒ the
+      // sequential greedy MIS along ascending (h, id) — unique, exactly
+      // replayable). Spark early-stops on convergence; the oracle runs
+      // pinned rounds (a converged state is a fixpoint — extra rounds
+      // no-op, the k-core precedent).
+      (s, d) => Independent.maximalIndependentSet(s, eventGraph(s, d), seed = 42L),
+      Some {
+        val h = GraphLearn.hmixSql(42L, "id" -> GraphLearn.M1)
+        val rounds = 24
+        val steps = (0 until rounds).map { r =>
+          s"""w$r AS MATERIALIZED (
+             |  SELECT s.id FROM st$r s WHERE s.status = 0 AND NOT EXISTS (
+             |    SELECT 1 FROM u JOIN st$r t ON u.b = t.id
+             |    WHERE u.a = s.id AND t.status = 0
+             |      AND (t.h < s.h OR (t.h = s.h AND t.id < s.id)))),
+             |st${r + 1} AS MATERIALIZED (
+             |  SELECT s.id, s.h,
+             |    CASE WHEN s.status <> 0 THEN s.status
+             |         WHEN EXISTS (SELECT 1 FROM w$r w WHERE w.id = s.id) THEN 1
+             |         WHEN EXISTS (SELECT 1 FROM u JOIN w$r w ON u.b = w.id
+             |                      WHERE u.a = s.id) THEN 2
+             |         ELSE 0 END AS status
+             |  FROM st$r s)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $graphBaseSql,
+           |st0 AS MATERIALIZED (SELECT id, $h AS h, 0 AS status FROM nodes),
+           |$steps
+           |SELECT id, status = 1 AS in_mis FROM st$rounds""".stripMargin
+      }),
+
+    (
+      "q_graph_coloring",
+      // Jones–Plassmann greedy coloring with the same fixed priorities —
+      // equals the sequential greedy mex coloring along ascending (h, id);
+      // the mex lambda is evaluated in the IDENTICAL form on both engines
+      // (filter(sequence(0, n), x -> x ∉ colors)[first]). Run on a
+      // deterministically hash-THINNED edge set (keep 20%): JP's round
+      // count is the priority-DAG depth, which approaches n on the dense
+      // sfX event graph (avg degree ~66 at sf0.01 → ~150 rounds); density
+      // affects only rounds, never colors' correctness — the full-graph
+      // path is covered by IndependentSpec — and the thinned depth
+      // (measured 38 at sf0.01) stays inside the 48 pinned oracle rounds.
+      (s, d) => Independent.jonesPlassmann(
+        s,
+        graft.graph.TemporalGraph(eventEdges(s, d).filter(
+          GraphLearn.hmix(
+            7L, col("src") -> GraphLearn.M1, col("dst") -> GraphLearn.M2) % 10L < 2L)),
+        maxRounds = 64,
+        seed = 42L),
+      Some {
+        val h = GraphLearn.hmixSql(42L, "id" -> GraphLearn.M1)
+        val thin = GraphLearn.hmixSql(7L, "src" -> GraphLearn.M1, "dst" -> GraphLearn.M2)
+        val rounds = 48
+        val steps = (0 until rounds).map { r =>
+          s"""st${r + 1} AS MATERIALIZED (
+             |  SELECT s.id, s.h,
+             |    CASE WHEN s.color IS NOT NULL THEN s.color
+             |         WHEN NOT EXISTS (
+             |             SELECT 1 FROM u JOIN st$r t ON u.b = t.id
+             |             WHERE u.a = s.id AND t.color IS NULL
+             |               AND (t.h < s.h OR (t.h = s.h AND t.id < s.id)))
+             |         THEN (SELECT CAST(list_filter(
+             |                 range(0, coalesce(len(list(DISTINCT t.color)), 0) + 1),
+             |                 x -> NOT list_contains(
+             |                        coalesce(list(DISTINCT t.color), []), x))[1]
+             |               AS BIGINT)
+             |               FROM u JOIN st$r t ON u.b = t.id
+             |               WHERE u.a = s.id AND t.color IS NOT NULL)
+             |         ELSE NULL END AS color
+             |  FROM st$r s)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS ($eventEdgesSql),
+           |e AS (SELECT DISTINCT src, dst FROM e0 WHERE $thin % 10 < 2),
+           |u AS (SELECT DISTINCT a, b FROM (
+           |  SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)),
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+           |st0 AS MATERIALIZED (
+           |  SELECT id, $h AS h, CAST(NULL AS BIGINT) AS color FROM nodes),
+           |$steps
+           |SELECT id, color FROM st$rounds""".stripMargin
       }),
 
     (
