@@ -330,11 +330,17 @@ object GraphLearn {
         val frontier = state
           .filter(col("step") === (k - 1).toLong)
           .select(col("start"), col("walk"), col("node").as("cur"), col("prev"))
-        val classified = frontier
-          .join(nbrs, frontier("prev") === nbrs("node"), "left")
-          .select(
-            col("start"), col("walk"), col("cur"), col("prev"),
-            coalesce(col("pn"), emptyArr).as("pn"))
+        // step 1 has NO prev (uniform step): skip the classification join
+        // entirely — an all-NULL join key never matches but hashes every
+        // walker into ONE reducer partition, a full-frontier skew funnel
+        val classified =
+          if (k == 1) frontier.withColumn("pn", emptyArr)
+          else
+            frontier
+              .join(nbrs, frontier("prev") === nbrs("node"), "left")
+              .select(
+                col("start"), col("walk"), col("cur"), col("prev"),
+                coalesce(col("pn"), emptyArr).as("pn"))
         val joined = classified
           .join(adj, classified("cur") === adj("src"))
           // once per (walker, shard) row, NOT per candidate
