@@ -94,9 +94,14 @@ object GraphQuery {
     val sort = spec.select.sort
     spec.algorithm match {
       case Some(a) =>
+        val out = runAlgorithm(a, viewed)
+        // default stable order: by id for per-node results; global scalar
+        // results (e.g. triangle_count) sort by their first column
+        val defaultSort =
+          Seq(GraphViews.SortKey(if (out.columns.contains("id")) "id" else out.columns.head))
         GraphViews.resultPage(
-          runAlgorithm(a, viewed),
-          if (sort.nonEmpty) sort else Seq(GraphViews.SortKey("id")),
+          out,
+          if (sort.nonEmpty) sort else defaultSort,
           spec.select.offset, spec.select.limit)
       case None =>
         // empty sort → each resolver's own deterministic default (nodes
@@ -121,9 +126,11 @@ object GraphQuery {
   /** Dispatch an [[Algo]] clause to graft.algos over the composed view.
     * Names and params mirror the reference's plugin surface: `pagerank`
     * (iterCount; plus tol/damping with the library defaults) and
-    * `shortest_path` (source, cutoff); `connected_components` is exposed
-    * additionally (the other algorithm the reference bundles in its
-    * GraphQL docs examples). */
+    * `shortest_path` (source, cutoff); the rest of the iterative library
+    * is exposed under the same convention — `connected_components`,
+    * `label_propagation`, `triangle_count`, `eigenvector` (iterCount,
+    * tol), `katz` (iterCount, alpha, beta), `harmonic` (iterCount),
+    * `mis` and `coloring` (maxRounds). */
   private def runAlgorithm(a: Algo, pg: PropertyGraph): DataFrame = {
     val g = pg.graph
     val spark = g.edges.sparkSession
@@ -143,6 +150,32 @@ object GraphQuery {
         graft.algos.Paths.sssp(spark, g, source, pInt("cutoff", 20))
       case "connected_components" =>
         graft.algos.ConnectedComponents.run(spark, g)
+      case "eigenvector" =>
+        graft.algos.Centrality.eigenvector(
+          spark, g,
+          graft.algos.Centrality.Config(
+            maxIter = pInt("iterCount", 20), tol = pDouble("tol", 0.0)))
+      case "katz" =>
+        graft.algos.Centrality.katz(
+          spark, g, alpha = pDouble("alpha", 0.1), beta = pDouble("beta", 1.0),
+          graft.algos.Centrality.Config(
+            maxIter = pInt("iterCount", 20), tol = pDouble("tol", 0.0)))
+      case "harmonic" =>
+        graft.algos.Reach.harmonicCloseness(spark, g, iters = pInt("iterCount", 8))
+      case "mis" =>
+        graft.algos.Independent.maximalIndependentSet(
+          spark, g, maxRounds = pInt("maxRounds", 64))
+      case "coloring" =>
+        graft.algos.Independent.jonesPlassmann(
+          spark, g, maxRounds = pInt("maxRounds", 64))
+      case "label_propagation" =>
+        graft.algos.LabelPropagation.run(
+          spark, g,
+          graft.algos.LabelPropagation.Config(maxIter = pInt("iterCount", 20)))
+      case "triangle_count" => {
+        import spark.implicits._
+        Seq(graft.algos.Triangles.globalCount(spark, g)).toDF("triangles")
+      }
       case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
     }
   }

@@ -166,8 +166,14 @@ object GraphViews {
       df: DataFrame,
       sort: Seq[SortKey],
       offset: Int = 0,
-      limit: Int = -1): DataFrame =
-    page(df.orderBy(orderCols(sort) :+ col("id").asc: _*), offset, limit)
+      limit: Int = -1): DataFrame = {
+    // id tiebreaker only where an id exists — global scalar results
+    // (e.g. triangle_count) have no per-node key
+    val order =
+      if (df.columns.contains("id")) orderCols(sort) :+ col("id").asc
+      else orderCols(sort)
+    page(df.orderBy(order: _*), offset, limit)
+  }
 
   private def page(df: DataFrame, offset: Int, limit: Int): DataFrame = {
     val off = if (offset > 0) df.offset(offset) else df

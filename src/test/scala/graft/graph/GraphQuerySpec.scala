@@ -121,6 +121,41 @@ class GraphQuerySpec extends SparkSpec {
       GraphQuery.run(g, """{"algorithm":{"name":"quantum_walk"}}"""))
   }
 
+  test("algorithm clause: the extended library dispatch equals direct calls") {
+    // eigenvector over a windowed view
+    val eig = GraphQuery.run(
+      g,
+      """{"view":[{"op":"window","start":0,"end":35}],
+        | "algorithm":{"name":"eigenvector","params":{"iterCount":8,"tol":0.0}}}""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val eigDirect = graft.algos.Centrality.eigenvector(
+      spark, g.window(0, 35),
+      graft.algos.Centrality.Config(maxIter = 8, tol = 0.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(eig == eigDirect)
+    // katz honours params
+    val katz = GraphQuery.run(
+      g, """{"algorithm":{"name":"katz","params":{"iterCount":5,"alpha":0.05}}}""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val katzDirect = graft.algos.Centrality.katz(
+      spark, g, alpha = 0.05, beta = 1.0,
+      graft.algos.Centrality.Config(maxIter = 5, tol = 0.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(katz == katzDirect)
+    // mis / coloring / harmonic / lpa / triangle_count dispatch and return rows
+    assert(GraphQuery.run(g, """{"algorithm":{"name":"mis"}}""").columns.toSeq ==
+      Seq("id", "in_mis"))
+    assert(GraphQuery.run(g, """{"algorithm":{"name":"coloring"}}""").columns.toSeq ==
+      Seq("id", "color"))
+    assert(GraphQuery.run(
+      g, """{"algorithm":{"name":"harmonic","params":{"iterCount":2}}}""")
+      .columns.contains("harmonic_est"))
+    assert(GraphQuery.run(g, """{"algorithm":{"name":"label_propagation"}}""")
+      .count() > 0)
+    assert(GraphQuery.run(g, """{"algorithm":{"name":"triangle_count"}}""")
+      .columns.toSeq == Seq("triangles"))
+  }
+
   test("algorithm clause: connected_components over a layer view") {
     // excluding the 'late' layer removes 4→5, 5→1 and 2→4: components
     // {1,2,3,4} (chain) and {5} drops to... 5 has no remaining edges, so
