@@ -160,6 +160,86 @@ object PageRank {
     } finally adj.unpersist(false)
   }
 
+  /**
+   * WEIGHTED PageRank: the transition out of u distributes score
+   * proportionally to per-edge weights — score'(v) = (1−d)/n +
+   * d·Σ_{u→v} score(u)·w(u,v)/out_w(u) + sink mass, where out_w(u) is
+   * u's total outgoing weight. With all weights 1 this reduces EXACTLY
+   * to the unweighted [[run]] (w/out_w = 1/out_deg, same float ops).
+   *
+   * `weights` is one row per distinct edge `(src, dst, w)`; INTEGER
+   * weights make the whole computation a deterministic function of exact
+   * integers and the iteration count, so a DuckDB oracle replays it —
+   * the natural transcript weighting (event multiplicity, or the
+   * half-life recency decay in `q_graph_pagerank_weighted`, which
+   * quantizes decay to powers of two for exactness).
+   *
+   * Same plan shape as [[runFull]]: hub-salted weighted CSR persisted
+   * hash-partitioned once, one message exchange per superstep, sink mass
+   * as an in-plan one-row broadcast.
+   */
+  def weighted(
+      spark: SparkSession,
+      g: TemporalGraph,
+      weights: org.apache.spark.sql.DataFrame,
+      cfg: Config = Config()): DataFrame = {
+    val adj = g.adjacencyOutWeighted(weights, cfg.maxShard).persist()
+    try {
+      val init0 = g.nodes
+        .join(
+          adj.select(col("src").as("id"), col("out_w")).dropDuplicates("id"),
+          Seq("id"),
+          "left")
+        .select(col("id"), coalesce(col("out_w"), lit(0L)).as("out_w"))
+      val n = init0.count().toDouble
+      val damp = cfg.damping
+      val init = init0.withColumn("score", lit(1.0 / n))
+
+      val result = SuperstepRunner.run(
+        spark,
+        init,
+        RunConfig(cfg.maxIter, cfg.checkpointDir, cfg.checkpointEvery, runId = "wpagerank")) {
+        (state, _) =>
+          val sinkAgg = broadcast(
+            state
+              .filter(col("out_w") === 0)
+              .agg(coalesce(sum("score"), lit(0.0)).as("sink_mass")))
+          val msgs = adj
+            .join(state.select(col("id"), col("score")), adj("src") === col("id"))
+            .select(explode(col("dsts")).as("m"), col("score"), col("out_w"))
+            .select(
+              col("m.dst").as("id"),
+              (col("score") * col("m.w") / col("out_w")).as("wv"))
+            .groupBy("id")
+            .agg(sum("wv").as("msum"))
+          val newScore =
+            lit((1.0 - damp) / n) + lit(damp) * coalesce(col("msum"), lit(0.0)) +
+              lit(damp / n) * col("sink_mass")
+          val next = state
+            .join(msgs, Seq("id"), "left")
+            .crossJoin(sinkAgg)
+            .select(
+              col("id"), col("out_w"),
+              newScore.as("score"),
+              abs(newScore - col("score")).as("diff"))
+          Step(
+            next.select("id", "out_w", "score", "diff"),
+            { m =>
+              if (cfg.tol <= 0.0) (false, Map.empty)
+              else {
+                val row = m
+                  .agg(sum(if (cfg.useL2Norm) col("diff") * col("diff") else col("diff")).as("d"))
+                  .first()
+                val d = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+                val normed = if (cfg.useL2Norm) math.sqrt(d) else d
+                (normed <= cfg.tol * n, Map("diff" -> normed))
+              }
+            })
+      }
+      result.state.select("id", "score")
+    } finally adj.unpersist(false)
+  }
+
   /** As [[runOnAdjacency]], returning the full [[SuperstepRunner.RunResult]]
     * — the per-superstep `wallMs` metrics let benches report a MEDIAN
     * superstep time, robust to mid-run tenancy bursts on a shared host

@@ -354,6 +354,33 @@ case class TemporalGraph(
 
   def adjacencyOut: DataFrame = adjacencyOut(TemporalGraph.DefaultMaxShard)
 
+  /**
+   * WEIGHTED salted out-CSR from a per-edge weight frame `(src, dst, w)`
+   * (one row per distinct edge; integer weights keep downstream scores
+   * exactly replayable, see [[graft.algos.PageRank.weighted]]): shards
+   * `(src, salt, dsts: array<struct<dst, w>>, out_w)` where `out_w` is
+   * the TOTAL outgoing weight of src (repeated on every shard, like
+   * out_deg in [[adjacencyOut]]). Sharding is by edge count, so hub fan-
+   * out stays bounded regardless of the weight distribution; output is
+   * hash-partitioned on (src, salt) by the groupBy.
+   */
+  def adjacencyOutWeighted(
+      weights: DataFrame,
+      maxShard: Int = TemporalGraph.DefaultMaxShard): DataFrame = {
+    val deg = weights.groupBy("src")
+      .agg(count(lit(1)).as("out_deg"), sum("w").as("out_w"))
+    weights
+      .join(deg, Seq("src"))
+      .withColumn(
+        "salt",
+        pmod(xxhash64(col("dst")), greatest(ceil(col("out_deg") / maxShard.toDouble), lit(1L)))
+          .cast("int"))
+      .groupBy("src", "salt")
+      .agg(
+        collect_list(struct(col("dst"), col("w"))).as("dsts"),
+        first("out_w").as("out_w"))
+  }
+
   /** Salted CSR-style in-adjacency `(dst, salt, srcs: array<long>, in_deg)`
     * over distinct in-neighbours — the reverse-direction twin of
     * [[adjacencyOut]] (same sharding contract, output hash-partitioned on

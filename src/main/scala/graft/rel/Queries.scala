@@ -2176,6 +2176,66 @@ object Queries {
       }),
 
     (
+      "q_graph_pagerank_weighted",
+      // recency-weighted PageRank: per-edge weight = Σ over the edge's
+      // events of 2^(6 − clamp((T − ts) ÷ halflife, 0, 6)) — half-life
+      // decay QUANTIZED to powers of two, so weights are exact integers
+      // and the whole run replays (T = 2024-01-31T00:00Z, halflife 5 d);
+      // the natural transcript weighting: recent interactions count more,
+      // multiplicity counts. All-1 weights degenerate to q_graph_pagerank
+      // (PageRankSpec proves exact degeneracy).
+      (s, d) => {
+        val T = 1706659200000L
+        val hl = 432000000L
+        val wExpr = expr(
+          s"CAST(power(2, 6 - least(6, greatest(0, ($T - ts) DIV $hl))) AS BIGINT)")
+        val weights = eventEdges(s, d)
+          .select(col("src"), col("dst"), wExpr.as("w"))
+          .groupBy("src", "dst")
+          .agg(sum("w").as("w"))
+        PageRank.weighted(
+          s, eventGraph(s, d), weights, PageRank.Config(maxIter = 20, tol = 0.0))
+          .select(col("id"), round(col("score"), 6).as("score"))
+      },
+      Some {
+        val T = 1706659200000L
+        val hl = 432000000L
+        val damping = 0.85
+        val iters = 20
+        val head =
+          s"""WITH e0 AS (SELECT user_id AS src, dst, epoch_us(ts) // 1000 AS tsm FROM (
+             |  SELECT user_id, event_type, event_id, ts,
+             |    lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+             |  FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+             |wts AS (SELECT src, dst,
+             |          CAST(sum(CAST(power(2, 6 - least(6, greatest(0,
+             |            ($T - tsm) // $hl))) AS BIGINT)) AS BIGINT) AS w
+             |        FROM e0 GROUP BY src, dst),
+             |nodes AS (SELECT DISTINCT id FROM (
+             |  SELECT src AS id FROM wts UNION ALL SELECT dst FROM wts)),
+             |ow AS (SELECT src AS id, sum(w) AS out_w FROM wts GROUP BY src),
+             |deg AS (SELECT n.id, CAST(coalesce(ow.out_w, 0) AS BIGINT) AS out_w
+             |        FROM nodes n LEFT JOIN ow ON n.id = ow.id),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |s0 AS MATERIALIZED (
+             |  SELECT id, out_w, 1.0 / (SELECT n FROM nn) AS score FROM deg)""".stripMargin
+        val steps = (1 to iters).map { k =>
+          s"""s$k AS MATERIALIZED (
+             |  SELECT d.id, d.out_w,
+             |    (1.0 - $damping) / (SELECT n FROM nn)
+             |      + $damping * coalesce(m.msum, 0)
+             |      + $damping / (SELECT n FROM nn)
+             |        * (SELECT coalesce(sum(score), 0) FROM s${k - 1} WHERE out_w = 0) AS score
+             |  FROM deg d LEFT JOIN (
+             |    SELECT w.dst AS id, sum(p.score * w.w / p.out_w) AS msum
+             |    FROM wts w JOIN s${k - 1} p ON w.src = p.id GROUP BY w.dst) m
+             |  ON d.id = m.id)""".stripMargin
+        }
+        (head +: steps).mkString(",\n") +
+          s"\nSELECT id, round(score, 6) AS score FROM s$iters"
+      }),
+
+    (
       "q_graph_mis",
       // maximal independent set (Luby 1986, FIXED hash priorities ⇒ the
       // sequential greedy MIS along ascending (h, id) — unique, exactly

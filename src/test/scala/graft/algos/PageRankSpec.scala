@@ -101,4 +101,45 @@ class PageRankSpec extends SparkSpec {
     // seed holds the largest score (teleport returns mass to it every step)
     assert(ppr(1L) > ppr(2L) && ppr(1L) > ppr(3L))
   }
+
+  test("weighted: all-1 weights degenerate exactly to unweighted PageRank") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = Seq[(Long, Long)]((1, 2), (1, 4), (2, 3), (3, 1), (4, 1), (4, 5))
+    val g = TemporalGraph.fromTriples(
+      spark, edges.zipWithIndex.map { case ((a, b), i) => (a, b, i.toLong) })
+    val w1 = edges.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val cfg = PageRank.Config(maxIter = 15, tol = 0.0)
+    val weighted = PageRank.weighted(spark, g, w1, cfg)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = PageRank.run(spark, g, cfg)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(weighted.keySet == plain.keySet)
+    weighted.foreach { case (id, v) => assert(math.abs(v - plain(id)) < 1e-12, s"node $id") }
+  }
+
+  test("weighted: matches the dense weighted model and shifts mass toward heavy edges") {
+    import spark.implicits._
+    // 1 -> {2 (w 3), 3 (w 1)}; 2 -> 1; 3 -> 1
+    val edges = Seq[(Long, Long)]((1, 2), (1, 3), (2, 1), (3, 1))
+    val wts = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val g = TemporalGraph.fromTriples(
+      spark, edges.zipWithIndex.map { case ((a, b), i) => (a, b, i.toLong) })
+    val got = PageRank.weighted(
+      spark, g, wts.toDF("src", "dst", "w"), PageRank.Config(maxIter = 20, tol = 0.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val nodes = Seq(1L, 2L, 3L)
+    val outW = wts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var x = nodes.map(_ -> 1.0 / 3).toMap
+    (1 to 20).foreach { _ =>
+      val sink = 0.0 // no sinks here
+      x = nodes.map { v =>
+        val recv = wts.collect { case (u, vv, w) if vv == v => x(u) * w / outW(u) }.sum
+        v -> (0.15 / 3 + 0.85 * recv + 0.85 / 3 * sink)
+      }.toMap
+    }
+    got.foreach { case (id, v) => assert(math.abs(v - x(id)) < 1e-9, s"node $id") }
+    assert(got(2L) > got(3L)) // the heavy edge pulls mass to 2
+  }
 }
