@@ -106,6 +106,87 @@ object Explain {
     println("==== link-prediction features (two array joins, no explode) ====")
     graft.SparkEntry.queries("q_graph_link_features")(spark, sfDir).explain("formatted")
 
+    // expected shape: weighted-CSR join of the state frame, struct
+    // explode, partial-agg message exchange; sink mass a one-row
+    // broadcast crossjoin — identical skeleton to the unweighted run,
+    // weights ride inside the shard arrays
+    println("==== weighted PageRank superstep (struct-array CSR) ====")
+    locally {
+      val t2 = TranscriptGen.transcripts(spark, 100)
+      val g2 = TemporalGraph(EdgeBuilder.edges(t2))
+      val weights = g2.simpleEdges.withColumn("w", lit(1L))
+      val adj = g2.adjacencyOutWeighted(weights).persist()
+      val state = g2.nodes
+        .select(col("id"), lit(0.5).as("score"), lit(1L).as("out_w"))
+        .localCheckpoint(true)
+      adj
+        .join(state.select(col("id"), col("score")), adj("src") === col("id"))
+        .select(explode(col("dsts")).as("m"), col("score"), col("out_w"))
+        .select(col("m.dst").as("id"), (col("score") * col("m.w") / col("out_w")).as("wv"))
+        .groupBy("id")
+        .agg(sum("wv").as("msum"))
+        .explain("formatted")
+      adj.unpersist(false)
+    }
+
+    // expected shape per node2vec step (the walk result itself is a
+    // truncated checkpoint scan, so explain ONE step's plan directly):
+    // walker frame exchanges twice (keyed on prev for the neighbour
+    // array, then on cur for the CSR); the replica fan-out + weighted
+    // argmin is a fused ProjectExec lambda over the shard arrays — no
+    // candidate explode, no per-replica rows
+    println("==== node2vec step (two walker exchanges, fused weighted argmin) ====")
+    locally {
+      import graft.ml.GraphLearn.{hmix, M1, M2, M3, M4, M5}
+      val t2 = TranscriptGen.transcripts(spark, 100)
+      val g2 = TemporalGraph(EdgeBuilder.edges(t2))
+      val adj = g2.adjacencyOut.persist()
+      val nbrs = g2.undirectedPairs.filter(col("node") =!= col("nbr"))
+        .groupBy("node").agg(sort_array(collect_list(col("nbr"))).as("pn")).persist()
+      val frontier = g2.nodes
+        .select(col("id").as("start"), lit(0L).as("walk"), col("id").as("cur"),
+          col("id").as("prev"))
+        .localCheckpoint(true)
+      val classified = frontier
+        .join(nbrs, frontier("prev") === nbrs("node"), "left")
+        .select(col("start"), col("walk"), col("cur"), col("prev"),
+          coalesce(col("pn"), array().cast("array<bigint>")).as("pn"))
+      val joined = classified
+        .join(adj, classified("cur") === adj("src"))
+        .withColumn("inter", array_intersect(col("dsts"), col("pn")))
+      def weight(c: org.apache.spark.sql.Column) =
+        when(col("prev").isNull, lit(1L))
+          .when(c === col("prev"), lit(2L))
+          .when(array_contains(col("inter"), c), lit(1L))
+          .otherwise(lit(4L))
+      val pick = array_min(flatten(transform(
+        col("dsts"),
+        c => transform(
+          sequence(lit(0L), weight(c) - 1L),
+          r => struct(
+            hmix(42L, (col("start"), M1), (col("walk"), M2), (lit(2), M3),
+              (c, M4), (r, M5)).as("h"),
+            c.as("n"))))))
+      joined
+        .select(col("start"), col("walk"), col("cur"), pick.as("m"))
+        .groupBy("start", "walk", "cur")
+        .agg(min(col("m")).as("m"))
+        .explain("formatted")
+      adj.unpersist(false); nbrs.unpersist(false)
+    }
+
+    // expected shape: ONE exchange — the register frame re-keys from
+    // (id, j) to id for the estimate aggregation; the ball-series frames
+    // downstream land hash-partitioned on id so the T+1 centrality joins
+    // add no exchanges (the series itself is checkpoint-truncated)
+    println("==== HyperBall estimate aggregation (one register re-key) ====")
+    locally {
+      val t2 = TranscriptGen.transcripts(spark, 100)
+      val g2 = TemporalGraph(EdgeBuilder.edges(t2))
+      graft.algos.Reach.estimateRaw(
+        graft.algos.Reach.registers(spark, g2, iters = 0)).explain("formatted")
+    }
+
     spark.stop()
   }
 
