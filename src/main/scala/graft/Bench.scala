@@ -265,6 +265,19 @@ object Bench {
       graft.algos.Centrality.eigenvector(
         spark, g, graft.algos.Centrality.Config(maxIter = 10, tol = 0.0)).count())
     results += "eigenvector" -> tEig
+    // weighted PageRank (event-multiplicity weights, 10 supersteps) —
+    // the weighted-CSR twin of pagerank_fixed20's message join
+    val (_, tWpr) = time {
+      val weights = g.edges.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.algos.PageRank.weighted(
+        spark, g, weights, graft.algos.PageRank.Config(maxIter = 10, tol = 0.0)).count()
+    }
+    results += "pagerank_weighted10" -> tWpr
+    // MIS on the RA graph: symmetry-breaking round family (few rounds —
+    // winners + their neighbourhoods decide most of the graph early)
+    val (_, tMis) = time(
+      graft.algos.Independent.maximalIndependentSet(spark, ra).count())
+    results += "graph_mis" -> tMis
 
     // --- one relational headline on the provided testdata ---
     val (_, tRel) = time(SparkEntry.queries("q_agg_groupby")(spark, sfDir).count())
