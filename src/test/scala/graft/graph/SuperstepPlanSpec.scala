@@ -123,6 +123,23 @@ class SuperstepPlanSpec extends SparkSpec {
     }
   }
 
+  test("weighted-PageRank superstep reuses the weighted-CSR partitioning") {
+    withShuffledJoins {
+      val weights = g.simpleEdges.withColumn("w", lit(1L))
+      val adj = g.adjacencyOutWeighted(weights, 1 << 17).persist()
+      adj.count()
+      val state = g.nodes.select(col("id"), lit(0.5).as("score")).localCheckpoint(true)
+      val msgs = adj
+        .join(state, adj("src") === state("id"))
+        .select(explode(col("dsts")).as("m"), col("score"), col("out_w"))
+        .select(col("m.dst").as("id"), (col("score") * col("m.w") / col("out_w")).as("wv"))
+        .groupBy("id")
+        .agg(sum("wv").as("msum"))
+      assertAdjacencyStaysPut(msgs)
+      adj.unpersist(true)
+    }
+  }
+
   test("signed CSR carries both directions exactly once per directed edge") {
     val tg = TemporalGraph.fromTriples(
       spark,
