@@ -43,12 +43,19 @@ object Independent {
    * order). Converges when nothing is undecided; a converged state is a
    * fixpoint (extra rounds no-op — the pinned-round oracle precedent).
    *
+   * THROWS if `maxRounds` is hit with nodes still undecided: a truncated
+   * run maps the undecided to in_mis = false, which is a NON-maximal set
+   * indistinguishable from a valid answer — failing loudly is the only
+   * safe surface. Luby-with-fixed-π needs O(log n) rounds w.h.p., so the
+   * default is generous; extra headroom costs nothing (the runner stops
+   * at convergence).
+   *
    * @return (id, in_mis)
    */
   def maximalIndependentSet(
       spark: SparkSession,
       g: TemporalGraph,
-      maxRounds: Int = 64,
+      maxRounds: Int = 256,
       seed: Long = 42L): DataFrame = {
     val und = g.undirectedPairs.filter(col("node") =!= col("nbr")).persist()
     try {
@@ -89,6 +96,11 @@ object Independent {
             (undecided == 0L, Map("undecided" -> undecided.toDouble))
           })
       }
+      if (!res.converged)
+        throw new IllegalStateException(
+          s"MIS did not converge in $maxRounds rounds (" +
+            s"${res.metrics.lastOption.flatMap(_.get("undecided")).getOrElse(-1.0)} " +
+            "nodes undecided) — a truncated result would be non-maximal; raise maxRounds")
       res.state.select(col("id"), (col("status") === 1).as("in_mis"))
     } finally und.unpersist(false)
   }
@@ -102,12 +114,20 @@ object Independent {
    * the sorted distinct neighbour-color set; the DuckDB oracle evaluates
    * the identical lambda (`list_filter(range(0, len+1), ...)[1]`).
    *
+   * THROWS if `maxRounds` is hit with nodes still uncolored (a truncated
+   * run would return null colors that look like data). Unlike MIS, JP's
+   * round count is the priority-DAG DEPTH, which on a dense graph can
+   * approach the longest ascending-π path (~150 measured on the sf0.01
+   * event graph) — hence the large default; callers with adversarially
+   * deep graphs must size maxRounds to the graph. The runner stops at
+   * convergence, so headroom is free.
+   *
    * @return (id, color ≥ 0)
    */
   def jonesPlassmann(
       spark: SparkSession,
       g: TemporalGraph,
-      maxRounds: Int = 64,
+      maxRounds: Int = 1024,
       seed: Long = 42L): DataFrame = {
     val und = g.undirectedPairs.filter(col("node") =!= col("nbr")).persist()
     try {
@@ -153,6 +173,11 @@ object Independent {
             (remaining == 0L, Map("uncolored" -> remaining.toDouble))
           })
       }
+      if (!res.converged)
+        throw new IllegalStateException(
+          s"Jones–Plassmann did not converge in $maxRounds rounds (" +
+            s"${res.metrics.lastOption.flatMap(_.get("uncolored")).getOrElse(-1.0)} " +
+            "nodes uncolored) — a truncated result has null colors; raise maxRounds")
       res.state.select(col("id"), col("color"))
     } finally und.unpersist(false)
   }

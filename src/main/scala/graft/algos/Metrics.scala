@@ -210,24 +210,33 @@ object Metrics {
    * S, vol(S) = Σ_{v∈S} deg(v), m = |undirected edges|; φ = 0 for an
    * isolated community, and communities whose volume is 0 report 0.
    *
-   * Plan: the canonical edge set joins the label frame twice (broadcast
-   * when small, hash otherwise — Catalyst's call) and partial-aggregates
-   * per label — two |E|-keyed exchanges and one |labels| aggregation,
-   * nothing quadratic; 2m rides along as a one-row broadcast.
+   * `labels` may cover only PART of the node set: an edge whose other
+   * endpoint is unlabeled is outside S by definition, so it counts as cut
+   * for the labeled endpoint's community (left joins — an inner join
+   * would silently drop such edges from cut while volume still counted
+   * the labeled endpoint's full degree, understating φ).
    *
-   * @param labels (id, label) — any partition assignment
+   * Plan: the canonical edge set left-joins the label frame twice
+   * (broadcast when small, hash otherwise — Catalyst's call) and
+   * partial-aggregates per label — two |E|-keyed exchanges and one
+   * |labels| aggregation, nothing quadratic; 2m rides along as a one-row
+   * broadcast.
+   *
+   * @param labels (id, label) — any partition assignment, partial allowed
    * @return (label, n_nodes, volume, cut_edges, conductance ROUND 6)
    */
   def conductance(g: TemporalGraph, labels: DataFrame): DataFrame = {
     val lab = labels.select(col("id"), col("label"))
     val e = g.canonicalUndirected
     val el = e
-      .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
-      .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
-    // each cut edge counts toward BOTH endpoint communities
+      .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"), "left")
+      .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"), "left")
+    // each cut edge counts toward BOTH endpoint communities (when labeled);
+    // null-safe inequality: a null (unlabeled) endpoint is never in S
     val cut = el
-      .filter(col("la") =!= col("lb"))
+      .filter(!(col("la") <=> col("lb")))
       .select(explode(array(col("la"), col("lb"))).as("label"))
+      .filter(col("label").isNotNull)
       .groupBy("label")
       .agg(count(lit(1)).as("cut_edges"))
     val deg = g.undirectedPairs

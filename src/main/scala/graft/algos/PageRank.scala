@@ -167,7 +167,10 @@ object PageRank {
    * u's total outgoing weight. With all weights 1 this reduces EXACTLY
    * to the unweighted [[run]] (w/out_w = 1/out_deg, same float ops).
    *
-   * `weights` is one row per distinct edge `(src, dst, w)`; INTEGER
+   * `weights` is one row per distinct edge `(src, dst, w)` with w ≥ 1 —
+   * a contract [[TemporalGraph.adjacencyOutWeighted]] ENFORCES rather than
+   * trusts (duplicates collapse by summing; w < 1 fails the CSR build
+   * loudly instead of seeding NaN/÷0 message terms). INTEGER
    * weights make the whole computation a deterministic function of exact
    * integers and the iteration count, so a DuckDB oracle replays it —
    * the natural transcript weighting (event multiplicity, or the

@@ -110,7 +110,7 @@ object Reach {
     val e = g.simpleEdges
     val init = registers(spark, g, iters = 0, seed = seed)
     val ests = scala.collection.mutable.ArrayBuffer(pin(estimateRaw(init)))
-    SuperstepRunner.run(
+    val run = SuperstepRunner.run(
       spark, init, RunConfig(maxSteps = iters, runId = s"hyperball-series-$seed")) {
       (state, _) =>
         val msgs = e
@@ -122,6 +122,9 @@ object Reach {
           .agg(max("rho").as("rho"))
         Step(next, { m => ests += pin(estimateRaw(m)); (false, Map.empty) })
     }
+    // only the pinned estimate frames escape — the run's final register
+    // state (localCheckpoint blocks) would otherwise stay cached until GC
+    org.apache.spark.sql.GraftSqlInternals.cachedRdd(run.state).foreach(_.unpersist(false))
     ests.toVector
   }
 

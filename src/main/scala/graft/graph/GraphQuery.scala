@@ -164,10 +164,13 @@ object GraphQuery {
         graft.algos.Reach.harmonicCloseness(spark, g, iters = pInt("iterCount", 8))
       case "mis" =>
         graft.algos.Independent.maximalIndependentSet(
-          spark, g, maxRounds = pInt("maxRounds", 64))
+          spark, g, maxRounds = pInt("maxRounds", 256))
       case "coloring" =>
+        // JP's round count is the priority-DAG depth — ~150 on the dense
+        // sf0.01 event graph — so the default must exceed it; Independent
+        // now throws (rather than returning null colors) if it is hit.
         graft.algos.Independent.jonesPlassmann(
-          spark, g, maxRounds = pInt("maxRounds", 64))
+          spark, g, maxRounds = pInt("maxRounds", 1024))
       case "label_propagation" =>
         graft.algos.LabelPropagation.run(
           spark, g,

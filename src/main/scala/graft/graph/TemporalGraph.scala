@@ -363,13 +363,32 @@ case class TemporalGraph(
    * out_deg in [[adjacencyOut]]). Sharding is by edge count, so hub fan-
    * out stays bounded regardless of the weight distribution; output is
    * hash-partitioned on (src, salt) by the groupBy.
+   *
+   * The '(src, dst) unique, w ≥ 1' contract is ENFORCED here rather than
+   * trusted: duplicate (src, dst) rows collapse by summing (multiplicity
+   * is additive weight — silently double-counting out_w while shipping
+   * both rows would skew every downstream w/out_w term), and any w < 1
+   * fails the build loudly (w ≤ 0 rows can zero out_w for a node that has
+   * edges — a division-by-zero/NaN score seed). Both guards run once, at
+   * CSR-build time, never in the superstep loop.
    */
   def adjacencyOutWeighted(
       weights: DataFrame,
       maxShard: Int = TemporalGraph.DefaultMaxShard): DataFrame = {
-    val deg = weights.groupBy("src")
+    val checked = weights.select(
+      col("src"),
+      col("dst"),
+      when(col("w") >= 1, col("w").cast("long"))
+        .otherwise(raise_error(concat(
+          lit("adjacencyOutWeighted: edge weight must be >= 1, got "),
+          col("w").cast("string"), lit(" on edge "),
+          col("src").cast("string"), lit("->"), col("dst").cast("string"))))
+        .as("w"))
+      .groupBy("src", "dst")
+      .agg(sum("w").as("w"))
+    val deg = checked.groupBy("src")
       .agg(count(lit(1)).as("out_deg"), sum("w").as("out_w"))
-    weights
+    checked
       .join(deg, Seq("src"))
       .withColumn(
         "salt",

@@ -29,6 +29,10 @@ import graft.graph.TemporalGraph
  *    one row per live walker per touched CSR shard — a walker at a
  *    degree-10M hub costs ⌈deg/maxShard⌉ shard rows, never a 10M-row
  *    explode, because the per-shard argmin is a fused array expression.
+ *    Superstep STATE is the frontier only (one row per live walker);
+ *    each step's corpus block is pinned separately and the corpus is
+ *    assembled once at the end (the Reach.ballSeries pattern), so
+ *    checkpoint traffic is O(length·walkers), never O(length²·walkers).
  *  - [[linkSplit]]: a stateless projection (no shuffle at all).
  *  - [[negativeSample]]: candidate generation joins (src, k) probes to a
  *    hash-bucketed node table — per probe the fan-out is ONE bucket
@@ -217,9 +221,17 @@ object GraphLearn {
    * walker frame. The per-shard argmin is `array_min` over a
    * `transform`-ed (hash, nbr) struct array — a fused columnar loop, no
    * explode — and shard minima combine in the walker-key groupBy, so hub
-   * sharding never leaves the CSR row count. The accumulated corpus rides
-   * in the superstep state (re-checkpointed per step — O(length²·walkers)
-   * writes; length is small by contract, enforced ≤ 64).
+   * sharding never leaves the CSR row count.
+   *
+   * Superstep STATE is the FRONTIER only — one (start, walk, node) row
+   * per live walker; each step's corpus block is pinned separately and
+   * the corpus is assembled (and pinned) once at the end, so per-step
+   * checkpoint traffic is frontier-sized and the total is
+   * O(length·walkers) — not the O(length²·walkers) a
+   * corpus-in-state design re-writes. (No checkpoint/resume surface here:
+   * a resumed frontier could not reconstruct the per-step blocks already
+   * emitted in a dead process, so offering one would be a silent-data-loss
+   * trap — persist the RESULT corpus instead, it is the durable artifact.)
    *
    * @return (start, walk, step 0-based, node) — step 0 is the start node
    */
@@ -228,45 +240,81 @@ object GraphLearn {
       g: TemporalGraph,
       length: Int = 8,
       nWalks: Int = 1,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    randomWalksFull(spark, g, length, nWalks, seed)._1
+
+  /** [[randomWalks]] also returning the superstep [[SuperstepRunner.RunResult]]
+    * — the final state is the (already-freed) FRONTIER frame, exposed so
+    * tests can assert the state stays walker-sized, and per-step `live`
+    * metrics ride along. */
+  private[graft] def randomWalksFull(
+      spark: SparkSession,
+      g: TemporalGraph,
+      length: Int = 8,
+      nWalks: Int = 1,
+      seed: Long = 42L): (DataFrame, SuperstepRunner.RunResult) = {
     require(length >= 1 && length <= 64, s"length=$length out of [1, 64]")
     require(nWalks >= 1 && nWalks <= 1024, s"nWalks=$nWalks out of [1, 1024]")
     val adj = g.adjacencyOut
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val init = g.nodes
-      .select(col("id").as("start"))
-      .withColumn("walk", explode(array((0 until nWalks).map(i => lit(i.toLong)): _*)))
-      .withColumn("step", lit(0L))
-      .withColumn("node", col("start"))
+    try {
+      val init = g.nodes
+        .select(col("id").as("start"))
+        .withColumn("walk", explode(array((0 until nWalks).map(i => lit(i.toLong)): _*)))
+        .withColumn("node", col("start"))
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-    val res = SuperstepRunner.run(
-      spark, init, SuperstepRunner.RunConfig(maxSteps = length, runId = s"walks-$seed")) {
-      (state, k) =>
-        val frontier = state
-          .filter(col("step") === (k - 1).toLong)
-          .select(col("start"), col("walk"), col("node").as("cur"))
-        val pick = transform(
-          col("dsts"),
-          x => struct(
-            hmix(seed, (col("start"), M1), (col("walk"), M2), (lit(k), M3), (x, M4)).as("h"),
-            x.as("n")))
-        val chosen = frontier
-          .join(adj, frontier("cur") === adj("src"))
-          .select(col("start"), col("walk"), array_min(pick).as("m"))
-          .groupBy("start", "walk")
-          .agg(min(col("m")).as("m"))
-          .select(col("start"), col("walk"), lit(k.toLong).as("step"), col("m.n").as("node"))
-        val next = state.unionByName(chosen)
-        SuperstepRunner.Step(
-          next,
-          st => {
-            val live = st.filter(col("step") === k.toLong).count()
-            (live == 0L, Map("live" -> live.toDouble))
-          })
-    }
-    adj.unpersist(false)
-    res.state
+      val res = SuperstepRunner.run(
+        spark, init,
+        SuperstepRunner.RunConfig(maxSteps = length, runId = s"walks-$seed")) {
+        (state, k) =>
+          val frontier = state.select(col("start"), col("walk"), col("node").as("cur"))
+          val pick = transform(
+            col("dsts"),
+            x => struct(
+              hmix(seed, (col("start"), M1), (col("walk"), M2), (lit(k), M3), (x, M4)).as("h"),
+              x.as("n")))
+          val chosen = frontier
+            .join(adj, frontier("cur") === adj("src"))
+            .select(col("start"), col("walk"), array_min(pick).as("m"))
+            .groupBy("start", "walk")
+            .agg(min(col("m")).as("m"))
+            .select(col("start"), col("walk"), col("m.n").as("node"))
+          SuperstepRunner.Step(
+            chosen,
+            st => {
+              val block = pinned(
+                st.select(col("start"), col("walk"), lit(k.toLong).as("step"), col("node")))
+              blocks += block
+              val live = block.count()
+              (live == 0L, Map("live" -> live.toDouble))
+            })
+      }
+      (assembleCorpus(
+        init.select(col("start"), col("walk"), lit(0L).as("step"), col("node")),
+        blocks.toSeq, res), res)
+    } finally adj.unpersist(false)
+  }
+
+  /** Eager local checkpoint with inherited statistics dropped — pins a
+    * per-step corpus block's own cache blocks (runner states are freed
+    * eagerly, so a lazy view over them would not survive the run). */
+  private def pinned(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSqlInternals.resetStats(df.localCheckpoint(true))
+
+  /** Union the step-0 block with the pinned per-step blocks into ONE pinned
+    * corpus frame, then free the per-step blocks and the run's final
+    * frontier — exactly one full-corpus write, nothing left cached but the
+    * returned frame. */
+  private def assembleCorpus(
+      step0: DataFrame,
+      blocks: Seq[DataFrame],
+      res: SuperstepRunner.RunResult): DataFrame = {
+    val out = pinned(blocks.foldLeft(step0)(_.unionByName(_)))
+    (blocks :+ res.state).foreach(b =>
+      org.apache.spark.sql.GraftSqlInternals.cachedRdd(b).foreach(_.unpersist(false)))
+    out
   }
 
   /**
@@ -316,67 +364,74 @@ object GraphLearn {
       .groupBy("node")
       .agg(sort_array(collect_list(col("nbr"))).as("pn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val emptyArr = array().cast("array<bigint>")
-    val init = g.nodes
-      .select(col("id").as("start"))
-      .withColumn("walk", explode(array((0 until nWalks).map(i => lit(i.toLong)): _*)))
-      .withColumn("step", lit(0L))
-      .withColumn("node", col("start"))
-      .withColumn("prev", lit(null).cast("long"))
+    try {
+      val emptyArr = array().cast("array<bigint>")
+      // frontier-only state: (start, walk, node, prev) — one row per live
+      // walker; the corpus is pinned per step (see randomWalks)
+      val init = g.nodes
+        .select(col("id").as("start"))
+        .withColumn("walk", explode(array((0 until nWalks).map(i => lit(i.toLong)): _*)))
+        .withColumn("node", col("start"))
+        .withColumn("prev", lit(null).cast("long"))
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-    val res = SuperstepRunner.run(
-      spark, init, SuperstepRunner.RunConfig(maxSteps = length, runId = s"n2v-$seed")) {
-      (state, k) =>
-        val frontier = state
-          .filter(col("step") === (k - 1).toLong)
-          .select(col("start"), col("walk"), col("node").as("cur"), col("prev"))
-        // step 1 has NO prev (uniform step): skip the classification join
-        // entirely — an all-NULL join key never matches but hashes every
-        // walker into ONE reducer partition, a full-frontier skew funnel
-        val classified =
-          if (k == 1) frontier.withColumn("pn", emptyArr)
-          else
-            frontier
-              .join(nbrs, frontier("prev") === nbrs("node"), "left")
-              .select(
-                col("start"), col("walk"), col("cur"), col("prev"),
-                coalesce(col("pn"), emptyArr).as("pn"))
-        val joined = classified
-          .join(adj, classified("cur") === adj("src"))
-          // once per (walker, shard) row, NOT per candidate
-          .withColumn("inter", array_intersect(col("dsts"), col("pn")))
-        def weight(c: Column): Column =
-          when(col("prev").isNull, lit(1L))
-            .when(c === col("prev"), lit(wReturn.toLong))
-            .when(array_contains(col("inter"), c), lit(wInner.toLong))
-            .otherwise(lit(wOuter.toLong))
-        val pick = array_min(flatten(transform(
-          col("dsts"),
-          c => transform(
-            sequence(lit(0L), weight(c) - 1L),
-            r => struct(
-              hmix(seed,
-                (col("start"), M1), (col("walk"), M2), (lit(k), M3),
-                (c, M4), (r, M5)).as("h"),
-              c.as("n"))))))
-        val chosen = joined
-          .select(col("start"), col("walk"), col("cur"), pick.as("m"))
-          .groupBy("start", "walk", "cur") // cur is unique per (start, walk)
-          .agg(min(col("m")).as("m"))
-          .select(
-            col("start"), col("walk"), lit(k.toLong).as("step"),
-            col("m.n").as("node"), col("cur").as("prev"))
-        val next = state.unionByName(chosen)
-        SuperstepRunner.Step(
-          next,
-          st => {
-            val live = st.filter(col("step") === k.toLong).count()
-            (live == 0L, Map("live" -> live.toDouble))
-          })
+      val res = SuperstepRunner.run(
+        spark, init, SuperstepRunner.RunConfig(maxSteps = length, runId = s"n2v-$seed")) {
+        (state, k) =>
+          val frontier = state.select(col("start"), col("walk"), col("node").as("cur"), col("prev"))
+          // step 1 has NO prev (uniform step): skip the classification join
+          // entirely — an all-NULL join key never matches but hashes every
+          // walker into ONE reducer partition, a full-frontier skew funnel
+          val classified =
+            if (k == 1) frontier.withColumn("pn", emptyArr)
+            else
+              frontier
+                .join(nbrs, frontier("prev") === nbrs("node"), "left")
+                .select(
+                  col("start"), col("walk"), col("cur"), col("prev"),
+                  coalesce(col("pn"), emptyArr).as("pn"))
+          val joined = classified
+            .join(adj, classified("cur") === adj("src"))
+            // once per (walker, shard) row, NOT per candidate
+            .withColumn("inter", array_intersect(col("dsts"), col("pn")))
+          def weight(c: Column): Column =
+            when(col("prev").isNull, lit(1L))
+              .when(c === col("prev"), lit(wReturn.toLong))
+              .when(array_contains(col("inter"), c), lit(wInner.toLong))
+              .otherwise(lit(wOuter.toLong))
+          val pick = array_min(flatten(transform(
+            col("dsts"),
+            c => transform(
+              sequence(lit(0L), weight(c) - 1L),
+              r => struct(
+                hmix(seed,
+                  (col("start"), M1), (col("walk"), M2), (lit(k), M3),
+                  (c, M4), (r, M5)).as("h"),
+                c.as("n"))))))
+          val chosen = joined
+            .select(col("start"), col("walk"), col("cur"), pick.as("m"))
+            .groupBy("start", "walk", "cur") // cur is unique per (start, walk)
+            .agg(min(col("m")).as("m"))
+            .select(
+              col("start"), col("walk"),
+              col("m.n").as("node"), col("cur").as("prev"))
+          SuperstepRunner.Step(
+            chosen,
+            st => {
+              val block = pinned(
+                st.select(col("start"), col("walk"), lit(k.toLong).as("step"), col("node")))
+              blocks += block
+              val live = block.count()
+              (live == 0L, Map("live" -> live.toDouble))
+            })
+      }
+      assembleCorpus(
+        init.select(col("start"), col("walk"), lit(0L).as("step"), col("node")),
+        blocks.toSeq, res)
+    } finally {
+      adj.unpersist(false)
+      nbrs.unpersist(false)
     }
-    adj.unpersist(false)
-    nbrs.unpersist(false)
-    res.state.select("start", "walk", "step", "node")
   }
 
   /**
@@ -421,45 +476,50 @@ object GraphLearn {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val init = g.nodes
-      .select(col("id").as("start"))
-      .withColumn("walk", explode(array((0 until nWalks).map(i => lit(i.toLong)): _*)))
-      .withColumn("step", lit(0L))
-      .withColumn("node", col("start"))
-      .withColumn("ts", lit(startTs))
+    try {
+      // frontier-only state: (start, walk, node, ts) — see randomWalks
+      val init = g.nodes
+        .select(col("id").as("start"))
+        .withColumn("walk", explode(array((0 until nWalks).map(i => lit(i.toLong)): _*)))
+        .withColumn("node", col("start"))
+        .withColumn("ts", lit(startTs))
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-    val res = SuperstepRunner.run(
-      spark, init, SuperstepRunner.RunConfig(maxSteps = length, runId = s"twalks-$seed")) {
-      (state, k) =>
-        val frontier = state
-          .filter(col("step") === (k - 1).toLong)
-          .select(col("start"), col("walk"), col("node").as("cur"), col("ts").as("t"))
-        val pick = transform(
-          filter(col("evs"), x => x("ts") > col("t")),
-          x => struct(
-            hmix(seed, (col("start"), M1), (col("walk"), M2), (lit(k), M3),
-              (x("dst"), M4), (x("ts"), M5)).as("h"),
-            x("dst").as("n"),
-            x("ts").as("ets")))
-        val chosen = frontier
-          .join(adj, frontier("cur") === adj("src"))
-          .select(col("start"), col("walk"), array_min(pick).as("m"))
-          .filter(col("m").isNotNull)
-          .groupBy("start", "walk")
-          .agg(min(col("m")).as("m"))
-          .select(
-            col("start"), col("walk"), lit(k.toLong).as("step"),
-            col("m.n").as("node"), col("m.ets").as("ts"))
-        val next = state.unionByName(chosen)
-        SuperstepRunner.Step(
-          next,
-          st => {
-            val live = st.filter(col("step") === k.toLong).count()
-            (live == 0L, Map("live" -> live.toDouble))
-          })
-    }
-    adj.unpersist(false)
-    res.state
+      val res = SuperstepRunner.run(
+        spark, init, SuperstepRunner.RunConfig(maxSteps = length, runId = s"twalks-$seed")) {
+        (state, k) =>
+          val frontier = state
+            .select(col("start"), col("walk"), col("node").as("cur"), col("ts").as("t"))
+          val pick = transform(
+            filter(col("evs"), x => x("ts") > col("t")),
+            x => struct(
+              hmix(seed, (col("start"), M1), (col("walk"), M2), (lit(k), M3),
+                (x("dst"), M4), (x("ts"), M5)).as("h"),
+              x("dst").as("n"),
+              x("ts").as("ets")))
+          val chosen = frontier
+            .join(adj, frontier("cur") === adj("src"))
+            .select(col("start"), col("walk"), array_min(pick).as("m"))
+            .filter(col("m").isNotNull)
+            .groupBy("start", "walk")
+            .agg(min(col("m")).as("m"))
+            .select(
+              col("start"), col("walk"),
+              col("m.n").as("node"), col("m.ets").as("ts"))
+          SuperstepRunner.Step(
+            chosen,
+            st => {
+              val block = pinned(st.select(
+                col("start"), col("walk"), lit(k.toLong).as("step"), col("node"), col("ts")))
+              blocks += block
+              val live = block.count()
+              (live == 0L, Map("live" -> live.toDouble))
+            })
+      }
+      assembleCorpus(
+        init.select(col("start"), col("walk"), lit(0L).as("step"), col("node"), col("ts")),
+        blocks.toSeq, res)
+    } finally adj.unpersist(false)
   }
 
   /**

@@ -107,4 +107,27 @@ class IndependentSpec extends SparkSpec {
     val jp = Independent.jonesPlassmann(spark, big).collect().map(_.getLong(1)).toSet
     assert(jp == Set(0L, 1L, 2L))
   }
+
+  test("MIS and JP throw on non-convergence instead of returning truncated state") {
+    // a path whose nodes are chained in ASCENDING priority order needs
+    // ~depth rounds (each round decides only the head of the undecided
+    // suffix) — the worst case for both algorithms. Built from the same
+    // hash the algorithms use, so the ordering is exact, not probabilistic.
+    val ordered = (1L to 24L).sortBy(id => (hOf(42L, id), id))
+    val path = ordered.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val g = graphOf(path)
+    val eMis = intercept[IllegalStateException] {
+      Independent.maximalIndependentSet(spark, g, maxRounds = 2, seed = 42L)
+    }
+    assert(eMis.getMessage.contains("did not converge"))
+    val eJp = intercept[IllegalStateException] {
+      Independent.jonesPlassmann(spark, g, maxRounds = 2, seed = 42L)
+    }
+    assert(eJp.getMessage.contains("did not converge"))
+    // with headroom the same graph completes and the coloring is total
+    val colors = Independent.jonesPlassmann(spark, g, maxRounds = 64, seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(colors.size == 24 && colors.values.forall(_ >= 0L))
+    path.foreach { case (a, b) => assert(colors(a) != colors(b)) }
+  }
 }

@@ -153,6 +153,24 @@ class GraphLearnSpec extends SparkSpec {
     assert(walks.count() == 3 * 4) // 3-cycle: every walker completes all steps
   }
 
+  test("randomWalks: superstep state is the frontier, not the accumulated corpus") {
+    // the scale-shape contract: per-step state (what the runner
+    // re-checkpoints) carries one row per LIVE walker — the corpus blocks
+    // are pinned outside the loop, so checkpoint traffic is
+    // O(length·walkers), not O(length²·walkers)
+    val (walks, res) = GraphLearn.randomWalksFull(
+      spark, fixtureGraph, length = 4, nWalks = 2, seed = 9L)
+    // state schema is the frontier (no step column = no corpus in state)
+    assert(res.state.columns.toSet == Set("start", "walk", "node"))
+    // per-step live-walker metric never exceeds the walker count (the
+    // corpus-in-state design re-counted 14, 28, 42, ... rows per step)
+    val lives = res.metrics.flatMap(_.get("live"))
+    assert(lives.nonEmpty && lives.forall(_ <= 14.0))
+    // the assembled corpus is complete anyway
+    assert(walks.count() == walks.select("start", "walk", "step").distinct().count())
+    assert(walks.filter(col("step") === 0L).count() == 14)
+  }
+
   test("node2vecWalks: weighted-replica argmin replay, all three weight classes, invariances") {
     val g = fixtureGraph
     val (wr, wn, wo) = (4, 1, 2)
