@@ -14,16 +14,23 @@ import org.apache.spark.sql.functions._
  * not an engine.
  *
  * Supported (the reference's test surface, not full openCypher):
- *  - one linear pattern: `(a)-[e:LAYER]->(b)<-[f]-(c)…` — named/anonymous
- *    nodes and edges, per-hop direction `->` / `<-` / undirected `-`
+ *  - MULTI-pattern MATCH: comma-separated linear patterns
+ *    `(a)-[e:LAYER]->(b)<-[f]-(c), (b)-[g]->(d)` — named/anonymous nodes
+ *    and edges, per-hop direction `->` / `<-` / undirected `-`
  *    (undirected matches both orientations, two bindings per edge, as in
- *    Cypher);
+ *    Cypher). Patterns sharing a node variable equi-join on it; disjoint
+ *    patterns cross-join (the reference transpiler's `parse_tables_2`
+ *    semantics, raphtory-cypher/src/transpiler/mod.rs:564-807). Edge
+ *    variables must be unique across the whole MATCH;
  *  - `WHERE` with and/or/not, parentheses, comparisons
  *    (=, <>, >, >=, <, <=), `CONTAINS`, `STARTS WITH`, `ENDS WITH` over
  *    `var.field` / node vars / literals;
  *  - `RETURN *` | items (`e`, `n`, `e.field`, `type(e)`,
  *    `COUNT(*)` / `COUNT(e)` / `COUNT(e.f)` / `COUNT(DISTINCT e.f)`)
- *    with `AS` aliases; `ORDER BY … [ASC|DESC]`; `LIMIT n`.
+ *    with `AS` aliases; mixing aggregates with plain items applies
+ *    Cypher's IMPLICIT GROUPING — the non-aggregate items become the
+ *    grouping keys (transpiler/mod.rs:372-437); `ORDER BY … [ASC|DESC]`
+ *    (over output items when grouped); `LIMIT n`.
  *
  * Field names: edges expose src, dst, ts (alias `time`), event_id, layer
  * (`type(e)` ≡ `e.layer`); a node variable IS its id. Returned edge
@@ -48,9 +55,9 @@ object CypherLite {
   private final case class CountAgg(arg: Option[Expr], distinct: Boolean) extends Expr
 
   private final case class RetItem(expr: Expr, alias: Option[String])
+  private final case class Pattern(nodes: Seq[NodePat], rels: Seq[RelPat])
   private final case class Ast(
-      nodes: Seq[NodePat],
-      rels: Seq[RelPat],
+      patterns: Seq[Pattern],
       where: Option[Expr],
       returnStar: Boolean,
       items: Seq[RetItem],
@@ -112,7 +119,9 @@ object CypherLite {
 
     def parse(): Ast = {
       eatKw("MATCH")
-      val (nodes, rels) = pattern()
+      val pats = Seq.newBuilder[Pattern]
+      pats += pattern()
+      while (peek.kind == ",") { next(); pats += pattern() }
       val where = if (kw("WHERE")) { next(); Some(boolExpr()) } else None
       eatKw("RETURN")
       var star = false
@@ -142,10 +151,10 @@ object CypherLite {
         } else Seq.empty
       val lim = if (kw("LIMIT")) { next(); Some(eat("num").text.toInt) } else None
       require(done, s"trailing tokens from '${peek.text}' in: $q")
-      Ast(nodes, rels, where, star, items, ord, lim)
+      Ast(pats.result(), where, star, items, ord, lim)
     }
 
-    private def pattern(): (Seq[NodePat], Seq[RelPat]) = {
+    private def pattern(): Pattern = {
       val nodes = Seq.newBuilder[NodePat]
       val rels = Seq.newBuilder[RelPat]
       nodes += nodePat()
@@ -153,7 +162,7 @@ object CypherLite {
         rels += relPat()
         nodes += nodePat()
       }
-      (nodes.result(), rels.result())
+      Pattern(nodes.result(), rels.result())
     }
 
     private def nodePat(): NodePat = {
@@ -255,24 +264,31 @@ object CypherLite {
   def run(g: TemporalGraph, query: String): DataFrame = {
     val ast = new P(tokenize(query), query).parse()
 
-    // synthetic names for anonymous vars; node var -> chain position
-    val nodeVar = ast.nodes.zipWithIndex.map { case (n, k) =>
-      n.name.getOrElse(s"__n$k")
+    // synthetic names for anonymous vars, unique across ALL patterns; a
+    // node var repeated across patterns is the SAME binding (equi-join)
+    var anon = -1
+    def fresh(prefix: String): String = { anon += 1; s"__$prefix$anon" }
+    val pats = ast.patterns.map { p =>
+      val nv = p.nodes.map(n => n.name.getOrElse(fresh("n")))
+      val rv = p.rels.map(r => r.name.getOrElse(fresh("e")))
+      require(nv.distinct.size == nv.size,
+        s"duplicate node variable within one pattern in: $query")
+      (p, nv, rv)
     }
-    val relVar = ast.rels.zipWithIndex.map { case (r, k) =>
-      r.name.getOrElse(s"__e$k")
-    }
-    require(nodeVar.distinct.size == nodeVar.size, s"duplicate node variable in: $query")
+    val nodeVar = pats.flatMap(_._2).distinct
+    val relVar = pats.flatMap(_._3)
     require(relVar.distinct.size == relVar.size, s"duplicate edge variable in: $query")
 
-    // base frame: the chain join. Node k's id column is nodeCol(k).
-    def nodeCol(k: Int) = s"__node$k"
-    val base: DataFrame =
-      if (ast.rels.isEmpty) {
-        g.nodes.select(col("id").as(nodeCol(0)))
+    // node variable v binds column nodeCol(v) — shared across patterns, so
+    // pattern frames equi-join on exactly their shared variables
+    def nodeCol(v: String) = s"__node_$v"
+
+    def patternFrame(p: Pattern, nv: Seq[String], rv: Seq[String]): DataFrame =
+      if (p.rels.isEmpty) {
+        g.nodes.select(col("id").as(nodeCol(nv.head)))
       } else {
-        val hops = ast.rels.zipWithIndex.map { case (r, k) =>
-          val v = relVar(k)
+        val hops = p.rels.zipWithIndex.map { case (r, k) =>
+          val v = rv(k)
           val e0 = r.layer match {
             case Some(l) => g.edges.filter(col("layer") === l)
             case None    => g.edges
@@ -282,8 +298,8 @@ object CypherLite {
             col("ts").as(s"${v}_ts"), col("event_id").as(s"${v}_event_id"),
             col("layer").as(s"${v}_layer"))
           def oriented(tailIsSrc: Boolean) = named.select(
-            (if (tailIsSrc) col(s"${v}_src") else col(s"${v}_dst")).as(nodeCol(k)),
-            (if (tailIsSrc) col(s"${v}_dst") else col(s"${v}_src")).as(nodeCol(k + 1)),
+            (if (tailIsSrc) col(s"${v}_src") else col(s"${v}_dst")).as(nodeCol(nv(k))),
+            (if (tailIsSrc) col(s"${v}_dst") else col(s"${v}_src")).as(nodeCol(nv(k + 1))),
             col(s"${v}_src"), col(s"${v}_dst"), col(s"${v}_ts"),
             col(s"${v}_event_id"), col(s"${v}_layer"))
           r.dir match {
@@ -292,11 +308,21 @@ object CypherLite {
             case 0  => oriented(tailIsSrc = true).unionByName(oriented(tailIsSrc = false))
           }
         }
-        hops.reduceLeft((acc, hop) => acc.join(hop, Seq(acc.columns.intersect(hop.columns).head)))
+        hops.reduceLeft { (acc, hop) =>
+          acc.join(hop, acc.columns.intersect(hop.columns).toSeq)
+        }
       }
 
-    val nodeColOf: Map[String, String] =
-      nodeVar.zipWithIndex.map { case (v, k) => v -> nodeCol(k) }.toMap
+    // multi-pattern combine: equi-join on shared node variables when any,
+    // cross join for disjoint patterns (transpiler/mod.rs parse_tables_2)
+    val base: DataFrame = pats
+      .map { case (p, nv, rv) => patternFrame(p, nv, rv) }
+      .reduceLeft { (acc, f) =>
+        val shared = acc.columns.intersect(f.columns).toSeq
+        if (shared.nonEmpty) acc.join(f, shared) else acc.crossJoin(f)
+      }
+
+    val nodeColOf: Map[String, String] = nodeVar.map(v => v -> nodeCol(v)).toMap
     val relVars = relVar.toSet
 
     def fieldCol(v: String, field: String): Column = {
@@ -341,51 +367,86 @@ object CypherLite {
     val filtered = ast.where.map(w => base.filter(compile(w))).getOrElse(base)
 
     // RETURN
-    def expandVar(v: String, out: Seq[(Column, String)]): Seq[(Column, String)] =
-      if (relVars.contains(v))
-        out ++ EdgeFields.map(f => col(s"${v}_$f") -> s"${v}_$f")
-      else out :+ (col(nodeColOf(v)) -> v)
-
     val items: Seq[RetItem] =
       if (ast.returnStar)
         nodeVar.filterNot(_.startsWith("__")).map(v => RetItem(VarRef(v), None)) ++
           relVar.filterNot(_.startsWith("__")).map(v => RetItem(VarRef(v), None))
       else ast.items
 
+    // (input column, output name) pairs of a non-aggregate item (a whole
+    // edge var expands to its 5 fields; everything else is one column)
+    def itemCols(it: RetItem): Seq[(Column, String)] = it match {
+      case RetItem(VarRef(v), alias) if relVars.contains(v) =>
+        require(alias.isEmpty, s"cannot alias a whole edge variable: $query")
+        EdgeFields.map(f => col(s"${v}_$f") -> s"${v}_$f")
+      case RetItem(VarRef(v), alias) if nodeColOf.contains(v) =>
+        Seq(col(nodeColOf(v)) -> alias.getOrElse(v))
+      case RetItem(e, alias) =>
+        val default = e match {
+          case Prop(v, f) => s"${v}_${if (f == "time") "ts" else f}"
+          case TypeOf(v)  => s"${v}_type"
+          case _          => "expr"
+        }
+        Seq(compile(e) -> alias.getOrElse(default))
+    }
+
+    def aggCol(it: RetItem, k: Int): (Column, String) = {
+      val RetItem(CountAgg(arg, distinct), alias) = it: @unchecked
+      val name = alias.getOrElse(s"count$k")
+      val c = (arg, distinct) match {
+        case (None, _)       => count(lit(1))
+        case (Some(a), true) => count_distinct(compile(a))
+        case (Some(VarRef(v)), false) =>
+          // COUNT(e)/COUNT(n): rows where the binding is non-null — the
+          // inner-join chain never produces nulls, so it's the row count
+          count(if (relVars.contains(v)) col(s"${v}_src") else col(nodeColOf(v)))
+        case (Some(a), false) => count(compile(a))
+      }
+      c -> name
+    }
+
     val hasAgg = items.exists(_.expr.isInstanceOf[CountAgg])
     val result: DataFrame =
       if (hasAgg) {
-        require(items.forall(_.expr.isInstanceOf[CountAgg]),
-          s"mixing aggregates and plain columns needs GROUP BY (unsupported): $query")
-        val aggs = items.zipWithIndex.map { case (RetItem(CountAgg(arg, distinct), alias), k) =>
-          val name = alias.getOrElse(s"count$k")
-          (arg, distinct) match {
-            case (None, _)            => count(lit(1)).as(name)
-            case (Some(a), true)      => count_distinct(compile(a)).as(name)
-            case (Some(VarRef(v)), false) =>
-              // COUNT(e)/COUNT(n): rows where the binding is non-null — the
-              // inner-join chain never produces nulls, so it's the row count
-              val c = if (relVars.contains(v)) col(s"${v}_src") else col(nodeColOf(v))
-              count(c).as(name)
-            case (Some(a), false)     => count(compile(a)).as(name)
-          }
+        // Cypher's implicit grouping (transpiler/mod.rs:372-437): the
+        // non-aggregate RETURN items become the grouping keys, in order;
+        // output column order follows the RETURN list
+        val named = items.zipWithIndex.map {
+          case (it, k) if it.expr.isInstanceOf[CountAgg] => Left(aggCol(it, k))
+          case (it, _)                                   => Right(itemCols(it))
         }
-        filtered.agg(aggs.head, aggs.tail: _*)
+        val keys = named.collect { case Right(cs) => cs }.flatten
+        val aggs = named.collect { case Left(a) => a }.map { case (c, n) => c.as(n) }
+        val grouped =
+          if (keys.isEmpty) filtered.agg(aggs.head, aggs.tail: _*)
+          else
+            filtered
+              .groupBy(keys.map { case (c, n) => c.as(n) }: _*)
+              .agg(aggs.head, aggs.tail: _*)
+              .select(named.flatMap {
+                case Left((_, n)) => Seq(col(n))
+                case Right(cs)    => cs.map { case (_, n) => col(n) }
+              }: _*)
+        if (ast.orderBy.nonEmpty) {
+          // grouped output: ORDER BY addresses output items — match each
+          // key syntactically to its output column; an aggregate is
+          // addressable via its alias
+          val outName: Map[Expr, String] = items.zipWithIndex.flatMap {
+            case (RetItem(e, alias), k) if e.isInstanceOf[CountAgg] =>
+              val n = alias.getOrElse(s"count$k")
+              Seq(e -> n) ++ alias.map(a => (VarRef(a): Expr) -> n)
+            case (it @ RetItem(e, alias), _) =>
+              Seq(e -> itemCols(it).head._2) ++
+                alias.map(a => (VarRef(a): Expr) -> itemCols(it).head._2)
+          }.toMap
+          grouped.orderBy(ast.orderBy.map { case (e, desc) =>
+            val c = outName.get(e).map(col).getOrElse(throw new IllegalArgumentException(
+              s"ORDER BY over grouped output must name a RETURN item in: $query"))
+            if (desc) c.desc else c.asc
+          }: _*)
+        } else grouped
       } else {
-        val cols = items.flatMap {
-          case RetItem(VarRef(v), alias) if relVars.contains(v) =>
-            require(alias.isEmpty, s"cannot alias a whole edge variable: $query")
-            EdgeFields.map(f => col(s"${v}_$f").as(s"${v}_$f"))
-          case RetItem(VarRef(v), alias) if nodeColOf.contains(v) =>
-            Seq(col(nodeColOf(v)).as(alias.getOrElse(v)))
-          case RetItem(e, alias) =>
-            val default = e match {
-              case Prop(v, f) => s"${v}_${if (f == "time") "ts" else f}"
-              case TypeOf(v)  => s"${v}_type"
-              case _          => "expr"
-            }
-            Seq(compile(e).as(alias.getOrElse(default)))
-        }
+        val cols = items.flatMap(itemCols).map { case (c, n) => c.as(n) }
         val ordered =
           if (ast.orderBy.nonEmpty)
             filtered.orderBy(ast.orderBy.map { case (e, desc) =>

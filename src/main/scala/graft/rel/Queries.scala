@@ -2513,9 +2513,13 @@ object Queries {
     (
       "q_graph_harmonic",
       // HyperBall's headline application (Boldi–Vigna 2013 §5): harmonic +
-      // closeness centrality from the per-step ball estimates — per-step
-      // 6-dp rounding on both sides pins every downstream float op to
-      // identical inputs; folds are explicit left-to-right chains.
+      // closeness centrality from the per-step ball estimates. Per-step
+      // estimates stay UNROUNDED on both sides (both engines derive the
+      // same doubles from exact-integer register denominators — see
+      // Reach.ballSeries: rounding per step would let the two engines'
+      // round() pick adjacent doubles at a boundary and amplify the gap
+      // through the fold); folds are explicit left-to-right chains and
+      // rounding happens once, on the outputs.
       (s, d) => graft.algos.Reach.harmonicCloseness(s, eventGraph(s, d), iters = 3),
       Some(harmonicOracleSql(iters = 3))),
 
@@ -4072,6 +4076,45 @@ object Queries {
            |FROM (SELECT dst, tms FROM e0 WHERE layer = 'click') x
            |JOIN (SELECT src, tms FROM e0 WHERE layer = 'view') y
            |  ON x.dst = y.src AND x.tms < y.tms""".stripMargin)),
+    (
+      "q_cypher_multi",
+      // MULTI-pattern MATCH (transpiler parse_tables_2 shape): two
+      // comma-separated patterns equi-join on their shared node variable b
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b), (b)-[f:view]->(c) " +
+          "WHERE e.time < f.time RETURN a, b, c, f.time AS view_ts"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer,
+           |    epoch_us(ts) // 1000 AS tms FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT x.src AS a, x.dst AS b, y.dst AS c, y.tms AS view_ts
+           |FROM (SELECT src, dst, tms FROM e0 WHERE layer = 'click') x
+           |JOIN (SELECT src, dst, tms FROM e0 WHERE layer = 'view') y
+           |  ON x.dst = y.src AND x.tms < y.tms""".stripMargin)),
+    (
+      "q_cypher_groupby",
+      // Cypher's IMPLICIT grouping (transpiler returns :372-437): mixing a
+      // plain binding with aggregates groups by the binding — here both a
+      // plain COUNT(e) and a COUNT(DISTINCT b) per source node
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b) RETURN a, COUNT(e) AS n_clicks, " +
+          "COUNT(DISTINCT b) AS n_dsts ORDER BY a LIMIT 500"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer,
+           |    epoch_us(ts) // 1000 AS tms FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT src AS a, CAST(count(*) AS BIGINT) AS n_clicks,
+           |       CAST(count(DISTINCT dst) AS BIGINT) AS n_dsts
+           |FROM e0 WHERE layer = 'click'
+           |GROUP BY src ORDER BY src LIMIT 500""".stripMargin)),
 
     // ---- composite property-filter + prefix/fuzzy search (parity with
     //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----

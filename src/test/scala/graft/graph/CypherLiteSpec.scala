@@ -113,10 +113,49 @@ class CypherLiteSpec extends SparkSpec {
     assert(rows.distinct().collect().map(_.getString(0)).toSet == Set("KNOWS", "WORKS"))
   }
 
+  test("multi-pattern MATCH joins on the shared node variable (transpiler parse_tables_2)") {
+    val rows = CypherLite.run(
+      g, "MATCH (a)-[e:KNOWS]->(b), (b)-[f:WORKS]->(c) RETURN a, b, c")
+    assert(rows.columns.toSeq == Seq("a", "b", "c"))
+    val got = rows.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // KNOWS: 1→2, 2→3, 2→4; WORKS: 3→4, 4→1 — join on b
+    assert(got == Set((2L, 3L, 4L), (2L, 4L, 1L)))
+    // WHERE can span both patterns
+    val n = CypherLite.run(
+      g,
+      "MATCH (a)-[e:KNOWS]->(b), (b)-[f:WORKS]->(c) WHERE e.time < f.time RETURN COUNT(*)")
+      .first().getLong(0)
+    assert(n == 1L) // only (2,3,4): 20 < 30; (2,4,1) has 60 > 40
+  }
+
+  test("disjoint multi-pattern MATCH is a cross join (transpiler parse_tables_2)") {
+    val n = CypherLite.run(g, "MATCH (a)-[e:WORKS]->(b), (c) RETURN COUNT(*)")
+      .first().getLong(0)
+    assert(n == 2L * 4L) // 2 WORKS edges × 4 nodes
+  }
+
+  test("implicit grouping: RETURN key, COUNT(...) (transpiler returns :372-437)") {
+    val rows = CypherLite.run(
+      g, "MATCH (a)-[e]->(b) RETURN a, COUNT(e) AS n, COUNT(DISTINCT b) AS nb ORDER BY a")
+    assert(rows.columns.toSeq == Seq("a", "n", "nb"))
+    val got = rows.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 1L, 1L), (4L, 1L, 1L)))
+    // grouping key can be an edge expression; ORDER BY an aggregate alias
+    val byType = CypherLite.run(
+      g, "MATCH ()-[e]->() RETURN type(e) AS t, COUNT(*) AS n ORDER BY n DESC")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byType == Seq(("KNOWS", 3L), ("WORKS", 2L)))
+  }
+
   test("malformed queries fail loudly") {
     intercept[IllegalArgumentException](CypherLite.run(g, "MATCH (a)-[e]->(a) RETURN e")) // dup var
     intercept[IllegalArgumentException](CypherLite.run(g, "MATCH ()-[e]->() RETURN e.nope"))
     intercept[IllegalArgumentException](CypherLite.run(g, "MATCH ()-[e]->() WHERE e.time RETURN e"))
-    intercept[IllegalArgumentException](CypherLite.run(g, "MATCH ()-[e]->() RETURN COUNT(e), e.ts"))
+    // duplicate EDGE variable across patterns
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b), (b)-[e]->(c) RETURN a"))
+    // grouped output: ORDER BY must address a RETURN item
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) RETURN a, COUNT(e) ORDER BY e.time"))
   }
 }

@@ -230,6 +230,51 @@ class MlSpec extends SparkSpec {
     assert(q > 0.5 && q <= 1.0)
   }
 
+  test("multimodal: real ImageIO decode — golden feature vector for a known PNG") {
+    // 2×1 image: pure red next to pure blue — every feature is hand-computable
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000)
+    img.setRGB(1, 0, 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.ImageCodec.decodeFeatures(bos.toByteArray).get
+    val lr = 0.299; val lb = 0.114 // luma of pure red / pure blue
+    val meanL = (lr + lb) / 2
+    val sdL = math.sqrt((lr * lr + lb * lb) / 2 - meanL * meanL)
+    val want = Seq(2.0, 1.0, 2.0, 0.5, 0.0, 0.5, meanL, sdL)
+    f.toSeq.zip(want).zipWithIndex.foreach { case ((got, w), i) =>
+      assert(math.abs(got - w) < 1e-6, s"feature $i: got $got want $w")
+    }
+    // non-image bytes are rejected, not mis-decoded
+    assert(Multimodal.ImageCodec.decodeFeatures("not a png".getBytes).isEmpty)
+    assert(Multimodal.ImageCodec.decodeFeatures(Array.empty[Byte]).isEmpty)
+  }
+
+  test("multimodal: synthetic image payloads are genuine PNGs that round-trip the decoder") {
+    val assets = Multimodal.syntheticAssets(spark, 40).persist()
+    val images = assets.filter(col("modality") === "image").collect()
+    assert(images.nonEmpty)
+    images.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      // PNG magic
+      assert((payload(0) & 0xFF) == 0x89 && payload(1) == 'P'.toByte)
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      val f = Multimodal.ImageCodec.decodeFeatures(payload).get
+      assert(f(0) == meta.getInt(0).toFloat && f(1) == meta.getInt(1).toFloat,
+        "decoded dims must match the metadata the PNG was synthesized from")
+    }
+    // extractFeatures routes image rows through the REAL kernel: features
+    // lead with the true pixel dimensions
+    val feats = Multimodal.extractFeatures(spark, assets)
+      .filter(col("modality") === "image").collect()
+    feats.foreach { r =>
+      val f = r.getSeq[Float](r.fieldIndex("features"))
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      assert(f(0) == meta.getInt(0).toFloat && f(1) == meta.getInt(1).toFloat)
+    }
+    assets.unpersist()
+  }
+
   test("multimodal: synthetic assets, stub features, frame/resize plans") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     assert(assets.count() == 30)
