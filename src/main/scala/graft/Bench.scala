@@ -216,6 +216,24 @@ object Bench {
     results += "louvain" -> tLouvain
     medianWall(louvainM).foreach(extras += "louvain_median_round_sec" -> _)
 
+    // --- k-truss peel on the RA graph: evidence that the INCREMENTAL
+    // recount's per-round work tracks the removal neighbourhood, not |E| —
+    // truss_affected_frac = Σ affected / Σ per-round surviving edges is
+    // the recount volume as a share of what the full-recount MapReduce
+    // shape would rebuild every round (1.0 = no better than full) ---
+    val (trussM, tTruss) = time {
+      val (df, m) = graft.algos.Truss.runWithMetrics(spark, ra, k = 4)
+      df.count(); m
+    }
+    results += "truss" -> tTruss
+    extras += "truss_rounds" -> trussM.length.toDouble
+    medianWall(trussM).foreach(extras += "truss_median_round_sec" -> _)
+    val trussAffected = trussM.flatMap(_.get("affected")).sum
+    val trussScanBase = trussM.flatMap(_.get("edges")).sum
+    extras += "truss_affected_total" -> trussAffected
+    extras += "truss_affected_frac" ->
+      (if (trussScanBase > 0) trussAffected / trussScanBase else 0.0)
+
     // --- temporal 3-node motif census (global 40-dim) on the RA graph;
     // ts = attachment step, so delta=5000 windows span real event overlap.
     // 3 repeats, same cold-headline + median/best discipline as triangles
@@ -445,12 +463,53 @@ object Bench {
       extras += "scaling_hi_gc_share" -> hi._4
       extras += "scaling_calib_eff_window" -> calR / ideal
       extras += "scaling_mem_eff_window" -> memR / ideal
-      // machine-normalized efficiency: wall efficiency divided by what the
-      // box's own pure-CPU busy-loop scaled 2→8 in the same window — the
-      // number to read on a shared-tenant host (raw and ceiling both kept).
+      // machine-normalized efficiency — THE GATE FIELD on a shared-tenant
+      // single box: wall efficiency divided by what the box's own pure-CPU
+      // busy-loop scaled across the same pair in the same window (raw and
+      // ceiling are both kept so the normalization is auditable).
       extras += "scaling_eff_norm" ->
         (lo._1 / hi._1) / ideal / math.max(calR / ideal, 0.01)
+      extras += "scaling_eff_norm_median" ->
+        (lo._2 / hi._2) / ideal / math.max(calR / ideal, 0.01)
       val _ = (loCal, hiCal)
+
+      // --- 8→32 pair (north-rule N→4N at the box's full thread count),
+      // emitted as scaling8_* so the driver JSON itself carries the high
+      // pair: a single box does NOT add DRAM channels with threads the way
+      // a real cluster adds them with executors, so alongside the raw
+      // wall efficiency we embed the same-window pure-CPU AND
+      // memory-streaming ceilings measured at exactly 8 vs 32 threads —
+      // scaling8_eff_norm (wall-eff / cpu-ceiling-eff) is the
+      // machine-normalized gate reading, and scaling8_task_ratio ≈ 1.0
+      // certifies both legs ran identical work (AQE off, pinned shuffle
+      // partitions). Input is 4× the canary (capped at the full-size gate
+      // workload) so both legs are work-dominant, not stage-launch-bound.
+      if (hiThreads >= 32) {
+        val ideal8 = 32.0 / 8.0
+        val (_, _, cal8) = graft.bench.Calibration.cpuRatio(8, 32)
+        val (_, _, mem8) = graft.bench.Calibration.memRatio(8, 32)
+        val convs8 = math.min(4 * canaryConvs, 400000L)
+        extras += "scaling8_convs" -> convs8.toDouble
+        val lo8 = scalingLeg(8, convs8, 8)
+        val hi8 = scalingLeg(32, convs8, 8)
+        extras += "scaling8_lo_sec" -> lo8._1
+        extras += "scaling8_hi_sec" -> hi8._1
+        extras += "scaling8_lo_median_superstep_sec" -> lo8._2
+        extras += "scaling8_hi_median_superstep_sec" -> hi8._2
+        extras += "scaling8_eff_total" -> (lo8._1 / hi8._1) / ideal8
+        extras += "scaling8_eff_median" -> (lo8._2 / hi8._2) / ideal8
+        extras += "scaling8_lo_task_sec" -> lo8._3
+        extras += "scaling8_hi_task_sec" -> hi8._3
+        extras += "scaling8_task_ratio" -> (if (lo8._3 > 0) hi8._3 / lo8._3 else 0.0)
+        extras += "scaling8_lo_gc_share" -> lo8._4
+        extras += "scaling8_hi_gc_share" -> hi8._4
+        extras += "scaling8_calib_eff_window" -> cal8 / ideal8
+        extras += "scaling8_mem_eff_window" -> mem8 / ideal8
+        extras += "scaling8_eff_norm" ->
+          (lo8._1 / hi8._1) / ideal8 / math.max(cal8 / ideal8, 0.01)
+        extras += "scaling8_eff_norm_median" ->
+          (lo8._2 / hi8._2) / ideal8 / math.max(cal8 / ideal8, 0.01)
+      }
     }
 
     val qs = (results ++ extras).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -468,18 +527,26 @@ object Bench {
     * task_ratio ≈ 1 → the gap is scheduler/driver overhead, which at
     * 2 local cores SHARES the cpus with tasks and biases efficiency HIGH,
     * and on tiny inputs is fixed-cost-dominant and biases it LOW).
+    *
+    * WORK-CONSERVING BY CONSTRUCTION: both legs pin the SAME shuffle
+    * partition count and run with AQE off, so Catalyst plans the identical
+    * physical job at every core count — r4's 1.25-1.32 task_ratio readings
+    * were AQE re-planning the low-core leg into more, smaller tasks, which
+    * made wall efficiency non-work-conserving and un-gateable. (The main
+    * bench keeps AQE on — this pinning is only for the N-vs-4N pair,
+    * where plan IDENTITY is the point.)
     * @return (totalSec, medianSuperstepSec, taskSec, gcShare) */
   private def scalingLeg(
       cores: Int,
       numConvs: Long,
-      steps: Int): (Double, Double, Double, Double) = {
+      steps: Int,
+      shufflePartitions: Int = 32): (Double, Double, Double, Double) = {
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8))
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

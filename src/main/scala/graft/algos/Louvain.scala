@@ -68,6 +68,36 @@ object Louvain {
   def run(spark: SparkSession, g: TemporalGraph, cfg: Config = Config()): DataFrame =
     runWithMetrics(spark, g, cfg)._1
 
+  /**
+   * The LEVEL-0 local-moving kernel after a PINNED number of parity-gated
+   * synchronous rounds — the deterministic heart of [[run]], exposed so an
+   * ARBITRARY graph gets a full replay oracle (the MIS/coloring
+   * pinned-round precedent): every move decision is an argmax over
+   * exactly-representable float arithmetic (unweighted w/k/Σtot are
+   * integer-valued doubles; products stay < 2^53) evaluated in one fixed
+   * operand order, so a SQL engine replays the round ladder bit-for-bit.
+   * A converged state is a fixpoint (zero moves at both parities), so
+   * extra pinned rounds no-op — Spark may early-stop at convergence, the
+   * oracle always runs all `rounds`.
+   *
+   * @return (id, com) — the assignment after `rounds` rounds
+   */
+  def localMovingRounds(
+      spark: SparkSession,
+      g: TemporalGraph,
+      rounds: Int,
+      cfg: Config = Config()): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of [1, 64]")
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftSqlInternals.resetStats(df.localCheckpoint(true))
+    val (pairs0, _, k0, m2) = level1(g, cfg, truncate)
+    if (m2 <= 0.0)
+      return g.nodes.select(col("id"), col("id").as("com"))
+    val (assign, _, _) =
+      localMoving(spark, pairs0, k0, m2, cfg.copy(maxLocalRounds = rounds), level = 0)
+    assign
+  }
+
   /** As [[run]], also returning every local-moving round's metrics across
     * all levels (incl. `wallMs` and `level`). */
   def runWithMetrics(
@@ -78,42 +108,10 @@ object Louvain {
     def truncate(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftSqlInternals.resetStats(df.localCheckpoint(true))
 
-    // --- level-1 weighted undirected structure (modularity.rs:175-219) ---
-    // distinct directed edge weight: 1 unweighted, else the latest property
-    // value per directed edge (reference properties().get = latest)
-    val directed = cfg.weightCol match {
-      case None =>
-        g.simpleEdges.withColumn("w", lit(1.0))
-      case Some(wc) =>
-        g.edges
-          .groupBy("src", "dst")
-          .agg(max(struct(col("ts"), col("event_id"), col(wc).cast("double").as("w"))).as("last"))
-          .select(col("src"), col("dst"), col("last").getField("w").as("w"))
-    }
-    // drop sub-tolerance weights like the reference's `.filter(w >= tol)`
-    val dW = directed.filter(col("w") >= cfg.tol)
-    var pairs = truncate(
-      dW.filter(col("src") =!= col("dst"))
-        .groupBy(
-          least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .agg(sum(col("w")).as("w")))
-    var selfw = truncate(
-      dW.filter(col("src") === col("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(sum(col("w")).as("sw")))
-    var k = truncate(
-      pairs
-        .select(col("a").as("id"), col("w"))
-        .unionByName(pairs.select(col("b").as("id"), col("w")))
-        .unionByName(selfw.select(col("id"), lit(0.0).as("w"))) // self-loop-only nodes, k=0
-        .unionByName(g.nodes.select(col("id"), lit(0.0).as("w")))
-        .groupBy("id")
-        .agg(sum(col("w")).as("k")))
-    val m2 = k.agg(sum(col("k"))).first() match {
-      case r if r.isNullAt(0) => 0.0
-      case r                  => r.getDouble(0)
-    }
+    val (pairs0, selfw0, k0, m2) = level1(g, cfg, truncate)
+    var pairs = pairs0
+    var selfw = selfw0
+    var k = k0
     // mapping original node -> current-level node
     var mapping = truncate(g.nodes.select(col("id").as("orig"), col("id").as("node")))
 
@@ -171,6 +169,50 @@ object Louvain {
       }
     }
     (mapping.select(col("orig").as("id"), col("node").as("community")), allMetrics)
+  }
+
+  /** Level-1 weighted undirected structure (modularity.rs:175-219):
+    * distinct directed edge weight is 1 unweighted, else the latest
+    * property value per directed edge (reference properties().get =
+    * latest). Returns (pairs (a,b,w), selfw (id,sw), k (id,k), m2). */
+  private def level1(
+      g: TemporalGraph,
+      cfg: Config,
+      truncate: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame, Double) = {
+    val directed = cfg.weightCol match {
+      case None =>
+        g.simpleEdges.withColumn("w", lit(1.0))
+      case Some(wc) =>
+        g.edges
+          .groupBy("src", "dst")
+          .agg(max(struct(col("ts"), col("event_id"), col(wc).cast("double").as("w"))).as("last"))
+          .select(col("src"), col("dst"), col("last").getField("w").as("w"))
+    }
+    // drop sub-tolerance weights like the reference's `.filter(w >= tol)`
+    val dW = directed.filter(col("w") >= cfg.tol)
+    val pairs = truncate(
+      dW.filter(col("src") =!= col("dst"))
+        .groupBy(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(sum(col("w")).as("w")))
+    val selfw = truncate(
+      dW.filter(col("src") === col("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("w")).as("sw")))
+    val k = truncate(
+      pairs
+        .select(col("a").as("id"), col("w"))
+        .unionByName(pairs.select(col("b").as("id"), col("w")))
+        .unionByName(selfw.select(col("id"), lit(0.0).as("w"))) // self-loop-only nodes, k=0
+        .unionByName(g.nodes.select(col("id"), lit(0.0).as("w")))
+        .groupBy("id")
+        .agg(sum(col("w")).as("k")))
+    val m2 = k.agg(sum(col("k"))).first() match {
+      case r if r.isNullAt(0) => 0.0
+      case r                  => r.getDouble(0)
+    }
+    (pairs, selfw, k, m2)
   }
 
   /** One level of synchronous parity-gated local moving.

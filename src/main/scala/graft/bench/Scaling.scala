@@ -39,7 +39,8 @@ object Scaling {
       memBps: Double, // memory-streaming bytes/sec at this thread count
       gcShare: Double,
       cpuShare: Double,
-      steal: Double)
+      steal: Double,
+      taskSec: Double) // executor task-seconds over the timed window
 
   def main(args: Array[String]): Unit = {
     val numConvs = args.headOption.map(_.toLong).getOrElse(400000L)
@@ -65,12 +66,19 @@ object Scaling {
       val ideal = n4.toDouble / n
       val efficiency = speedup / ideal
       val ceiling = if (lo.calThr > 0) hi.calThr / lo.calThr / ideal else 0.0
+      // machine-normalized efficiency — THE GATE FIELD on a shared single
+      // box: wall efficiency over the box's own pure-CPU scaling for the
+      // same pair in the same window (both raw inputs kept for audit)
+      val effNorm = efficiency / math.max(ceiling, 0.01)
+      val taskRatio = if (lo.taskSec > 0) hi.taskSec / lo.taskSec else 0.0
       val thrN = steps * lo.edges / lo.secs
       val thr4N = steps * hi.edges / hi.secs
       println(
         s"""{"metric":"scaling_efficiency","value":$efficiency,"unit":"ratio","queries":{""" +
           s""""cores_n":$n,"cores_4n":$n4,"t_n":${lo.secs},"t_4n":${hi.secs},"speedup":$speedup,""" +
           s""""edges":${lo.edges},"supersteps":$steps,""" +
+          s""""efficiency_norm":$effNorm,""" +
+          s""""task_sec_n":${lo.taskSec},"task_sec_4n":${hi.taskSec},"task_ratio":$taskRatio,""" +
           s""""calib_ceiling_eff":$ceiling,""" +
           s""""mem_ceiling_eff":${if (lo.memBps > 0) hi.memBps / lo.memBps / ideal else 0.0},""" +
           s""""mem_gbps_n":${lo.memBps / 1e9},"mem_gbps_4n":${hi.memBps / 1e9},""" +
@@ -81,7 +89,8 @@ object Scaling {
       val row =
         s"| ${java.time.Instant.now()} | $numConvs convs / ${lo.edges} edges | $steps supersteps | " +
           f"$n→$n4 | ${lo.secs}%.1f s | ${hi.secs}%.1f s | $speedup%.2fx | $efficiency%.2f " +
-          f"(machine ceiling $ceiling%.2f; gc ${lo.gcShare * 100}%.0f→${hi.gcShare * 100}%.0f%%) | " +
+          f"(norm $effNorm%.2f; machine ceiling $ceiling%.2f; task ratio $taskRatio%.2f; " +
+          f"gc ${lo.gcShare * 100}%.0f→${hi.gcShare * 100}%.0f%%) | " +
           f"${thrN / 1e6}%.2fM | ${thr4N / 1e6}%.2fM |\n"
       Files.write(bench, row.getBytes(StandardCharsets.UTF_8), StandardOpenOption.APPEND)
     }
@@ -93,13 +102,17 @@ object Scaling {
     val calThr = Calibration.cpuThroughput(cores, 3000L)
     val memBps = Calibration.memThroughput(cores, 2000L)
     val steal = Calibration.stealPct()
+    // WORK-CONSERVING BY CONSTRUCTION: every level pins the SAME shuffle
+    // partition count and runs with AQE off, so Catalyst plans the
+    // identical physical job at every core count and task-seconds conserve
+    // across a pair (r4's 1.25-1.32 task_ratio canary readings were AQE
+    // re-planning the low-core leg into more, smaller tasks).
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8))
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -135,6 +148,6 @@ object Scaling {
     val secs = (System.nanoTime() - t0) / 1e9
     val d = listener.delta(before)
     spark.stop()
-    Level(secs, nEdges, calThr, memBps, d("gcShare"), d("cpuShare"), steal)
+    Level(secs, nEdges, calThr, memBps, d("gcShare"), d("cpuShare"), steal, d("runTimeMs") / 1000.0)
   }
 }

@@ -563,6 +563,70 @@ object Queries {
     (head +: steps).mkString(",\n") + s"\nSELECT id, label FROM l$iters"
   }
 
+  /**
+   * Louvain LEVEL-0 local moving, pinned `rounds` parity-gated synchronous
+   * rounds on the UNWEIGHTED event graph (resolution 1, tol 1e-8) — the
+   * exact twin of [[graft.algos.Louvain.localMovingRounds]]: pair weights /
+   * degrees / Σtot are integer-valued doubles (exact in any sum order),
+   * every move delta is one fixed-operand-order float expression, the
+   * winner is argmax by (delta DESC, cand ASC), and round r admits a move
+   * to a smaller community id iff r is even (Spark's SuperstepRunner
+   * rounds are 1-based). A converged state is a fixpoint, so extra rounds
+   * no-op.
+   */
+  private def louvainLocalMovingSql(rounds: Int): String = {
+    val head =
+      s"""WITH $graphBaseSql,
+         |pairs AS MATERIALIZED (
+         |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         |         CAST(count(*) AS DOUBLE) AS w
+         |  FROM e GROUP BY 1, 2),
+         |bi AS MATERIALIZED (
+         |  SELECT a AS other, b AS nbr, w FROM pairs
+         |  UNION ALL SELECT b, a, w FROM pairs),
+         |kdeg AS MATERIALIZED (
+         |  SELECT n.id, coalesce(sum(p.w), 0.0) AS k
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT a AS id, w FROM pairs UNION ALL SELECT b, w FROM pairs) p
+         |    ON p.id = n.id
+         |  GROUP BY n.id),
+         |m2 AS MATERIALIZED (SELECT sum(k) AS v FROM kdeg),
+         |st0 AS MATERIALIZED (SELECT id, id AS com, k FROM kdeg)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      val toSmaller = if (r % 2 == 0) "TRUE" else "FALSE"
+      s"""kt$r AS MATERIALIZED (
+         |  SELECT com, sum(k) AS ktot FROM st$p GROUP BY com),
+         |wc$r AS MATERIALIZED (
+         |  SELECT b.nbr AS id, s.com AS cand, sum(b.w) AS w_cand
+         |  FROM bi b JOIN st$p s ON b.other = s.id GROUP BY 1, 2),
+         |dl$r AS MATERIALIZED (
+         |  SELECT s.id, s.com, s.k, w.cand,
+         |    CASE WHEN w.cand IS NULL OR w.cand = s.com THEN 0.0
+         |         ELSE (2.0 * (w.w_cand - coalesce(wo.w_cand, 0.0))
+         |               - 2.0 * (s.k * (ktn.ktot - kto.ktot) + s.k * s.k)
+         |                 / (SELECT v FROM m2))
+         |              / (SELECT v FROM m2) END AS delta
+         |  FROM st$p s
+         |  LEFT JOIN wc$r w ON w.id = s.id
+         |  LEFT JOIN wc$r wo ON wo.id = s.id AND wo.cand = s.com
+         |  LEFT JOIN kt$r ktn ON ktn.com = w.cand
+         |  JOIN kt$r kto ON kto.com = s.com),
+         |wn$r AS MATERIALIZED (
+         |  SELECT id, com, k, cand, delta FROM dl$r
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY id ORDER BY delta DESC, cand ASC) = 1),
+         |st$r AS MATERIALIZED (
+         |  SELECT id,
+         |    CASE WHEN cand IS NOT NULL AND cand <> com AND delta > 1e-08
+         |              AND ((cand < com) = $toSmaller)
+         |         THEN cand ELSE com END AS com,
+         |    k
+         |  FROM wn$r)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") + s"\nSELECT id, com FROM st$rounds"
+  }
+
   /** k-core peel: enough rounds that the peel is a fixpoint at test scale
     * (extra rounds are no-ops once stable). */
   /** SEIR/SI oracle (p=1, no recovery, incubation 1): label-correcting
@@ -1781,14 +1845,19 @@ object Queries {
 
     (
       "q_graph_louvain",
-      // deterministic distributed Louvain (community_detection/louvain.rs;
-      // the reference is rng-shuffled, ours replaces the sequential sweep
-      // with direction-gated synchronous moving — see algos/Louvain.scala).
-      // Heuristic fixpoint over data-dependent levels — not reasonably
-      // SQL-expressible; community recovery, determinism and the modularity
-      // function are pinned by LouvainSpec.
-      (s, d) => graft.algos.Louvain.run(s, eventGraph(s, d)),
-      None),
+      // deterministic distributed Louvain kernel on the ARBITRARY sf event
+      // graph (community_detection/louvain.rs; the reference is
+      // rng-shuffled, ours replaces the sequential sweep with
+      // direction-gated synchronous moving — see algos/Louvain.scala):
+      // PINNED rounds of the level-0 local moving, fully replayed in SQL —
+      // every move decision is an argmax over exactly-representable float
+      // arithmetic in one fixed operand order (the MIS/coloring
+      // pinned-round precedent; a converged state is a fixpoint, so extra
+      // oracle rounds no-op). The full multi-level fixpoint pipeline
+      // carries the two provably-unique fixture oracles below +
+      // LouvainSpec.
+      (s, d) => graft.algos.Louvain.localMovingRounds(s, eventGraph(s, d), rounds = 4),
+      Some(louvainLocalMovingSql(rounds = 4))),
 
     (
       "q_graph_louvain_cliques",
