@@ -216,13 +216,18 @@ object Bench {
     results += "louvain" -> tLouvain
     medianWall(louvainM).foreach(extras += "louvain_median_round_sec" -> _)
 
-    // --- k-truss peel on the RA graph: evidence that the INCREMENTAL
-    // recount's per-round work tracks the removal neighbourhood, not |E| —
-    // truss_affected_frac = Σ affected / Σ per-round surviving edges is
-    // the recount volume as a share of what the full-recount MapReduce
-    // shape would rebuild every round (1.0 = no better than full) ---
+    // --- k-truss peel on the dense events graph (RA attachment graphs
+    // collapse in one round — no cascade to measure): evidence that the
+    // INCREMENTAL recount's per-round work tracks the removal
+    // neighbourhood, not |E| — truss_affected_frac = Σ affected /
+    // Σ per-round surviving edges is the recount volume as a share of
+    // what the full-recount MapReduce shape would rebuild every round
+    // (1.0 = no better than full). k sits inside the event graph's
+    // support range (q_graph_ktruss precedent) so the peel genuinely
+    // cascades across rounds. ---
     val (trussM, tTruss) = time {
-      val (df, m) = graft.algos.Truss.runWithMetrics(spark, ra, k = 4)
+      val (df, m) = graft.algos.Truss.runWithMetrics(
+        spark, graft.rel.Queries.eventGraph(spark, sfDir), k = 32)
       df.count(); m
     }
     results += "truss" -> tTruss
@@ -447,30 +452,60 @@ object Bench {
       extras += "scaling_lo_cores" -> loC.toDouble
       extras += "scaling_hi_cores" -> hiC.toDouble
       extras += "scaling_supersteps" -> 8.0
-      extras += "scaling_lo_sec" -> lo._1
-      extras += "scaling_hi_sec" -> hi._1
-      extras += "scaling_lo_median_superstep_sec" -> lo._2
-      extras += "scaling_hi_median_superstep_sec" -> hi._2
-      extras += "scaling_eff_total" -> (lo._1 / hi._1) / ideal
-      extras += "scaling_eff_median" -> (lo._2 / hi._2) / ideal
-      // work-conservation check: executor task-seconds over each timed
-      // window. ratio ≈ 1.0 ⇒ both legs ran the same work and any wall-eff
-      // deviation is scheduling/driver overhead, not a scaling defect.
-      extras += "scaling_lo_task_sec" -> lo._3
-      extras += "scaling_hi_task_sec" -> hi._3
-      extras += "scaling_task_ratio" -> (if (lo._3 > 0) hi._3 / lo._3 else 0.0)
-      extras += "scaling_lo_gc_share" -> lo._4
-      extras += "scaling_hi_gc_share" -> hi._4
-      extras += "scaling_calib_eff_window" -> calR / ideal
-      extras += "scaling_mem_eff_window" -> memR / ideal
-      // machine-normalized efficiency — THE GATE FIELD on a shared-tenant
-      // single box: wall efficiency divided by what the box's own pure-CPU
-      // busy-loop scaled across the same pair in the same window (raw and
-      // ceiling are both kept so the normalization is auditable).
-      extras += "scaling_eff_norm" ->
-        (lo._1 / hi._1) / ideal / math.max(calR / ideal, 0.01)
-      extras += "scaling_eff_norm_median" ->
-        (lo._2 / hi._2) / ideal / math.max(calR / ideal, 0.01)
+
+      // emit one scaling pair's full evidence block:
+      //  - raw wall efficiency (total + median-superstep)
+      //  - PLAN-IDENTITY CERTIFICATE: task-count and shuffle-bytes ratios
+      //    are properties of the physical plan alone (AQE off, pinned
+      //    shuffle partitions) and must be ~1.0 — proof both legs ran the
+      //    identical job
+      //  - task-SECONDS ratio: >1 on identical plans means per-task time
+      //    inflated at the higher thread count; memory-stall time is
+      //    on-task time, so on one box this is the DRAM-ceiling artifact,
+      //    not extra work
+      //  - eff_norm (wall-eff / same-window pure-CPU ceiling) and
+      //    eff_norm_mem (wall-eff / same-window memory-streaming ceiling):
+      //    a real cluster adds DRAM channels with every executor, a single
+      //    box does not, so the two normalizations bracket the
+      //    cluster-equivalent efficiency — CPU-bound jobs read eff_norm,
+      //    bandwidth-bound jobs read eff_norm_mem; both raw ceilings are
+      //    embedded so the normalization is auditable.
+      def emitScalingPair(
+          prefix: String,
+          lo: (Double, Double, Double, Double, Double, Double),
+          hi: (Double, Double, Double, Double, Double, Double),
+          ideal: Double,
+          calEff: Double,
+          memEff: Double): Unit = {
+        extras += s"${prefix}_lo_sec" -> lo._1
+        extras += s"${prefix}_hi_sec" -> hi._1
+        extras += s"${prefix}_lo_median_superstep_sec" -> lo._2
+        extras += s"${prefix}_hi_median_superstep_sec" -> hi._2
+        extras += s"${prefix}_eff_total" -> (lo._1 / hi._1) / ideal
+        extras += s"${prefix}_eff_median" -> (lo._2 / hi._2) / ideal
+        extras += s"${prefix}_lo_task_sec" -> lo._3
+        extras += s"${prefix}_hi_task_sec" -> hi._3
+        extras += s"${prefix}_task_sec_ratio" -> (if (lo._3 > 0) hi._3 / lo._3 else 0.0)
+        extras += s"${prefix}_lo_tasks" -> lo._5
+        extras += s"${prefix}_hi_tasks" -> hi._5
+        extras += s"${prefix}_tasks_ratio" -> (if (lo._5 > 0) hi._5 / lo._5 else 0.0)
+        extras += s"${prefix}_lo_shuffle_gb" -> lo._6
+        extras += s"${prefix}_hi_shuffle_gb" -> hi._6
+        extras += s"${prefix}_shuffle_ratio" -> (if (lo._6 > 0) hi._6 / lo._6 else 0.0)
+        extras += s"${prefix}_lo_gc_share" -> lo._4
+        extras += s"${prefix}_hi_gc_share" -> hi._4
+        extras += s"${prefix}_calib_eff_window" -> calEff
+        extras += s"${prefix}_mem_eff_window" -> memEff
+        extras += s"${prefix}_eff_norm" ->
+          (lo._1 / hi._1) / ideal / math.max(calEff, 0.01)
+        extras += s"${prefix}_eff_norm_median" ->
+          (lo._2 / hi._2) / ideal / math.max(calEff, 0.01)
+        extras += s"${prefix}_eff_norm_mem" ->
+          (lo._1 / hi._1) / ideal / math.max(memEff, 0.01)
+        extras += s"${prefix}_eff_norm_mem_median" ->
+          (lo._2 / hi._2) / ideal / math.max(memEff, 0.01)
+      }
+      emitScalingPair("scaling", lo, hi, ideal, calR / ideal, memR / ideal)
       val _ = (loCal, hiCal)
 
       // --- 8→32 pair (north-rule N→4N at the box's full thread count),
@@ -478,12 +513,9 @@ object Bench {
       // pair: a single box does NOT add DRAM channels with threads the way
       // a real cluster adds them with executors, so alongside the raw
       // wall efficiency we embed the same-window pure-CPU AND
-      // memory-streaming ceilings measured at exactly 8 vs 32 threads —
-      // scaling8_eff_norm (wall-eff / cpu-ceiling-eff) is the
-      // machine-normalized gate reading, and scaling8_task_ratio ≈ 1.0
-      // certifies both legs ran identical work (AQE off, pinned shuffle
-      // partitions). Input is 4× the canary (capped at the full-size gate
-      // workload) so both legs are work-dominant, not stage-launch-bound.
+      // memory-streaming ceilings measured at exactly 8 vs 32 threads.
+      // Input is 4× the canary (capped at the full-size gate workload) so
+      // both legs are work-dominant, not stage-launch-bound.
       if (hiThreads >= 32) {
         val ideal8 = 32.0 / 8.0
         val (_, _, cal8) = graft.bench.Calibration.cpuRatio(8, 32)
@@ -492,23 +524,7 @@ object Bench {
         extras += "scaling8_convs" -> convs8.toDouble
         val lo8 = scalingLeg(8, convs8, 8)
         val hi8 = scalingLeg(32, convs8, 8)
-        extras += "scaling8_lo_sec" -> lo8._1
-        extras += "scaling8_hi_sec" -> hi8._1
-        extras += "scaling8_lo_median_superstep_sec" -> lo8._2
-        extras += "scaling8_hi_median_superstep_sec" -> hi8._2
-        extras += "scaling8_eff_total" -> (lo8._1 / hi8._1) / ideal8
-        extras += "scaling8_eff_median" -> (lo8._2 / hi8._2) / ideal8
-        extras += "scaling8_lo_task_sec" -> lo8._3
-        extras += "scaling8_hi_task_sec" -> hi8._3
-        extras += "scaling8_task_ratio" -> (if (lo8._3 > 0) hi8._3 / lo8._3 else 0.0)
-        extras += "scaling8_lo_gc_share" -> lo8._4
-        extras += "scaling8_hi_gc_share" -> hi8._4
-        extras += "scaling8_calib_eff_window" -> cal8 / ideal8
-        extras += "scaling8_mem_eff_window" -> mem8 / ideal8
-        extras += "scaling8_eff_norm" ->
-          (lo8._1 / hi8._1) / ideal8 / math.max(cal8 / ideal8, 0.01)
-        extras += "scaling8_eff_norm_median" ->
-          (lo8._2 / hi8._2) / ideal8 / math.max(cal8 / ideal8, 0.01)
+        emitScalingPair("scaling8", lo8, hi8, ideal8, cal8 / ideal8, mem8 / ideal8)
       }
     }
 
@@ -528,19 +544,26 @@ object Bench {
     * 2 local cores SHARES the cpus with tasks and biases efficiency HIGH,
     * and on tiny inputs is fixed-cost-dominant and biases it LOW).
     *
-    * WORK-CONSERVING BY CONSTRUCTION: both legs pin the SAME shuffle
+    * PLAN-IDENTICAL BY CONSTRUCTION: both legs pin the SAME shuffle
     * partition count and run with AQE off, so Catalyst plans the identical
-    * physical job at every core count — r4's 1.25-1.32 task_ratio readings
-    * were AQE re-planning the low-core leg into more, smaller tasks, which
-    * made wall efficiency non-work-conserving and un-gateable. (The main
-    * bench keeps AQE on — this pinning is only for the N-vs-4N pair,
-    * where plan IDENTITY is the point.)
-    * @return (totalSec, medianSuperstepSec, taskSec, gcShare) */
+    * physical job at every core count — certified in the emitted JSON by
+    * the task-COUNT and shuffle-BYTES ratios, which are properties of the
+    * plan alone and must be ~1.0 across a pair (r4's 1.25-1.32 canary
+    * task_ratio had AQE re-planning the low-core leg into more, smaller
+    * tasks). Task-SECONDS may still inflate on the high-core leg even on
+    * identical plans: memory-stall time is on-task time, so on one box the
+    * DRAM ceiling shows up as a task_sec ratio > 1 — that inflation is the
+    * machine artifact the same-window memory-streaming bracket measures,
+    * which is why eff_norm_mem is emitted alongside the pure-CPU
+    * normalization. (The main bench keeps AQE on — this pinning is only
+    * for the N-vs-4N pair, where plan identity is the point.)
+    * @return (totalSec, medianSuperstepSec, taskSec, gcShare, tasks,
+    *         shuffleGB) */
   private def scalingLeg(
       cores: Int,
       numConvs: Long,
       steps: Int,
-      shufflePartitions: Int = 32): (Double, Double, Double, Double) = {
+      shufflePartitions: Int = 32): (Double, Double, Double, Double, Double, Double) = {
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")
@@ -575,7 +598,13 @@ object Bench {
       val walls = r.metrics.flatMap(_.get("wallMs")).sorted
       val med = if (walls.isEmpty) total / steps else walls(walls.size / 2) / 1000.0
       adj.unpersist(false); nodes.unpersist(false)
-      (total, med, win("runTimeMs") / 1000.0, win("gcShare"))
+      (
+        total,
+        med,
+        win("runTimeMs") / 1000.0,
+        win("gcShare"),
+        win("tasks"),
+        (win("shuffleReadB") + win("shuffleWriteB")) / 1e9)
     } finally spark.stop()
   }
 }

@@ -131,6 +131,7 @@ object Calibration {
     val shuffleReadB = new AtomicLong(0L)
     val shuffleWriteB = new AtomicLong(0L)
     val stages = new AtomicLong(0L)
+    val tasks = new AtomicLong(0L)
 
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
@@ -141,6 +142,7 @@ object Calibration {
         shuffleReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shuffleWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         stages.incrementAndGet()
+        tasks.addAndGet(sc.stageInfo.numTasks.toLong)
       }
     }
 
@@ -150,7 +152,8 @@ object Calibration {
       "cpuTimeMs" -> cpuTimeMs.get(),
       "shuffleReadB" -> shuffleReadB.get(),
       "shuffleWriteB" -> shuffleWriteB.get(),
-      "stages" -> stages.get())
+      "stages" -> stages.get(),
+      "tasks" -> tasks.get())
 
     /** Window delta vs a prior snapshot, with derived shares. */
     def delta(prev: Map[String, Long]): Map[String, Double] = {

@@ -40,7 +40,9 @@ object Scaling {
       gcShare: Double,
       cpuShare: Double,
       steal: Double,
-      taskSec: Double) // executor task-seconds over the timed window
+      taskSec: Double, // executor task-seconds over the timed window
+      tasks: Double, // task COUNT over the timed window (plan-identity)
+      shuffleGb: Double) // shuffle read+write GB (plan-identity)
 
   def main(args: Array[String]): Unit = {
     val numConvs = args.headOption.map(_.toLong).getOrElse(400000L)
@@ -49,6 +51,16 @@ object Scaling {
       .split(",").toSeq.map { p => val Array(a, b) = p.split(":"); (a.toInt, b.toInt) }
 
     val cores = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    // JVM-warm throwaway level: the FIRST level measured in a fresh JVM
+    // reads 13-47% GC share on its timed window (G1 still adapting to the
+    // prep garbage + cold JIT) while the same core count measured second
+    // reads ≤8% — an ordering artifact, not a property of the thread
+    // count. Absorb it before any measured level. The warm level runs the
+    // FULL input (a quarter-size warm on 2026-08-19 still left 36% GC on
+    // the first measured leg — G1 only reaches its steady heap shape after
+    // an allocation storm of the real size) but at the highest core count
+    // so it costs one hi-leg, not one lo-leg.
+    runAt(cores.last, numConvs, 2)
     val measured = cores.map { c => c -> runAt(c, numConvs, steps) }.toMap
 
     val bench = Paths.get("BENCH.md")
@@ -66,21 +78,36 @@ object Scaling {
       val ideal = n4.toDouble / n
       val efficiency = speedup / ideal
       val ceiling = if (lo.calThr > 0) hi.calThr / lo.calThr / ideal else 0.0
-      // machine-normalized efficiency — THE GATE FIELD on a shared single
-      // box: wall efficiency over the box's own pure-CPU scaling for the
-      // same pair in the same window (both raw inputs kept for audit)
+      val memCeiling = if (lo.memBps > 0) hi.memBps / lo.memBps / ideal else 0.0
+      // machine-normalized efficiency — the gate reading on a shared single
+      // box: wall efficiency over the box's own same-window scaling,
+      // normalized two ways (pure-CPU busy-loop and memory-streaming
+      // bandwidth). A real cluster adds DRAM channels with every executor,
+      // a single box does not, so the two normalizations bracket the
+      // cluster-equivalent efficiency; both raw ceilings are kept for audit.
       val effNorm = efficiency / math.max(ceiling, 0.01)
+      val effNormMem = efficiency / math.max(memCeiling, 0.01)
+      // plan-identity certificate: with AQE off + pinned shuffle
+      // partitions, task COUNT and shuffle BYTES are properties of the
+      // plan alone and must be ~1.0 across a pair. Task-SECONDS may still
+      // inflate at the higher thread count on an identical plan —
+      // memory-stall time is on-task time — which is precisely the
+      // DRAM-ceiling artifact effNormMem corrects for.
       val taskRatio = if (lo.taskSec > 0) hi.taskSec / lo.taskSec else 0.0
+      val tasksRatio = if (lo.tasks > 0) hi.tasks / lo.tasks else 0.0
+      val shuffleRatio = if (lo.shuffleGb > 0) hi.shuffleGb / lo.shuffleGb else 0.0
       val thrN = steps * lo.edges / lo.secs
       val thr4N = steps * hi.edges / hi.secs
       println(
         s"""{"metric":"scaling_efficiency","value":$efficiency,"unit":"ratio","queries":{""" +
           s""""cores_n":$n,"cores_4n":$n4,"t_n":${lo.secs},"t_4n":${hi.secs},"speedup":$speedup,""" +
           s""""edges":${lo.edges},"supersteps":$steps,""" +
-          s""""efficiency_norm":$effNorm,""" +
-          s""""task_sec_n":${lo.taskSec},"task_sec_4n":${hi.taskSec},"task_ratio":$taskRatio,""" +
+          s""""efficiency_norm":$effNorm,"efficiency_norm_mem":$effNormMem,""" +
+          s""""task_sec_n":${lo.taskSec},"task_sec_4n":${hi.taskSec},"task_sec_ratio":$taskRatio,""" +
+          s""""tasks_n":${lo.tasks},"tasks_4n":${hi.tasks},"tasks_ratio":$tasksRatio,""" +
+          s""""shuffle_gb_n":${lo.shuffleGb},"shuffle_gb_4n":${hi.shuffleGb},"shuffle_ratio":$shuffleRatio,""" +
           s""""calib_ceiling_eff":$ceiling,""" +
-          s""""mem_ceiling_eff":${if (lo.memBps > 0) hi.memBps / lo.memBps / ideal else 0.0},""" +
+          s""""mem_ceiling_eff":$memCeiling,""" +
           s""""mem_gbps_n":${lo.memBps / 1e9},"mem_gbps_4n":${hi.memBps / 1e9},""" +
           s""""gc_share_n":${lo.gcShare},"gc_share_4n":${hi.gcShare},""" +
           s""""cpu_share_n":${lo.cpuShare},"cpu_share_4n":${hi.cpuShare},""" +
@@ -89,7 +116,8 @@ object Scaling {
       val row =
         s"| ${java.time.Instant.now()} | $numConvs convs / ${lo.edges} edges | $steps supersteps | " +
           f"$n→$n4 | ${lo.secs}%.1f s | ${hi.secs}%.1f s | $speedup%.2fx | $efficiency%.2f " +
-          f"(norm $effNorm%.2f; machine ceiling $ceiling%.2f; task ratio $taskRatio%.2f; " +
+          f"(norm-cpu $effNorm%.2f / norm-mem $effNormMem%.2f; ceilings cpu $ceiling%.2f mem $memCeiling%.2f; " +
+          f"tasks ratio $tasksRatio%.2f shuffle ratio $shuffleRatio%.2f task-sec ratio $taskRatio%.2f; " +
           f"gc ${lo.gcShare * 100}%.0f→${hi.gcShare * 100}%.0f%%) | " +
           f"${thrN / 1e6}%.2fM | ${thr4N / 1e6}%.2fM |\n"
       Files.write(bench, row.getBytes(StandardCharsets.UTF_8), StandardOpenOption.APPEND)
@@ -102,11 +130,14 @@ object Scaling {
     val calThr = Calibration.cpuThroughput(cores, 3000L)
     val memBps = Calibration.memThroughput(cores, 2000L)
     val steal = Calibration.stealPct()
-    // WORK-CONSERVING BY CONSTRUCTION: every level pins the SAME shuffle
+    // PLAN-IDENTICAL BY CONSTRUCTION: every level pins the SAME shuffle
     // partition count and runs with AQE off, so Catalyst plans the
-    // identical physical job at every core count and task-seconds conserve
-    // across a pair (r4's 1.25-1.32 task_ratio canary readings were AQE
-    // re-planning the low-core leg into more, smaller tasks).
+    // identical physical job at every core count — certified per pair by
+    // the task-count and shuffle-bytes ratios (r4's 1.25-1.32 task_ratio
+    // canary readings were AQE re-planning the low-core leg into more,
+    // smaller tasks). Task-SECONDS may still inflate at high thread
+    // counts on the identical plan (memory stalls are on-task time);
+    // that inflation is the DRAM-ceiling artifact effNormMem corrects.
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")
@@ -148,6 +179,16 @@ object Scaling {
     val secs = (System.nanoTime() - t0) / 1e9
     val d = listener.delta(before)
     spark.stop()
-    Level(secs, nEdges, calThr, memBps, d("gcShare"), d("cpuShare"), steal, d("runTimeMs") / 1000.0)
+    Level(
+      secs,
+      nEdges,
+      calThr,
+      memBps,
+      d("gcShare"),
+      d("cpuShare"),
+      steal,
+      d("runTimeMs") / 1000.0,
+      d("tasks"),
+      (d("shuffleReadB") + d("shuffleWriteB")) / 1e9)
   }
 }
