@@ -56,13 +56,17 @@ import scala.util.control.NonFatal
  * the underlying Catalyst plans'. State lives in the GraphStore layout
  * (parquet + atomic manifests), so any number of server instances can
  * serve the same root read-only; writes go through the WAL's idempotent
- * batch commit.
+ * batch commit. Requests are handled on a small pool (queries run Spark
+ * jobs; Catalyst plans are concurrency-safe on one session) behind a
+ * pluggable [[Auth]] gate — [[NoopAuth]] by default, the reference's
+ * auth-noop posture.
  */
 final class QueryServer(
     spark: SparkSession,
     root: String,
     port: Int = 0,
-    maxRows: Int = 10000) {
+    maxRows: Int = 10000,
+    auth: Auth = NoopAuth) {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private var server: HttpServer = _
@@ -248,8 +252,17 @@ final class QueryServer(
       override def handle(ex: HttpExchange): Unit = {
         val (code, bodyOut) =
           try {
-            val in = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-            f(ex, in)
+            // auth gate BEFORE reading the body or touching any handler —
+            // a denied request costs one header lookup (see [[Auth]])
+            auth.authorize(
+              ex.getRequestMethod,
+              ex.getRequestURI.getPath,
+              Option(ex.getRequestHeaders.getFirst("Authorization"))) match {
+              case Left(reason) => (401, err(reason))
+              case Right(()) =>
+                val in = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+                f(ex, in)
+            }
           } catch { case NonFatal(e) => (500, err(s"${e.getClass.getSimpleName}: ${e.getMessage}")) }
         val bytes = bodyOut.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "application/json")

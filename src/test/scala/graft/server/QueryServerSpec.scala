@@ -131,6 +131,82 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("auth hook: bearer provider gates every route before the body is read; noop allows all") {
+    val work = Files.createTempDirectory("graft-server-auth").toString
+    val srv = new QueryServer(spark, work, auth = new BearerTokenAuth("s3cret"))
+    val port = srv.start()
+    try {
+      // no token → 401 with an error envelope, on every route
+      val (c1, b1) = get(port, "/graphs")
+      assert(c1 == 401 && mapper.readTree(b1).get("error").asText.contains("missing"))
+      val (c2, _) = post(port, "/graphs/g", edgesJson)
+      assert(c2 == 401)
+      val (c3, _) = post(port, "/query/g", """{"view":[]}""")
+      assert(c3 == 401)
+      // wrong token → 401; nothing was created by the denied ingest
+      val badReq = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/graphs"))
+        .header("Authorization", "Bearer wrong").GET().build()
+      assert(http.send(badReq, HttpResponse.BodyHandlers.ofString()).statusCode() == 401)
+      // right token → full round trip
+      def authed(path: String, body: String): (Int, String) = {
+        val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .header("Authorization", "Bearer s3cret")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+        val r = http.send(req, HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val (c4, b4) = authed("/graphs/g", edgesJson)
+      assert(c4 == 200, b4)
+      val (c5, b5) = authed("/cypher/g", "MATCH ()-[e]->() RETURN COUNT(*) AS n")
+      assert(c5 == 200 && mapper.readTree(b5).get("rows").get(0).get("n").asLong == 4L)
+      // the denied ingest left no graph behind: catalog holds exactly one
+      val okCat = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/graphs"))
+        .header("Authorization", "Bearer s3cret").GET().build()
+      val cat = http.send(okCat, HttpResponse.BodyHandlers.ofString())
+      assert(mapper.readTree(cat.body()).size == 1)
+    } finally srv.stop()
+  }
+
+  test("concurrent queries: parallel requests across routes all complete correctly") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val work = Files.createTempDirectory("graft-server-conc").toString
+    val srv = new QueryServer(spark, work)
+    val port = srv.start()
+    try {
+      post(port, "/graphs/g", edgesJson)
+      // 12 in-flight requests against a 4-thread handler pool: queries that
+      // run Spark jobs, catalog reads, and expected-error requests all
+      // interleave; every response must be complete and correct (the
+      // server shares one SparkSession — plans are concurrency-safe, and
+      // the error envelope must never leak across exchanges).
+      val pool = Executors.newFixedThreadPool(12)
+      try {
+        val tasks = new java.util.ArrayList[Callable[(String, Int, String)]]()
+        (0 until 4).foreach { _ =>
+          tasks.add(() => { val (c, b) = post(port, "/cypher/g",
+            "MATCH ()-[e]->() RETURN COUNT(*) AS n"); ("cypher", c, b) })
+          tasks.add(() => { val (c, b) = post(port, "/query/g",
+            """{"view":[],"select":{"target":"edges"}}"""); ("query", c, b) })
+          tasks.add(() => { val (c, b) = get(port, "/graphs"); ("catalog", c, b) })
+        }
+        val results = pool.invokeAll(tasks, 120, TimeUnit.SECONDS)
+        import scala.jdk.CollectionConverters._
+        results.asScala.foreach { f =>
+          val (kind, code, body) = f.get()
+          assert(code == 200, s"$kind: $body")
+          kind match {
+            case "cypher" =>
+              assert(mapper.readTree(body).get("rows").get(0).get("n").asLong == 4L, body)
+            case "query" =>
+              assert(mapper.readTree(body).get("rowCount").asInt == 4, body)
+            case _ =>
+              assert(mapper.readTree(body).size == 1, body)
+          }
+        }
+      } finally pool.shutdownNow()
+    } finally srv.stop()
+  }
+
   test("GraphClient.sendGraph exports a graph (export_to analog) and queries round-trip") {
     import graft.graph.TemporalGraph
     val work = Files.createTempDirectory("graft-server-client").toString
