@@ -436,9 +436,6 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0") {
       val hiC = math.min(8, hiThreads)
       val loC = math.max(2, hiC / 4)
-      val ideal = hiC.toDouble / loC
-      val (loCal, hiCal, calR) = graft.bench.Calibration.cpuRatio(loC, hiC)
-      val (_, _, memR) = graft.bench.Calibration.memRatio(loC, hiC)
       // 4× the headline input (capped at the full-size gate workload): at
       // the bench-scale 564k edges the 8-core leg spends ~half of each
       // 0.6 s superstep in fixed stage overhead, so ±0.2 s of scheduler
@@ -447,8 +444,6 @@ object Bench {
       // per-core scaling, not stage-launch latency.
       val canaryConvs = math.min(4 * nConvs, 400000L)
       extras += "scaling_convs" -> canaryConvs.toDouble
-      val lo = scalingLeg(loC, canaryConvs, 8)
-      val hi = scalingLeg(hiC, canaryConvs, 8)
       extras += "scaling_lo_cores" -> loC.toDouble
       extras += "scaling_hi_cores" -> hiC.toDouble
       extras += "scaling_supersteps" -> 8.0
@@ -505,8 +500,49 @@ object Bench {
         extras += s"${prefix}_eff_norm_mem_median" ->
           (lo._2 / hi._2) / ideal / math.max(memEff, 0.01)
       }
-      emitScalingPair("scaling", lo, hi, ideal, calR / ideal, memR / ideal)
-      val _ = (loCal, hiCal)
+      // BRACKET-GATED RETRY: a pair is re-measured (at most 3 attempts)
+      // only when the window's own instruments disqualify it — the
+      // same-window pure-CPU ceiling collapsed (< 0.85: a co-tenant ate
+      // cores mid-window, so NO job could have scaled) or either leg's GC
+      // share exceeded 15% (a JVM artifact, not a property of the thread
+      // count). The retry decision NEVER reads the efficiency number
+      // itself — that would be cherry-picking — and every discarded
+      // attempt's raw efficiency and disqualifying instrument readings are
+      // emitted alongside the final row (scaling*_discardedK_*), so the
+      // JSON shows exactly what was thrown away and why.
+      def windowDirty(
+          calEff: Double,
+          lo: (Double, Double, Double, Double, Double, Double),
+          hi: (Double, Double, Double, Double, Double, Double)): Boolean =
+        calEff < 0.85 || lo._4 > 0.15 || hi._4 > 0.15
+
+      def measureGatePair(prefix: String, loC: Int, hiC: Int, convs: Long): Unit = {
+        val idealP = hiC.toDouble / loC
+        var attempt = 0
+        var done = false
+        while (!done) {
+          attempt += 1
+          val (_, _, cal) = graft.bench.Calibration.cpuRatio(loC, hiC)
+          val (_, _, mem) = graft.bench.Calibration.memRatio(loC, hiC)
+          val lo = scalingLeg(loC, convs, 8)
+          val hi = scalingLeg(hiC, convs, 8)
+          val calEff = cal / idealP
+          val memEff = mem / idealP
+          if (attempt >= 3 || !windowDirty(calEff, lo, hi)) {
+            emitScalingPair(prefix, lo, hi, idealP, calEff, memEff)
+            extras += s"${prefix}_attempts" -> attempt.toDouble
+            done = true
+          } else {
+            extras += s"${prefix}_discarded${attempt}_eff_total" -> (lo._1 / hi._1) / idealP
+            extras += s"${prefix}_discarded${attempt}_calib_eff" -> calEff
+            extras += s"${prefix}_discarded${attempt}_mem_eff" -> memEff
+            extras += s"${prefix}_discarded${attempt}_lo_gc" -> lo._4
+            extras += s"${prefix}_discarded${attempt}_hi_gc" -> hi._4
+          }
+        }
+      }
+
+      measureGatePair("scaling", loC, hiC, canaryConvs)
 
       // --- 8→32 pair (north-rule N→4N at the box's full thread count),
       // emitted as scaling8_* so the driver JSON itself carries the high
@@ -517,14 +553,9 @@ object Bench {
       // Input is 4× the canary (capped at the full-size gate workload) so
       // both legs are work-dominant, not stage-launch-bound.
       if (hiThreads >= 32) {
-        val ideal8 = 32.0 / 8.0
-        val (_, _, cal8) = graft.bench.Calibration.cpuRatio(8, 32)
-        val (_, _, mem8) = graft.bench.Calibration.memRatio(8, 32)
         val convs8 = math.min(4 * canaryConvs, 400000L)
         extras += "scaling8_convs" -> convs8.toDouble
-        val lo8 = scalingLeg(8, convs8, 8)
-        val hi8 = scalingLeg(32, convs8, 8)
-        emitScalingPair("scaling8", lo8, hi8, ideal8, cal8 / ideal8, mem8 / ideal8)
+        measureGatePair("scaling8", 8, 32, convs8)
       }
     }
 
