@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
  *    Cypher). Patterns sharing a node variable equi-join on it; disjoint
  *    patterns cross-join (the reference transpiler's `parse_tables_2`
  *    semantics, raphtory-cypher/src/transpiler/mod.rs:564-807). Edge
- *    variables must be unique across the whole MATCH;
+ *    variables must be unique across the whole MATCH. Relationship
+ *    uniqueness is enforced: two edge variables never bind the same edge
+ *    (the reference's unique_edge_filter, mod.rs:697-705, applied
+ *    MATCH-wide as in openCypher; statically-distinct-layer pairs elided);
+ *  - pattern property maps `(a {id: 5})` / `-[e {layer: 'x', time: 9}]->`
+ *    desugared to equality conjuncts (ast.rs NodePattern/RelPattern.props,
+ *    transpiler mod.rs:875-917);
  *  - `WHERE` with and/or/not, parentheses, comparisons
  *    (=, <>, >, >=, <, <=), `CONTAINS`, `STARTS WITH`, `ENDS WITH` over
  *    `var.field` / node vars / literals;
@@ -41,9 +47,13 @@ object CypherLite {
 
   // ---------- AST ----------
 
-  private final case class NodePat(name: Option[String])
+  private final case class NodePat(name: Option[String], props: Seq[(String, Lit)] = Nil)
   /** dir: 1 = `->`, -1 = `<-`, 0 = undirected. */
-  private final case class RelPat(name: Option[String], layer: Option[String], dir: Int)
+  private final case class RelPat(
+      name: Option[String],
+      layer: Option[String],
+      dir: Int,
+      props: Seq[(String, Lit)] = Nil)
 
   private sealed trait Expr
   private final case class Prop(v: String, field: String) extends Expr
@@ -93,7 +103,7 @@ object CypherLite {
       else if (c == '>' && peek(1) == '=') { out += Tok("op", ">="); i += 2 }
       else if (c == '<' && peek(1) == '-') { out += Tok("arrow", "<-"); i += 2 }
       else if (c == '-' && peek(1) == '>') { out += Tok("arrow", "->"); i += 2 }
-      else if ("()[].,:*=<>-".contains(c)) { out += Tok(c.toString, c.toString); i += 1 }
+      else if ("()[]{}.,:*=<>-".contains(c)) { out += Tok(c.toString, c.toString); i += 1 }
       else throw new IllegalArgumentException(s"unexpected character '$c' at offset $i in: $s")
     }
     out.result()
@@ -165,11 +175,35 @@ object CypherLite {
       Pattern(nodes.result(), rels.result())
     }
 
+    // `{field: literal, …}` — pattern property map (parser/ast.rs
+    // NodePattern.props / RelPattern.props); desugared to equality
+    // conjuncts exactly as the reference transpiler does (mod.rs:875-917)
+    private def propMap(): Seq[(String, Lit)] =
+      if (peek.kind != "{") Nil
+      else {
+        next()
+        val b = Seq.newBuilder[(String, Lit)]
+        def entry(): Unit = {
+          val f = eat("ident").text
+          eat(":")
+          valueExpr() match {
+            case l: Lit => b += ((f, l))
+            case other  => throw new IllegalArgumentException(
+              s"property map values must be literals (got $other) in: $q")
+          }
+        }
+        entry()
+        while (peek.kind == ",") { next(); entry() }
+        eat("}")
+        b.result()
+      }
+
     private def nodePat(): NodePat = {
       eat("(")
       val name = if (peek.kind == "ident") Some(next().text) else None
+      val props = propMap()
       eat(")")
-      NodePat(name)
+      NodePat(name, props)
     }
 
     private def relPat(): RelPat = {
@@ -179,11 +213,12 @@ object CypherLite {
       eat("[")
       val name = if (peek.kind == "ident") Some(next().text) else None
       val layer = if (peek.kind == ":") { next(); Some(eat("ident").text) } else None
+      val props = propMap()
       eat("]")
       val rightArrow = peek.kind == "arrow" && peek.text == "->"
       if (rightArrow) next() else { require(peek.kind == "-", s"expected - at '${peek.text}'"); next() }
       require(!(leftArrow && rightArrow), "a relationship cannot point both ways")
-      RelPat(name, layer, if (rightArrow) 1 else if (leftArrow) -1 else 0)
+      RelPat(name, layer, if (rightArrow) 1 else if (leftArrow) -1 else 0, props)
     }
 
     private def retItem(): RetItem = {
@@ -364,7 +399,42 @@ object CypherLite {
         throw new IllegalArgumentException(s"COUNT is only valid in RETURN: $query")
     }
 
-    val filtered = ast.where.map(w => base.filter(compile(w))).getOrElse(base)
+    // pattern property maps desugar to equality conjuncts, exactly the
+    // reference transpiler's rel_exprs/node_exprs (mod.rs:875-917)
+    val propConj: Seq[Column] = pats.flatMap { case (p, nv, rv) =>
+      p.nodes.zipWithIndex.flatMap { case (n, k) =>
+        n.props.map { case (f, l) => compile(Bin("=", Prop(nv(k), f), l)) }
+      } ++
+        p.rels.zipWithIndex.flatMap { case (r, k) =>
+          r.props.map { case (f, l) => compile(Bin("=", Prop(rv(k), f), l)) }
+        }
+    }
+
+    // Cypher relationship uniqueness: two rel variables in one MATCH never
+    // bind the same edge (the reference emits (a.id<>b.id AND
+    // a.layer=b.layer) OR a.layer<>b.layer between pattern-adjacent edges —
+    // unique_edge_filter, transpiler/mod.rs:697-705; we apply the
+    // equivalent ¬(same event_id ∧ same layer) to ALL pairs, openCypher's
+    // MATCH-wide semantics, a superset of the reference's walk). Pairs
+    // whose patterns pin DIFFERENT static layer literals are distinct by
+    // construction — elided so single-layer-per-var queries keep their
+    // filter-free plans.
+    val staticLayer: Map[String, String] = pats.flatMap { case (p, _, rv) =>
+      p.rels.zipWithIndex.flatMap { case (r, k) => r.layer.map(rv(k) -> _) }
+    }.toMap
+    val uniqConj: Seq[Column] = relVar.combinations(2).toSeq.flatMap { pair =>
+      val (a, b) = (pair(0), pair(1))
+      (staticLayer.get(a), staticLayer.get(b)) match {
+        case (Some(la), Some(lb)) if la != lb => None
+        case _ =>
+          Some(!(col(s"${a}_event_id") === col(s"${b}_event_id") &&
+            col(s"${a}_layer") === col(s"${b}_layer")))
+      }
+    }
+
+    val conjuncts = ast.where.map(compile).toSeq ++ propConj ++ uniqConj
+    val filtered =
+      if (conjuncts.isEmpty) base else base.filter(conjuncts.reduce(_ && _))
 
     // RETURN
     val items: Seq[RetItem] =
@@ -447,10 +517,18 @@ object CypherLite {
         } else grouped
       } else {
         val cols = items.flatMap(itemCols).map { case (c, n) => c.as(n) }
+        // ORDER BY may address a RETURN alias (Cypher): a bare variable
+        // matching an alias resolves to that item's expression
+        val aliasExpr: Map[String, Expr] =
+          items.collect { case RetItem(e, Some(a)) => a -> e }.toMap
         val ordered =
           if (ast.orderBy.nonEmpty)
             filtered.orderBy(ast.orderBy.map { case (e, desc) =>
-              if (desc) compile(e).desc else compile(e).asc
+              val resolved = e match {
+                case VarRef(v) if aliasExpr.contains(v) => aliasExpr(v)
+                case other                              => other
+              }
+              if (desc) compile(resolved).desc else compile(resolved).asc
             }: _*)
           else filtered
         ordered.select(cols: _*)

@@ -4184,6 +4184,42 @@ object Queries {
            |       CAST(count(DISTINCT dst) AS BIGINT) AS n_dsts
            |FROM e0 WHERE layer = 'click'
            |GROUP BY src ORDER BY src LIMIT 500""".stripMargin)),
+    (
+      "q_cypher_unique",
+      // Cypher RELATIONSHIP UNIQUENESS (reference unique_edge_filter,
+      // transpiler/mod.rs:697-705, applied MATCH-wide): two same-layer rel
+      // vars sharing their head node — the e=f diagonal (same event) is
+      // excluded, so the count is Σ_b indeg(b)·(indeg(b)−1), not Σ indeg².
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b), (c)-[f:click]->(b) RETURN COUNT(*) AS n"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer, event_id FROM (
+           |    SELECT user_id, event_type, event_id,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT CAST(count(*) AS BIGINT) AS n
+           |FROM (SELECT dst, event_id FROM e0 WHERE layer = 'click') x
+           |JOIN (SELECT dst, event_id FROM e0 WHERE layer = 'click') y
+           |  ON x.dst = y.dst AND x.event_id <> y.event_id""".stripMargin)),
+    (
+      "q_cypher_props",
+      // pattern PROPERTY MAPS (ast.rs NodePattern/RelPattern.props,
+      // transpiler mod.rs:875-917): rel-map layer pin + node-map id pin,
+      // desugared to equality conjuncts
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e {layer: 'view'}]->(b {id: 7}) RETURN a, e.time AS tms ORDER BY tms, a"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer,
+           |    epoch_us(ts) // 1000 AS tms FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT src AS a, tms FROM e0
+           |WHERE layer = 'view' AND dst = 7 ORDER BY tms, a""".stripMargin)),
 
     // ---- composite property-filter + prefix/fuzzy search (parity with
     //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----

@@ -147,6 +147,36 @@ class CypherLiteSpec extends SparkSpec {
     assert(byType == Seq(("KNOWS", 3L), ("WORKS", 2L)))
   }
 
+  test("relationship uniqueness: two rel vars never bind the same edge (unique_edge_filter, transpiler :697-705)") {
+    // all-pairs over two unconstrained patterns: 5×5 bindings minus the 5
+    // diagonal e=f ones
+    assert(CypherLite.run(g, "MATCH (a)-[e]->(b), (c)-[f]->(d) RETURN COUNT(*)")
+      .first().getLong(0) == 20L)
+    // same static layer: 3×3 − 3
+    assert(CypherLite.run(g, "MATCH (a)-[e:KNOWS]->(b), (c)-[f:KNOWS]->(d) RETURN COUNT(*)")
+      .first().getLong(0) == 6L)
+    // statically distinct layers: filter elided, plain cross of 3×2
+    assert(CypherLite.run(g, "MATCH (a)-[e:KNOWS]->(b), (c)-[f:WORKS]->(d) RETURN COUNT(*)")
+      .first().getLong(0) == 6L)
+    // undirected two-hop through b: Σ_b deg(b)·(deg(b)−1) = 16 once the
+    // e=f diagonal (a-b back along the same edge) is excluded — 26 without
+    assert(CypherLite.run(g, "MATCH (a)-[e]-(b)-[f]-(c) RETURN COUNT(*)")
+      .first().getLong(0) == 16L)
+  }
+
+  test("pattern property maps desugar to equality conjuncts (ast.rs props; transpiler :875-917)") {
+    val bs = CypherLite.run(g, "MATCH (a {id: 2})-[e]->(b) RETURN b ORDER BY b")
+      .collect().map(_.getLong(0)).toSeq
+    assert(bs == Seq(3L, 4L))
+    val row = CypherLite.run(g, "MATCH (a)-[e {layer: 'KNOWS', time: 20}]->(b) RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(row == Seq((2L, 3L)))
+    // map on an anonymous rel; combined with WHERE
+    assert(CypherLite.run(
+      g, "MATCH (a)-[{layer: 'WORKS'}]->(b) WHERE b <> 1 RETURN COUNT(*)")
+      .first().getLong(0) == 1L)
+  }
+
   test("malformed queries fail loudly") {
     intercept[IllegalArgumentException](CypherLite.run(g, "MATCH (a)-[e]->(a) RETURN e")) // dup var
     intercept[IllegalArgumentException](CypherLite.run(g, "MATCH ()-[e]->() RETURN e.nope"))
@@ -157,5 +187,10 @@ class CypherLiteSpec extends SparkSpec {
     // grouped output: ORDER BY must address a RETURN item
     intercept[IllegalArgumentException](
       CypherLite.run(g, "MATCH (a)-[e]->(b) RETURN a, COUNT(e) ORDER BY e.time"))
+    // property-map values must be literals; node maps expose only id
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a {id: b})-[e]->(b) RETURN a"))
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a {name: 'x'})-[e]->(b) RETURN a"))
   }
 }
