@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
  *  - pattern property maps `(a {id: 5})` / `-[e {layer: 'x', time: 9}]->`
  *    desugared to equality conjuncts (ast.rs NodePattern/RelPattern.props,
  *    transpiler mod.rs:875-917);
+ *  - variable-length hops `-[:L*a..b]->` (BEYOND the reference's
+ *    frontend): expanded into a union of fixed-length chains with fresh
+ *    anonymous intermediates, relationship uniqueness making each path's
+ *    edges distinct (openCypher semantics); min ≥ 1, explicit upper bound
+ *    required, branch product bounded; the hop variable cannot be named;
  *  - `WHERE` with and/or/not, parentheses, comparisons
  *    (=, <>, >, >=, <, <=), `CONTAINS`, `STARTS WITH`, `ENDS WITH` over
  *    `var.field` / node vars / literals;
@@ -48,12 +53,20 @@ object CypherLite {
   // ---------- AST ----------
 
   private final case class NodePat(name: Option[String], props: Seq[(String, Lit)] = Nil)
-  /** dir: 1 = `->`, -1 = `<-`, 0 = undirected. */
+  /** dir: 1 = `->`, -1 = `<-`, 0 = undirected; range: variable-length
+    * `*a..b` hop bounds (min ≥ 1, explicit upper bound required). */
   private final case class RelPat(
       name: Option[String],
       layer: Option[String],
       dir: Int,
-      props: Seq[(String, Lit)] = Nil)
+      props: Seq[(String, Lit)] = Nil,
+      range: Option[(Int, Int)] = None)
+
+  /** Variable-length hops expand into a union of fixed-length chains —
+    * branch count (product of per-hop choices across the MATCH) and hop
+    * count are bounded so a typo cannot demand an unbounded plan. */
+  private val MaxVarLenHops = 8
+  private val MaxVarLenBranches = 64
 
   private sealed trait Expr
   private final case class Prop(v: String, field: String) extends Expr
@@ -90,8 +103,11 @@ object CypherLite {
         while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
         out += Tok("ident", s.substring(j, i))
       } else if (c.isDigit) {
+        // a '.' continues the number ONLY when a digit follows — `1..3`
+        // (variable-length range) lexes as num(1) '.' '.' num(3)
         val j = i
-        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        while (i < s.length &&
+          (s.charAt(i).isDigit || (s.charAt(i) == '.' && peek(1).isDigit))) i += 1
         out += Tok("num", s.substring(j, i))
       } else if (c == '\'' || c == '"') {
         val q = c; val j = i + 1; i += 1
@@ -213,12 +229,35 @@ object CypherLite {
       eat("[")
       val name = if (peek.kind == "ident") Some(next().text) else None
       val layer = if (peek.kind == ":") { next(); Some(eat("ident").text) } else None
+      // variable-length range: *n | *a..b | *..b (min defaults to 1; an
+      // explicit upper bound is required — unbounded expansion is refused)
+      val range: Option[(Int, Int)] =
+        if (peek.kind != "*") None
+        else {
+          next()
+          val lo = if (peek.kind == "num") Some(eat("num").text.toInt) else None
+          val hi =
+            if (peek.kind == ".") {
+              next(); eat(".")
+              if (peek.kind == "num") Some(eat("num").text.toInt) else None
+            } else lo // `*n` = exactly n
+          (lo.getOrElse(1), hi) match {
+            case (_, None) => throw new IllegalArgumentException(
+              s"variable-length relationship needs an explicit upper bound (*a..b) in: $q")
+            case (a, Some(b)) =>
+              require(a >= 1 && a <= b && b <= MaxVarLenHops,
+                s"variable-length bounds *$a..$b out of [1, $MaxVarLenHops] in: $q")
+              Some((a, b))
+          }
+        }
       val props = propMap()
       eat("]")
       val rightArrow = peek.kind == "arrow" && peek.text == "->"
       if (rightArrow) next() else { require(peek.kind == "-", s"expected - at '${peek.text}'"); next() }
       require(!(leftArrow && rightArrow), "a relationship cannot point both ways")
-      RelPat(name, layer, if (rightArrow) 1 else if (leftArrow) -1 else 0, props)
+      require(name.isEmpty || range.isEmpty,
+        s"a variable-length relationship cannot be bound to a variable in: $q")
+      RelPat(name, layer, if (rightArrow) 1 else if (leftArrow) -1 else 0, props, range)
     }
 
     private def retItem(): RetItem = {
@@ -299,142 +338,212 @@ object CypherLite {
   def run(g: TemporalGraph, query: String): DataFrame = {
     val ast = new P(tokenize(query), query).parse()
 
-    // synthetic names for anonymous vars, unique across ALL patterns; a
-    // node var repeated across patterns is the SAME binding (equi-join)
-    var anon = -1
-    def fresh(prefix: String): String = { anon += 1; s"__$prefix$anon" }
-    val pats = ast.patterns.map { p =>
-      val nv = p.nodes.map(n => n.name.getOrElse(fresh("n")))
-      val rv = p.rels.map(r => r.name.getOrElse(fresh("e")))
-      require(nv.distinct.size == nv.size,
-        s"duplicate node variable within one pattern in: $query")
-      (p, nv, rv)
-    }
-    val nodeVar = pats.flatMap(_._2).distinct
-    val relVar = pats.flatMap(_._3)
-    require(relVar.distinct.size == relVar.size, s"duplicate edge variable in: $query")
-
     // node variable v binds column nodeCol(v) — shared across patterns, so
     // pattern frames equi-join on exactly their shared variables
     def nodeCol(v: String) = s"__node_$v"
 
-    def patternFrame(p: Pattern, nv: Seq[String], rv: Seq[String]): DataFrame =
-      if (p.rels.isEmpty) {
-        g.nodes.select(col("id").as(nodeCol(nv.head)))
-      } else {
-        val hops = p.rels.zipWithIndex.map { case (r, k) =>
-          val v = rv(k)
-          val e0 = r.layer match {
-            case Some(l) => g.edges.filter(col("layer") === l)
-            case None    => g.edges
+    // named variables, in first-appearance order (the RETURN-visible set;
+    // validated on the ORIGINAL patterns, before var-length expansion)
+    ast.patterns.foreach { p =>
+      val ns = p.nodes.flatMap(_.name)
+      require(ns.distinct.size == ns.size,
+        s"duplicate node variable within one pattern in: $query")
+    }
+    val namedNode = ast.patterns.flatMap(_.nodes.flatMap(_.name)).distinct
+    val namedRel = ast.patterns.flatMap(_.rels.flatMap(_.name))
+    require(namedRel.distinct.size == namedRel.size, s"duplicate edge variable in: $query")
+
+    // ---- variable-length expansion (beyond the reference's frontend):
+    // each `-[:L*a..b]->` hop expands the MATCH into a UNION of fixed-
+    // length chains — fresh anonymous intermediate nodes/edges per branch,
+    // the layer/prop constraints replicated onto every traversed hop; the
+    // per-branch relationship-uniqueness filters below then give
+    // openCypher's distinct-edges-per-path semantics. Branch count is the
+    // product of per-hop length choices, bounded loudly. ----
+    def expandPattern(p: Pattern): Seq[Pattern] = {
+      val choices = p.rels.map(r =>
+        r.range.map { case (a, b) => (a to b).toSeq }.getOrElse(Seq(1)))
+      choices
+        .foldLeft(Seq(Seq.empty[Int]))((acc, c) => acc.flatMap(pre => c.map(pre :+ _)))
+        .map { lens =>
+          val nodes = Seq.newBuilder[NodePat]
+          val rels = Seq.newBuilder[RelPat]
+          nodes += p.nodes.head
+          p.rels.zipWithIndex.foreach { case (r, i) =>
+            val k = lens(i)
+            for (j <- 1 to k) {
+              rels += RelPat(
+                if (r.range.isEmpty) r.name else None, r.layer, r.dir, r.props)
+              nodes += (if (j == k) p.nodes(i + 1) else NodePat(None))
+            }
           }
-          val named = e0.select(
-            col("src").as(s"${v}_src"), col("dst").as(s"${v}_dst"),
-            col("ts").as(s"${v}_ts"), col("event_id").as(s"${v}_event_id"),
-            col("layer").as(s"${v}_layer"))
-          def oriented(tailIsSrc: Boolean) = named.select(
-            (if (tailIsSrc) col(s"${v}_src") else col(s"${v}_dst")).as(nodeCol(nv(k))),
-            (if (tailIsSrc) col(s"${v}_dst") else col(s"${v}_src")).as(nodeCol(nv(k + 1))),
-            col(s"${v}_src"), col(s"${v}_dst"), col(s"${v}_ts"),
-            col(s"${v}_event_id"), col(s"${v}_layer"))
-          r.dir match {
-            case 1  => oriented(tailIsSrc = true)
-            case -1 => oriented(tailIsSrc = false)
-            case 0  => oriented(tailIsSrc = true).unionByName(oriented(tailIsSrc = false))
+          Pattern(nodes.result(), rels.result())
+        }
+    }
+    val branchPatterns: Seq[Seq[Pattern]] =
+      ast.patterns.map(expandPattern).foldLeft(Seq(Seq.empty[Pattern])) {
+        (acc, alts) => acc.flatMap(pre => alts.map(pre :+ _))
+      }
+    require(branchPatterns.size <= MaxVarLenBranches,
+      s"variable-length expansion yields ${branchPatterns.size} branches " +
+        s"(> $MaxVarLenBranches) in: $query")
+
+    // expression compiler over a branch's (or the union's) variable maps
+    def compiler(nodeColOf: Map[String, String], relVars: Set[String]): Expr => Column = {
+      def fieldCol(v: String, field: String): Column = {
+        val f = field match {
+          case "time" => "ts"
+          case other  => other
+        }
+        if (relVars.contains(v)) {
+          require(EdgeFields.contains(f), s"unknown edge field '$field' in: $query")
+          col(s"${v}_$f")
+        } else if (nodeColOf.contains(v)) {
+          require(f == "id", s"node variables expose only 'id' (got '$field') in: $query")
+          col(nodeColOf(v))
+        } else throw new IllegalArgumentException(s"unknown variable '$v' in: $query")
+      }
+      def compile(e: Expr): Column = e match {
+        case Prop(v, f)   => fieldCol(v, f)
+        case TypeOf(v)    => fieldCol(v, "layer")
+        case VarRef(v)    =>
+          if (nodeColOf.contains(v)) col(nodeColOf(v))
+          else throw new IllegalArgumentException(s"bare edge variable '$v' not valid here in: $query")
+        case Lit(x)       => lit(x)
+        case Not(x)       => !compile(x)
+        case Bin(op, l, r) => op match {
+          case "and"      => compile(l) && compile(r)
+          case "or"       => compile(l) || compile(r)
+          case "="        => compile(l) === compile(r)
+          case "<>"       => compile(l) =!= compile(r)
+          case ">"        => compile(l) > compile(r)
+          case ">="       => compile(l) >= compile(r)
+          case "<"        => compile(l) < compile(r)
+          case "<="       => compile(l) <= compile(r)
+          case "contains" => compile(l).contains(compile(r))
+          case "starts"   => compile(l).startsWith(r.asInstanceOf[Lit].value.toString)
+          case "ends"     => compile(l).endsWith(r.asInstanceOf[Lit].value.toString)
+        }
+        case _: CountAgg  =>
+          throw new IllegalArgumentException(s"COUNT is only valid in RETURN: $query")
+      }
+      compile
+    }
+
+    // union-stable, RETURN-visible columns — identical across branches
+    val stableCols: Seq[String] =
+      namedNode.map(nodeCol) ++ namedRel.flatMap(v => EdgeFields.map(f => s"${v}_$f"))
+
+    // one MATCH branch (fixed-length patterns) → filtered frame projected
+    // onto the stable columns
+    def branchFrame(branch: Seq[Pattern]): DataFrame = {
+      // synthetic names for anonymous vars, unique across ALL patterns; a
+      // node var repeated across patterns is the SAME binding (equi-join)
+      var anon = -1
+      def fresh(prefix: String): String = { anon += 1; s"__$prefix$anon" }
+      val pats = branch.map { p =>
+        val nv = p.nodes.map(n => n.name.getOrElse(fresh("n")))
+        val rv = p.rels.map(r => r.name.getOrElse(fresh("e")))
+        require(nv.distinct.size == nv.size,
+          s"duplicate node variable within one pattern in: $query")
+        (p, nv, rv)
+      }
+      val relVarB = pats.flatMap(_._3)
+
+      def patternFrame(p: Pattern, nv: Seq[String], rv: Seq[String]): DataFrame =
+        if (p.rels.isEmpty) {
+          g.nodes.select(col("id").as(nodeCol(nv.head)))
+        } else {
+          val hops = p.rels.zipWithIndex.map { case (r, k) =>
+            val v = rv(k)
+            val e0 = r.layer match {
+              case Some(l) => g.edges.filter(col("layer") === l)
+              case None    => g.edges
+            }
+            val named = e0.select(
+              col("src").as(s"${v}_src"), col("dst").as(s"${v}_dst"),
+              col("ts").as(s"${v}_ts"), col("event_id").as(s"${v}_event_id"),
+              col("layer").as(s"${v}_layer"))
+            def oriented(tailIsSrc: Boolean) = named.select(
+              (if (tailIsSrc) col(s"${v}_src") else col(s"${v}_dst")).as(nodeCol(nv(k))),
+              (if (tailIsSrc) col(s"${v}_dst") else col(s"${v}_src")).as(nodeCol(nv(k + 1))),
+              col(s"${v}_src"), col(s"${v}_dst"), col(s"${v}_ts"),
+              col(s"${v}_event_id"), col(s"${v}_layer"))
+            r.dir match {
+              case 1  => oriented(tailIsSrc = true)
+              case -1 => oriented(tailIsSrc = false)
+              case 0  => oriented(tailIsSrc = true).unionByName(oriented(tailIsSrc = false))
+            }
+          }
+          hops.reduceLeft { (acc, hop) =>
+            acc.join(hop, acc.columns.intersect(hop.columns).toSeq)
           }
         }
-        hops.reduceLeft { (acc, hop) =>
-          acc.join(hop, acc.columns.intersect(hop.columns).toSeq)
+
+      // multi-pattern combine: equi-join on shared node variables when any,
+      // cross join for disjoint patterns (transpiler/mod.rs parse_tables_2)
+      val base: DataFrame = pats
+        .map { case (p, nv, rv) => patternFrame(p, nv, rv) }
+        .reduceLeft { (acc, f) =>
+          val shared = acc.columns.intersect(f.columns).toSeq
+          if (shared.nonEmpty) acc.join(f, shared) else acc.crossJoin(f)
+        }
+
+      val compile = compiler(
+        pats.flatMap(_._2).distinct.map(v => v -> nodeCol(v)).toMap,
+        relVarB.toSet)
+
+      // pattern property maps desugar to equality conjuncts, exactly the
+      // reference transpiler's rel_exprs/node_exprs (mod.rs:875-917)
+      val propConj: Seq[Column] = pats.flatMap { case (p, nv, rv) =>
+        p.nodes.zipWithIndex.flatMap { case (n, k) =>
+          n.props.map { case (f, l) => compile(Bin("=", Prop(nv(k), f), l)) }
+        } ++
+          p.rels.zipWithIndex.flatMap { case (r, k) =>
+            r.props.map { case (f, l) => compile(Bin("=", Prop(rv(k), f), l)) }
+          }
+      }
+
+      // Cypher relationship uniqueness: two rel variables in one MATCH never
+      // bind the same edge (the reference emits (a.id<>b.id AND
+      // a.layer=b.layer) OR a.layer<>b.layer between pattern-adjacent edges —
+      // unique_edge_filter, transpiler/mod.rs:697-705; we apply the
+      // equivalent ¬(same event_id ∧ same layer) to ALL pairs, openCypher's
+      // MATCH-wide semantics, a superset of the reference's walk — which is
+      // also what makes the expanded variable-length chains path-distinct).
+      // Pairs whose patterns pin DIFFERENT static layer literals are
+      // distinct by construction — elided so single-layer-per-var queries
+      // keep their filter-free plans.
+      val staticLayer: Map[String, String] = pats.flatMap { case (p, _, rv) =>
+        p.rels.zipWithIndex.flatMap { case (r, k) => r.layer.map(rv(k) -> _) }
+      }.toMap
+      val uniqConj: Seq[Column] = relVarB.combinations(2).toSeq.flatMap { pair =>
+        val (a, b) = (pair(0), pair(1))
+        (staticLayer.get(a), staticLayer.get(b)) match {
+          case (Some(la), Some(lb)) if la != lb => None
+          case _ =>
+            Some(!(col(s"${a}_event_id") === col(s"${b}_event_id") &&
+              col(s"${a}_layer") === col(s"${b}_layer")))
         }
       }
 
-    // multi-pattern combine: equi-join on shared node variables when any,
-    // cross join for disjoint patterns (transpiler/mod.rs parse_tables_2)
-    val base: DataFrame = pats
-      .map { case (p, nv, rv) => patternFrame(p, nv, rv) }
-      .reduceLeft { (acc, f) =>
-        val shared = acc.columns.intersect(f.columns).toSeq
-        if (shared.nonEmpty) acc.join(f, shared) else acc.crossJoin(f)
-      }
-
-    val nodeColOf: Map[String, String] = nodeVar.map(v => v -> nodeCol(v)).toMap
-    val relVars = relVar.toSet
-
-    def fieldCol(v: String, field: String): Column = {
-      val f = field match {
-        case "time" => "ts"
-        case other  => other
-      }
-      if (relVars.contains(v)) {
-        require(EdgeFields.contains(f), s"unknown edge field '$field' in: $query")
-        col(s"${v}_$f")
-      } else if (nodeColOf.contains(v)) {
-        require(f == "id", s"node variables expose only 'id' (got '$field') in: $query")
-        col(nodeColOf(v))
-      } else throw new IllegalArgumentException(s"unknown variable '$v' in: $query")
+      val conjuncts = ast.where.map(compile).toSeq ++ propConj ++ uniqConj
+      val filtered =
+        if (conjuncts.isEmpty) base else base.filter(conjuncts.reduce(_ && _))
+      if (stableCols.isEmpty) filtered.select(lit(1).as("__row"))
+      else filtered.select(stableCols.map(col): _*)
     }
 
-    def compile(e: Expr): Column = e match {
-      case Prop(v, f)   => fieldCol(v, f)
-      case TypeOf(v)    => fieldCol(v, "layer")
-      case VarRef(v)    =>
-        if (nodeColOf.contains(v)) col(nodeColOf(v))
-        else throw new IllegalArgumentException(s"bare edge variable '$v' not valid here in: $query")
-      case Lit(x)       => lit(x)
-      case Not(x)       => !compile(x)
-      case Bin(op, l, r) => op match {
-        case "and"      => compile(l) && compile(r)
-        case "or"       => compile(l) || compile(r)
-        case "="        => compile(l) === compile(r)
-        case "<>"       => compile(l) =!= compile(r)
-        case ">"        => compile(l) > compile(r)
-        case ">="       => compile(l) >= compile(r)
-        case "<"        => compile(l) < compile(r)
-        case "<="       => compile(l) <= compile(r)
-        case "contains" => compile(l).contains(compile(r))
-        case "starts"   => compile(l).startsWith(r.asInstanceOf[Lit].value.toString)
-        case "ends"     => compile(l).endsWith(r.asInstanceOf[Lit].value.toString)
-      }
-      case _: CountAgg  =>
-        throw new IllegalArgumentException(s"COUNT is only valid in RETURN: $query")
-    }
+    val filtered: DataFrame =
+      branchPatterns.map(branchFrame).reduceLeft(_ unionByName _)
 
-    // pattern property maps desugar to equality conjuncts, exactly the
-    // reference transpiler's rel_exprs/node_exprs (mod.rs:875-917)
-    val propConj: Seq[Column] = pats.flatMap { case (p, nv, rv) =>
-      p.nodes.zipWithIndex.flatMap { case (n, k) =>
-        n.props.map { case (f, l) => compile(Bin("=", Prop(nv(k), f), l)) }
-      } ++
-        p.rels.zipWithIndex.flatMap { case (r, k) =>
-          r.props.map { case (f, l) => compile(Bin("=", Prop(rv(k), f), l)) }
-        }
-    }
-
-    // Cypher relationship uniqueness: two rel variables in one MATCH never
-    // bind the same edge (the reference emits (a.id<>b.id AND
-    // a.layer=b.layer) OR a.layer<>b.layer between pattern-adjacent edges —
-    // unique_edge_filter, transpiler/mod.rs:697-705; we apply the
-    // equivalent ¬(same event_id ∧ same layer) to ALL pairs, openCypher's
-    // MATCH-wide semantics, a superset of the reference's walk). Pairs
-    // whose patterns pin DIFFERENT static layer literals are distinct by
-    // construction — elided so single-layer-per-var queries keep their
-    // filter-free plans.
-    val staticLayer: Map[String, String] = pats.flatMap { case (p, _, rv) =>
-      p.rels.zipWithIndex.flatMap { case (r, k) => r.layer.map(rv(k) -> _) }
-    }.toMap
-    val uniqConj: Seq[Column] = relVar.combinations(2).toSeq.flatMap { pair =>
-      val (a, b) = (pair(0), pair(1))
-      (staticLayer.get(a), staticLayer.get(b)) match {
-        case (Some(la), Some(lb)) if la != lb => None
-        case _ =>
-          Some(!(col(s"${a}_event_id") === col(s"${b}_event_id") &&
-            col(s"${a}_layer") === col(s"${b}_layer")))
-      }
-    }
-
-    val conjuncts = ast.where.map(compile).toSeq ++ propConj ++ uniqConj
-    val filtered =
-      if (conjuncts.isEmpty) base else base.filter(conjuncts.reduce(_ && _))
+    // RETURN-stage variable maps: named vars only (anonymous ones never
+    // survive the stable projection)
+    val nodeColOf: Map[String, String] = namedNode.map(v => v -> nodeCol(v)).toMap
+    val relVars = namedRel.toSet
+    val nodeVar = namedNode
+    val relVar = namedRel
+    val compile = compiler(nodeColOf, relVars)
 
     // RETURN
     val items: Seq[RetItem] =

@@ -4220,6 +4220,29 @@ object Queries {
            |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
            |SELECT src AS a, tms FROM e0
            |WHERE layer = 'view' AND dst = 7 ORDER BY tms, a""".stripMargin)),
+    (
+      "q_cypher_varlen",
+      // VARIABLE-LENGTH hops `-[:click*1..2]->` (beyond the reference's
+      // frontend; openCypher semantics): union of the 1-hop and 2-hop
+      // click chains, per-path edges distinct (relationship uniqueness),
+      // then Cypher implicit grouping — paths per source node
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[:click*1..2]->(b) RETURN a, COUNT(*) AS n_paths ORDER BY a LIMIT 500"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer, event_id FROM (
+           |    SELECT user_id, event_type, event_id,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+           |c AS (SELECT src, dst, event_id FROM e0 WHERE layer = 'click'),
+           |paths AS (
+           |  SELECT src AS a FROM c
+           |  UNION ALL
+           |  SELECT x.src AS a FROM c x JOIN c y
+           |    ON x.dst = y.src AND x.event_id <> y.event_id)
+           |SELECT a, CAST(count(*) AS BIGINT) AS n_paths
+           |FROM paths GROUP BY a ORDER BY a LIMIT 500""".stripMargin)),
 
     // ---- composite property-filter + prefix/fuzzy search (parity with
     //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----

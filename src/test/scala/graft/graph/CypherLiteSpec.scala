@@ -177,6 +177,56 @@ class CypherLiteSpec extends SparkSpec {
       .first().getLong(0) == 1L)
   }
 
+  test("variable-length hops *a..b expand to a union of fixed chains (openCypher semantics)") {
+    // KNOWS 1-hop: (1,2) (2,3) (2,4); 2-hop distinct-edge: 1→2→3, 1→2→4
+    val ab = CypherLite.run(g, "MATCH (a)-[:KNOWS*1..2]->(b) RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ab == Set((1L, 2L), (2L, 3L), (2L, 4L), (1L, 3L), (1L, 4L)))
+    assert(CypherLite.run(g, "MATCH (a)-[:KNOWS*1..2]->(b) RETURN COUNT(*)")
+      .first().getLong(0) == 5L)
+    // `*2` = exactly two hops
+    assert(CypherLite.run(g, "MATCH (a)-[:KNOWS*2]->(b) RETURN COUNT(*)")
+      .first().getLong(0) == 2L)
+    // all-layer 2-hop walks with distinct edges: 1→2→3, 1→2→4, 2→3→4,
+    // 3→4→1, 4→1→2, 2→4→1
+    assert(CypherLite.run(g, "MATCH (a)-[*2..2]->(b) RETURN COUNT(*) AS n")
+      .first().getLong(0) == 6L)
+    // implicit grouping over the branch union
+    val perB = CypherLite.run(g, "MATCH (a)-[:KNOWS*1..2]->(b) RETURN b, COUNT(*) AS n ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(perB == Seq((2L, 1L), (3L, 2L), (4L, 2L)))
+  }
+
+  test("variable-length hop composed with a fixed hop and WHERE") {
+    // (a)-KNOWS*1..2->(b)-WORKS->(c): b∈{3,4} ⇒ 4 paths
+    val rows = CypherLite.run(
+      g, "MATCH (a)-[:KNOWS*1..2]->(b)-[f:WORKS]->(c) RETURN a, b, c, f.time AS t ORDER BY t, a")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 3L, 4L), (2L, 3L, 4L), (1L, 4L, 1L), (2L, 4L, 1L)))
+    // WHERE applies across every branch
+    assert(CypherLite.run(
+      g, "MATCH (a)-[:KNOWS*1..2]->(b)-[f:WORKS]->(c) WHERE a = 1 RETURN COUNT(*)")
+      .first().getLong(0) == 2L)
+  }
+
+  test("variable-length bounds are validated loudly") {
+    // no explicit upper bound
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[:KNOWS*1..]->(b) RETURN a"))
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[:KNOWS*]->(b) RETURN a"))
+    // min must be ≥ 1, max ≤ MaxVarLenHops, min ≤ max
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[:KNOWS*0..2]->(b) RETURN a"))
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[:KNOWS*1..99]->(b) RETURN a"))
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[:KNOWS*3..2]->(b) RETURN a"))
+    // a var-length relationship cannot bind a variable
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e:KNOWS*1..2]->(b) RETURN e"))
+  }
+
   test("malformed queries fail loudly") {
     intercept[IllegalArgumentException](CypherLite.run(g, "MATCH (a)-[e]->(a) RETURN e")) // dup var
     intercept[IllegalArgumentException](CypherLite.run(g, "MATCH ()-[e]->() RETURN e.nope"))
