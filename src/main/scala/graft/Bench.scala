@@ -528,47 +528,87 @@ object Bench {
           (lo._2 / hi._2) / ideal / math.max(memEff, 0.01)
       }
       // BRACKET-GATED RETRY: a pair is re-measured (at most 3 attempts)
-      // only when the window's own instruments disqualify it — the
-      // same-window pure-CPU ceiling collapsed (< 0.85: a co-tenant ate
-      // cores mid-window, so NO job could have scaled), the ceiling read
-      // SUPERLINEAR (> 1.15: a busy-loop cannot scale past ideal on a
-      // fair machine, so the low-thread calibration moment was contended
-      // — observed 1.26 on 2026-08-20, which deflates eff_norm by the
-      // same bogus factor), or either leg's GC share exceeded 15% (a JVM
-      // artifact, not a property of the thread count). The retry decision
-      // NEVER reads the efficiency number itself — that would be
-      // cherry-picking — and every discarded attempt's raw efficiency and
-      // disqualifying instrument readings are emitted alongside the final
-      // row (scaling*_discardedK_*), so the JSON shows exactly what was
-      // thrown away and why.
-      def windowDirty(
-          calEff: Double,
-          lo: (Double, Double, Double, Double, Double, Double),
-          hi: (Double, Double, Double, Double, Double, Double)): Boolean =
-        calEff < 0.85 || calEff > 1.15 || lo._4 > 0.15 || hi._4 > 0.15
+      // only when the window's own instruments disqualify it:
+      //  - the same-window pure-CPU ceiling collapsed (< 0.85: a co-tenant
+      //    ate cores mid-window, so NO job could have scaled) or read
+      //    SUPERLINEAR (> 1.15: a busy-loop cannot scale past ideal on a
+      //    fair machine, so the low-thread calibration moment was
+      //    contended — observed 1.26 on 2026-08-20, which deflates
+      //    eff_norm by the same bogus factor); same superlinear check on
+      //    the memory-streaming ceiling;
+      //  - either leg's GC share exceeded 15% (a JVM artifact, not a
+      //    property of the thread count);
+      //  - INSTRUMENT CONTRADICTION: on a plan-identical pair (tasks and
+      //    shuffle bytes pinned equal) task-seconds can legitimately
+      //    inflate at the higher thread count only through memory-stall
+      //    time, bounded by idealP / memRatio — threads grew idealP× while
+      //    the same-window DRAM bracket says bandwidth grew memRatio×. A
+      //    task-sec ratio beyond 1.25× that bound cannot be explained by
+      //    the window's own ceiling measurement (observed 6.76× against a
+      //    ~1.7× bound on 2026-08-20 — the same-window DRAM bracket scaled
+      //    3× while task time inflated 6.76×, a co-tenant thrash the
+      //    cal/GC checks missed), so the window is uninterpretable. On a
+      //    genuinely bandwidth-saturated pair the bracket itself collapses
+      //    (memEff → idealP⁻¹), raising the bound to ~idealP — saturation
+      //    is NOT flagged, only contradiction.
+      // The retry decision NEVER reads the efficiency number itself — that
+      // would be cherry-picking. If every attempt is dirty, the attempt
+      // with the CLEANEST INSTRUMENTS (fewest flags, then lowest
+      // excess-over-threshold score — still never the efficiency) is
+      // emitted, with `{prefix}_window_flags` > 0 marking the residual
+      // dirt; every other attempt's raw efficiency and disqualifying
+      // readings are emitted alongside (scaling*_discardedK_*), so the
+      // JSON shows exactly what was thrown away and why.
+      type Leg = (Double, Double, Double, Double, Double, Double)
+      final case class PairAttempt(lo: Leg, hi: Leg, calEff: Double, memEff: Double) {
+        def taskSecRatio: Double = if (lo._3 > 0) hi._3 / lo._3 else 0.0
+        // idealP / memRatio = 1 / memEff: the inflation a fully
+        // memory-bound identical plan could show given the same-window
+        // DRAM bracket
+        def stallBound: Double = 1.25 * math.max(1.0, 1.0 / math.max(memEff, 0.0625))
+        def flags(idealP: Double): Seq[String] = Seq(
+          (calEff < 0.85) -> "cal_collapsed",
+          (calEff > 1.15) -> "cal_superlinear",
+          (memEff > 1.15) -> "mem_superlinear",
+          (lo._4 > 0.15) -> "lo_gc",
+          (hi._4 > 0.15) -> "hi_gc",
+          (taskSecRatio > stallBound) -> "stall_contradiction"
+        ).collect { case (true, f) => f }
+        def dirtScore(idealP: Double): Double =
+          math.abs(calEff - 1.0) +
+            math.max(0.0, memEff - 1.15) +
+            math.max(0.0, lo._4 - 0.15) + math.max(0.0, hi._4 - 0.15) +
+            math.max(0.0, taskSecRatio / stallBound - 1.0)
+      }
 
       def measureGatePair(prefix: String, loC: Int, hiC: Int, convs: Long): Unit = {
         val idealP = hiC.toDouble / loC
-        var attempt = 0
-        var done = false
-        while (!done) {
-          attempt += 1
+        val all = scala.collection.mutable.ArrayBuffer.empty[PairAttempt]
+        var clean = false
+        while (all.size < 3 && !clean) {
           val (_, _, cal) = graft.bench.Calibration.cpuRatio(loC, hiC)
           val (_, _, mem) = graft.bench.Calibration.memRatio(loC, hiC)
           val lo = scalingLeg(loC, convs, 8)
           val hi = scalingLeg(hiC, convs, 8)
-          val calEff = cal / idealP
-          val memEff = mem / idealP
-          if (attempt >= 3 || !windowDirty(calEff, lo, hi)) {
-            emitScalingPair(prefix, lo, hi, idealP, calEff, memEff)
-            extras += s"${prefix}_attempts" -> attempt.toDouble
-            done = true
+          val a = PairAttempt(lo, hi, cal / idealP, mem / idealP)
+          all += a
+          clean = a.flags(idealP).isEmpty
+        }
+        val keptIdx = all.zipWithIndex
+          .minBy { case (a, _) => (a.flags(idealP).size, a.dirtScore(idealP)) }._2
+        all.zipWithIndex.foreach { case (a, i) =>
+          if (i == keptIdx) {
+            emitScalingPair(prefix, a.lo, a.hi, idealP, a.calEff, a.memEff)
+            extras += s"${prefix}_attempts" -> all.size.toDouble
+            extras += s"${prefix}_window_flags" -> a.flags(idealP).size.toDouble
           } else {
-            extras += s"${prefix}_discarded${attempt}_eff_total" -> (lo._1 / hi._1) / idealP
-            extras += s"${prefix}_discarded${attempt}_calib_eff" -> calEff
-            extras += s"${prefix}_discarded${attempt}_mem_eff" -> memEff
-            extras += s"${prefix}_discarded${attempt}_lo_gc" -> lo._4
-            extras += s"${prefix}_discarded${attempt}_hi_gc" -> hi._4
+            val k = i + 1
+            extras += s"${prefix}_discarded${k}_eff_total" -> (a.lo._1 / a.hi._1) / idealP
+            extras += s"${prefix}_discarded${k}_calib_eff" -> a.calEff
+            extras += s"${prefix}_discarded${k}_mem_eff" -> a.memEff
+            extras += s"${prefix}_discarded${k}_lo_gc" -> a.lo._4
+            extras += s"${prefix}_discarded${k}_hi_gc" -> a.hi._4
+            extras += s"${prefix}_discarded${k}_task_sec_ratio" -> a.taskSecRatio
           }
         }
       }
