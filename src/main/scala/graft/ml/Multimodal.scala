@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
  * The IMAGE decode path is REAL: the JDK's `javax.imageio` (PNG/JPEG/
  * BMP/GIF — no external dependency) decodes payload bytes inside the batch
  * kernel and emits dimensional + per-channel statistics as the feature
- * vector; [[syntheticAssets]] writes genuine deterministic PNG payloads so
- * the whole path round-trips real bytes under test. AUDIO/VIDEO decode
- * stays STUBBED behind [[DecodeStub]] (no audio/video codec libraries in
- * this container): a deterministic fake derives "features" from payload
- * bytes. Everything around the kernels is real and tested: the schema
+ * vector. The AUDIO decode path is REAL too: the JDK's
+ * `javax.sound.sampled` (WAV/AIFF/AU PCM) decodes payload bytes to frames
+ * and emits rate/duration/energy statistics. [[syntheticAssets]] writes
+ * genuine deterministic PNG and WAV payloads so both paths round-trip
+ * real bytes under test. Only VIDEO decode stays STUBBED behind
+ * [[DecodeStub]] (the JDK ships no video codec): a deterministic fake
+ * derives "features" from payload bytes. Everything around the kernels is
+ * real and tested: the schema
  * contract, batch-shaped per-partition processing via `mapPartitions` over
  * Arrow-friendly rows (the Scala analog of a `mapInPandas` batch UDF: same
  * signature shape — an iterator of batches in, an iterator of batches
@@ -38,10 +41,11 @@ object Multimodal {
 
   /** Deterministic synthetic asset table (payload bytes derived from the
     * asset id — no external data). IMAGE rows carry GENUINE PNG payloads
-    * (encoded with the JDK's ImageIO inside the same batch boundary the
-    * decode kernel uses — dimensions and pixels are pure functions of
-    * (seed, id), so the table is identical on every run/partitioning);
-    * audio/video rows keep opaque hash-derived bytes. */
+    * and AUDIO rows GENUINE WAV payloads (encoded with the JDK's
+    * ImageIO / javax.sound.sampled inside the same batch boundary the
+    * decode kernels use — dimensions, pixels, and samples are pure
+    * functions of (seed, id), so the table is identical on every
+    * run/partitioning); video rows keep opaque hash-derived bytes. */
   def syntheticAssets(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     val modality = element_at(
       array(lit("image"), lit("audio"), lit("video")),
@@ -51,7 +55,8 @@ object Multimodal {
       .select(
         col("id").as("asset_id"),
         modality.as("modality"),
-        // non-image payload: 64 deterministic bytes from iterated hashing
+        // video payload: 64 deterministic bytes from iterated hashing
+        // (image/audio rows overwrite this with real codec bytes below)
         expr(s"cast(concat_ws('', transform(sequence(0, 7), i -> hex(xxhash64(id, i, $seed)))) as binary)")
           .as("payload"),
         struct(
@@ -60,21 +65,34 @@ object Multimodal {
           // sizes — the decode kernel takes them from the bytes, not meta
           (pmod(xxhash64(lit(seed), col("id"), lit("w")), lit(16)).cast("int") + 4).as("width"),
           (pmod(xxhash64(lit(seed), col("id"), lit("h")), lit(16)).cast("int") + 4).as("height"),
-          lit(16000).as("sample_rate"),
-          (pmod(xxhash64(lit(seed), col("id"), lit("d")), lit(600000L)) + 1000L).as("duration_ms"),
-          when(modality === "image", lit("png")).otherwise(lit("synthetic")).as("codec")).as("meta"))
+          lit(8000).as("sample_rate"),
+          // audio clips stay short (50..249 ms) for the same payload-light
+          // reason; video keeps long fake durations for the frame planner
+          when(
+            modality === "audio",
+            pmod(xxhash64(lit(seed), col("id"), lit("d")), lit(200L)) + 50L)
+            .otherwise(pmod(xxhash64(lit(seed), col("id"), lit("d")), lit(600000L)) + 1000L)
+            .as("duration_ms"),
+          when(modality === "image", lit("png"))
+            .when(modality === "audio", lit("wav"))
+            .otherwise(lit("synthetic")).as("codec")).as("meta"))
     val schema = org.apache.spark.sql.types.StructType(base.schema.fields)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     base.mapPartitions { rows =>
       rows.map { r =>
-        if (r.getString(1) == "image") {
+        val m = r.getString(1)
+        if (m == "image" || m == "audio") {
           val meta = r.getStruct(3)
-          val png = ImageCodec.deterministicPng(seed, r.getLong(0), meta.getInt(0), meta.getInt(1))
+          val payload =
+            if (m == "image")
+              ImageCodec.deterministicPng(seed, r.getLong(0), meta.getInt(0), meta.getInt(1))
+            else
+              AudioCodec.deterministicWav(seed, r.getLong(0), meta.getInt(2), meta.getLong(3))
           // schema-carrying row: Spark pipelines consecutive mapPartitions
           // without a serialization round-trip, so downstream batch kernels
           // (extractFeatures) see THIS object and address fields by name
           new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-            Array[Any](r.getLong(0), r.getString(1), png, meta), schema)
+            Array[Any](r.getLong(0), m, payload, meta), schema)
         } else r
       }
     }(enc)
@@ -148,9 +166,103 @@ object Multimodal {
   }
 
   /**
-   * The stubbed AUDIO/VIDEO decode kernel — this container has no
-   * audio/video codec libraries, so real systems plug their codec here.
-   * (The IMAGE kernel is real: [[ImageCodec.decodeFeatures]].)
+   * REAL audio codec over the JDK's `javax.sound.sampled` (WAV/AIFF/AU,
+   * PCM) — zero external dependencies. Encode side exists for
+   * deterministic synthesis/tests; decode side is the production kernel
+   * for [[extractFeatures]].
+   */
+  object AudioCodec {
+
+    /** Deterministic 16-bit PCM mono WAV: an id-keyed sine (frequency and
+      * amplitude are pure functions of (seed, id); `StrictMath.sin` is
+      * bit-exact across JVMs) — byte-identical across runs and
+      * partitionings. */
+    def deterministicWav(seed: Long, id: Long, sampleRate: Int, durationMs: Long): Array[Byte] = {
+      var m = seed * 6364136223846793005L + id * 1442695040888963407L
+      m ^= (m >>> 33); m *= -49064778989728563L; m ^= (m >>> 33)
+      val freq = 200.0 + java.lang.Long.remainderUnsigned(m, 1800L)
+      val amp = 0.2 + 0.6 * java.lang.Long.remainderUnsigned(m >>> 16, 1000L) / 1000.0
+      val frames = (sampleRate * durationMs / 1000L).toInt.max(1)
+      val data = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < frames) {
+        val v = amp * StrictMath.sin(2.0 * StrictMath.PI * freq * i / sampleRate)
+        val s = math.round(v * 32767.0).toInt.toShort
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode any javax.sound-supported payload (WAV/AIFF/AU PCM) to the
+      * 8-dim feature vector: [sample_rate, channels, frames, duration_sec,
+      * rms, peak, zero_cross_rate, mean_abs] (amplitudes in [0,1], frames
+      * mixed to mono for the statistics). None when the bytes are not a
+      * decodable audio stream. */
+    def decodeFeatures(payload: Array[Byte]): Option[Array[Float]] = {
+      if (payload == null || payload.length == 0) return None
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException                               => null
+        }
+      if (in == null) return None
+      try {
+        val src = in.getFormat
+        val pcm = new javax.sound.sampled.AudioFormat(
+          src.getSampleRate, 16, src.getChannels, true, false)
+        val s = javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, in)
+        val bytes = s.readAllBytes()
+        val ch = pcm.getChannels
+        val frames = bytes.length / (2 * ch)
+        if (frames == 0) return None
+        var rms = 0.0; var peak = 0.0; var meanAbs = 0.0
+        var zc = 0; var prev = 0.0
+        var f = 0
+        while (f < frames) {
+          var mono = 0.0
+          var c = 0
+          while (c < ch) {
+            val o = 2 * (f * ch + c)
+            val v = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort / 32768.0
+            mono += v
+            c += 1
+          }
+          mono /= ch
+          rms += mono * mono
+          meanAbs += math.abs(mono)
+          if (mono > peak) peak = mono
+          if (-mono > peak) peak = -mono
+          if (f > 0 && (mono > 0) != (prev > 0)) zc += 1
+          prev = mono
+          f += 1
+        }
+        Some(Array(
+          pcm.getSampleRate, ch.toFloat, frames.toFloat,
+          (frames / pcm.getSampleRate.toDouble).toFloat,
+          math.sqrt(rms / frames).toFloat, peak.toFloat,
+          (zc.toDouble / frames).toFloat, (meanAbs / frames).toFloat))
+      } catch {
+        case _: java.io.IOException                 => None
+        case _: IllegalArgumentException            => None
+      } finally in.close()
+    }
+  }
+
+  /**
+   * The stubbed VIDEO decode kernel — the JDK ships no video codec, so
+   * real systems plug theirs here. (The IMAGE and AUDIO kernels are real:
+   * [[ImageCodec.decodeFeatures]] / [[AudioCodec.decodeFeatures]].)
    * Deterministic: features are a fixed-length float vector derived from
    * payload bytes. Marked clearly as a stub.
    */
@@ -160,21 +272,24 @@ object Multimodal {
     /** The batch kernel boundary. Real systems decode a BATCH of payloads
       * per call (GPU codecs / model inference amortize per-call overhead
       * across the batch); image payloads go through the REAL ImageIO
-      * kernel, audio/video through the per-payload fake — both inside one
-      * batch call so the plumbing is exercised end to end. */
+      * kernel and audio payloads through the REAL javax.sound kernel,
+      * video through the per-payload fake — all inside one batch call so
+      * the plumbing is exercised end to end. */
     def decodeFeaturesBatch(
         modalities: Array[String],
         payloads: Array[Array[Byte]]): Array[Array[Float]] =
       payloads.zipWithIndex.map { case (p, i) =>
-        if (modalities(i) == "image")
-          // undecodable image bytes fall back to the deterministic fake
-          // rather than nulling the row (corrupt-payload accounting happens
-          // upstream where the corpus is curated)
-          ImageCodec.decodeFeatures(p).getOrElse(decodeFeatures(p))
-        else decodeFeatures(p)
+        // undecodable image/audio bytes fall back to the deterministic
+        // fake rather than nulling the row (corrupt-payload accounting
+        // happens upstream where the corpus is curated)
+        modalities(i) match {
+          case "image" => ImageCodec.decodeFeatures(p).getOrElse(decodeFeatures(p))
+          case "audio" => AudioCodec.decodeFeatures(p).getOrElse(decodeFeatures(p))
+          case _       => decodeFeatures(p)
+        }
       }
 
-    /** STUB — stands in for (audio/video decode → resample → feature-extract). */
+    /** STUB — stands in for (video decode → frame-sample → feature-extract). */
     def decodeFeatures(payload: Array[Byte]): Array[Float] = {
       if (payload == null) return Array.fill(featureDim)(0f)
       val out = new Array[Float](featureDim)
@@ -192,7 +307,8 @@ object Multimodal {
    * `batchSize`-row batches (the `mapInPandas` batch-UDF shape: an
    * iterator of batches in, an iterator of batches out; at scale the
    * kernel is a codec/model batch call — REAL ImageIO decode for images,
-   * [[DecodeStub]] for audio/video). Batches materialize one at a time,
+   * REAL javax.sound decode for audio, [[DecodeStub]] for video).
+   * Batches materialize one at a time,
    * so per-task memory is O(batchSize·payload), not O(partition). Adds
    * `features: array<float>` and `n_bytes: long`.
    */

@@ -250,6 +250,62 @@ class MlSpec extends SparkSpec {
     assert(Multimodal.ImageCodec.decodeFeatures(Array.empty[Byte]).isEmpty)
   }
 
+  test("multimodal: real javax.sound decode — golden feature vector for a known WAV") {
+    // 8 frames of a square-ish hand-built signal at 1000 Hz mono: samples
+    // alternate +16384 / -16384 (=±0.5), so rms = meanAbs = peak = 0.5 and
+    // every adjacent pair crosses zero (7 crossings / 8 frames)
+    val sr = 1000
+    val data = new Array[Byte](16)
+    for (i <- 0 until 8) {
+      val s: Short = if (i % 2 == 0) 16384 else -16384
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 8L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val f = Multimodal.AudioCodec.decodeFeatures(bos.toByteArray).get
+    val want = Seq(1000.0, 1.0, 8.0, 0.008, 0.5, 0.5, 7.0 / 8, 0.5)
+    f.toSeq.zip(want).zipWithIndex.foreach { case ((got, w), i) =>
+      assert(math.abs(got - w) < 1e-4, s"feature $i: got $got want $w")
+    }
+    // non-audio bytes are rejected, not mis-decoded
+    assert(Multimodal.AudioCodec.decodeFeatures("not a wav".getBytes).isEmpty)
+    assert(Multimodal.AudioCodec.decodeFeatures(Array.empty[Byte]).isEmpty)
+  }
+
+  test("multimodal: synthetic audio payloads are genuine WAVs that round-trip the decoder") {
+    val assets = Multimodal.syntheticAssets(spark, 40).persist()
+    val audio = assets.filter(col("modality") === "audio").collect()
+    assert(audio.nonEmpty)
+    audio.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      // RIFF/WAVE magic
+      assert(new String(payload.take(4), "US-ASCII") == "RIFF")
+      assert(new String(payload.slice(8, 12), "US-ASCII") == "WAVE")
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      val f = Multimodal.AudioCodec.decodeFeatures(payload).get
+      assert(f(0) == meta.getInt(2).toFloat, "decoded sample rate must match meta")
+      val wantFrames = meta.getInt(2).toLong * meta.getLong(3) / 1000L
+      assert(f(2) == wantFrames.toFloat, "decoded frame count must match meta duration")
+      // a sine's rms ≈ amp/√2 with amp ∈ [0.2, 0.8] — a genuine decode
+      // lands in (0.1, 0.6); the byte-hash fake could not
+      assert(f(4) > 0.1f && f(4) < 0.6f, s"sine rms out of band: ${f(4)}")
+    }
+    // extractFeatures routes audio rows through the REAL kernel
+    val feats = Multimodal.extractFeatures(spark, assets)
+      .filter(col("modality") === "audio").collect()
+    feats.foreach { r =>
+      val f = r.getSeq[Float](r.fieldIndex("features"))
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      assert(f(0) == meta.getInt(2).toFloat)
+    }
+    assets.unpersist()
+  }
+
   test("multimodal: synthetic image payloads are genuine PNGs that round-trip the decoder") {
     val assets = Multimodal.syntheticAssets(spark, 40).persist()
     val images = assets.filter(col("modality") === "image").collect()
