@@ -93,6 +93,25 @@ object Bench {
     calibrate("pre")
     spark.sparkContext.addSparkListener(gcListener)
 
+    // per-leg instrument attribution (r5 sf1 lesson: the run-level
+    // brackets missed a co-tenant burst confined to ONE leg — the 237.8 s
+    // eigenvector reading needed offline re-measurement to attribute).
+    // Each instrumented leg's row in the JSON carries the leg's own
+    // task-seconds, GC share, and CPU occupancy (task CPU-time over
+    // wall × threads): a contaminated wall shows up as occupancy collapse
+    // (starvation) or task-second inflation (thrash) in the same JSON the
+    // wall is read from, no forensics run needed.
+    def timedLeg[A](name: String)(f: => A): (A, Double) = {
+      val pre = gcListener.snapshot()
+      val (a, t) = time(f)
+      val d = gcListener.delta(pre)
+      extras += s"${name}_task_sec" -> d("runTimeMs") / 1000.0
+      extras += s"${name}_gc_share" -> d("gcShare")
+      extras += s"${name}_cpu_occupancy" ->
+        d("cpuTimeMs") / 1000.0 / math.max(t * hiThreads, 1e-9)
+      (a, t)
+    }
+
     // --- edge build over synthesized transcripts ---
     val nConvs = numConvsFor(sfDir)
     val transcripts = TranscriptGen.transcripts(spark, nConvs).persist()
@@ -133,7 +152,7 @@ object Bench {
     // (observed: steps at ~1 s with a 7-step burst at 4-12 s while the
     // bracketing pure-CPU calibrations read clean — BENCH.md r3 note) ---
     val fixedSteps = 20
-    val (prFull, tPrFixed) = time {
+    val (prFull, tPrFixed) = timedLeg("pagerank_fixed20") {
       val adjB = g.adjacencyOut(graft.graph.TemporalGraph.DefaultMaxShard).persist()
       val r = PageRank.runFull(spark, adjB, g.nodes, PageRank.Config(maxIter = fixedSteps, tol = 0.0))
       r.state.count()
@@ -156,7 +175,7 @@ object Bench {
     }
 
     // --- WCC ---
-    val (wccM, tWcc) = time {
+    val (wccM, tWcc) = timedLeg("wcc") {
       val (df, m) = ConnectedComponents.runWithMetrics(spark, g)
       df.count(); m
     }
@@ -164,7 +183,7 @@ object Bench {
     medianWall(wccM).foreach(extras += "wcc_median_superstep_sec" -> _)
 
     // --- LPA (capped, synchronous) ---
-    val (lpaM, tLpa) = time {
+    val (lpaM, tLpa) = timedLeg("lpa") {
       val (df, m) = LabelPropagation.runWithMetrics(spark, g, LabelPropagation.Config(maxIter = 10))
       df.count(); m
     }
@@ -172,7 +191,7 @@ object Bench {
     medianWall(lpaM).foreach(extras += "lpa_median_superstep_sec" -> _)
 
     // --- HITS (fixed 10 supersteps; in-plan normalization totals) ---
-    val (hitsM, tHits) = time {
+    val (hitsM, tHits) = timedLeg("hits") {
       val (df, m) =
         graft.algos.Hits.runWithMetrics(spark, g, graft.algos.Hits.Config(maxIter = 10, tol = 0.0))
       df.count(); m
@@ -185,7 +204,7 @@ object Bench {
     // this is the meaningful supersteps/sec-to-convergence number ---
     val ra = GraphGen.randomAttachment(spark, triNodesFor(sfDir), 4)
     val raEdges = ra.simpleEdges.count()
-    val ((raSteps, _), tRaPr) = time {
+    val ((raSteps, _), tRaPr) = timedLeg("pagerank_ra") {
       val r = PageRank.runWithStats(spark, ra, PageRank.Config(maxIter = 100, tol = 1e-6))
       r._1.count()
       (r._2, ())
@@ -208,7 +227,7 @@ object Bench {
     // --- Louvain on the RA graph (bounded: 3 levels × 8 rounds — community
     // structure on random attachment is weak, the bound keeps the timing a
     // throughput measure rather than a convergence lottery) ---
-    val (louvainM, tLouvain) = time {
+    val (louvainM, tLouvain) = timedLeg("louvain") {
       val (df, m) = graft.algos.Louvain.runWithMetrics(
         spark, ra, graft.algos.Louvain.Config(maxLevels = 3, maxLocalRounds = 8))
       df.count(); m
@@ -250,7 +269,7 @@ object Bench {
           (lit(base) + col("c") * s + col("j")).as("dst"),
           lit(0L).as("ts"), lit(0L).as("event_id"), lit("_default").as("layer"))
       val g = graft.graph.TemporalGraph(ev.unionByName(clq))
-      val (m, t) = time {
+      val (m, t) = timedLeg("truss") {
         val (df, mm) = graft.algos.Truss.runWithMetrics(spark, g, k = k.toInt)
         df.count(); mm
       }
@@ -270,8 +289,8 @@ object Bench {
     // ts = attachment step, so delta=5000 windows span real event overlap.
     // 3 repeats, same cold-headline + median/best discipline as triangles
     // (the r3 43 s reading was a single unattributable cold+burst sample) ---
-    val motifReps = (1 to 3).map(_ =>
-      time(graft.algos.TemporalMotifs.global(spark, ra, deltaMs = 5000L).count())._2)
+    val (motifReps, _) = timedLeg("temporal_motifs")((1 to 3).map(_ =>
+      time(graft.algos.TemporalMotifs.global(spark, ra, deltaMs = 5000L).count())._2))
     results += "temporal_motifs" -> motifReps.head
     extras += "temporal_motifs_median" -> motifReps.sorted.apply(1)
     extras += "temporal_motifs_best" -> motifReps.min
@@ -280,7 +299,7 @@ object Bench {
     // exercise the persisted salted CSR under the superstep loop (hub
     // argmin is the fused array kernel); sampling exercises the
     // semi-join-pruned rank windows ---
-    val (walkOut, tWalks) = time {
+    val (walkOut, tWalks) = timedLeg("graph_random_walks") {
       val w = graft.ml.GraphLearn.randomWalks(spark, ra, length = 8, nWalks = 1)
       (w, w.count())
     }
@@ -299,25 +318,25 @@ object Bench {
       graft.ml.GraphLearn.neighborSample(spark, ra, seeds, Seq(10, 5)).count()
     }
     results += "graph_neighbor_sample" -> tNs
-    val (_, tN2v) = time(
+    val (_, tN2v) = timedLeg("graph_node2vec_walks")(
       graft.ml.GraphLearn.node2vecWalks(
         spark, ra, length = 8, nWalks = 1, wReturn = 2, wInner = 1, wOuter = 4).count())
     results += "graph_node2vec_walks" -> tN2v
     // HyperBall harmonic/closeness (8 rounds: past the RA graph's
     // effective diameter) — the ball-series superstep + the T+1
     // exchange-free centrality joins
-    val (_, tHarm) = time(
+    val (_, tHarm) = timedLeg("graph_harmonic")(
       graft.algos.Reach.harmonicCloseness(spark, ra, iters = 8).count())
     results += "graph_harmonic" -> tHarm
     // eigenvector on the transcript graph (same CSR + superstep shape as
     // PageRank/HITS — comparability row for the message-join family)
-    val (_, tEig) = time(
+    val (_, tEig) = timedLeg("eigenvector")(
       graft.algos.Centrality.eigenvector(
         spark, g, graft.algos.Centrality.Config(maxIter = 10, tol = 0.0)).count())
     results += "eigenvector" -> tEig
     // weighted PageRank (event-multiplicity weights, 10 supersteps) —
     // the weighted-CSR twin of pagerank_fixed20's message join
-    val (_, tWpr) = time {
+    val (_, tWpr) = timedLeg("pagerank_weighted10") {
       val weights = g.edges.groupBy("src", "dst").agg(count(lit(1)).as("w"))
       graft.algos.PageRank.weighted(
         spark, g, weights, graft.algos.PageRank.Config(maxIter = 10, tol = 0.0)).count()
@@ -325,7 +344,7 @@ object Bench {
     results += "pagerank_weighted10" -> tWpr
     // MIS on the RA graph: symmetry-breaking round family (few rounds —
     // winners + their neighbourhoods decide most of the graph early)
-    val (_, tMis) = time(
+    val (_, tMis) = timedLeg("graph_mis")(
       graft.algos.Independent.maximalIndependentSet(spark, ra).count())
     results += "graph_mis" -> tMis
 
@@ -386,7 +405,7 @@ object Bench {
         .lshTopK(vecs, vecs.filter(col("vec_id") < 100), k = 10, bands = 8, bitsPerBand = 4)
         .count())
     results += "sim_lsh_topk100q" -> tLshSim
-    val (_, tSemDedup) = time(
+    val (_, tSemDedup) = timedLeg("dedup_semantic")(
       graft.ml.SemDedup.semDedup(vecs, threshold = 0.35, nCells = 16).count())
     results += "dedup_semantic" -> tSemDedup
     vecs.unpersist(false)
