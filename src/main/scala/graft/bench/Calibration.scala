@@ -104,6 +104,57 @@ object Calibration {
     (tLo, tHi, if (tLo > 0) tHi / tLo else 0.0)
   }
 
+  /** RANDOM-ACCESS memory throughput (reads/sec summed over `threads`):
+    * each thread does independent xorshift-indexed gathers over a PRIVATE
+    * 64 MB long array — the access pattern of a hash-join probe or shuffle
+    * fetch, which defeats the hardware prefetcher and saturates the memory
+    * subsystem on outstanding-miss capacity rather than sequential
+    * bandwidth. This is the ceiling [[memThroughput]] is blind to: a
+    * 2026-08-20 clean window measured sequential streaming scaling 0.83
+    * across 8→32 threads while the shuffle-bound job scaled 0.52 — the
+    * random-access ceiling, not the streaming one, is what a hash-heavy
+    * workload actually runs under. */
+  def randThroughput(threads: Int, ms: Long): Double = {
+    val words = (64 << 20) / 8
+    val mask = words - 1 // 8M words, power of two
+    val total = new AtomicLong(0L)
+    val ts = (1 to threads).map { i =>
+      val t = new Thread(() => {
+        val a = new Array[Long](words)
+        var j = 0
+        while (j < words) { a(j) = j + i; j += 1 }
+        val deadline = System.nanoTime() + ms * 1000000L
+        var acc = 0L
+        var n = 0L
+        var x = 0x9E3779B97F4A7C15L ^ i.toLong
+        while (System.nanoTime() < deadline) {
+          var k = 0
+          while (k < 65536) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            acc += a((x & 0x7FFFFFFFFFFFFFFFL).toInt & mask)
+            k += 1
+          }
+          n += 65536L
+        }
+        total.addAndGet(n + (acc & 1L)) // fold acc in: loop must not be DCE'd
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    ts.foreach(_.join())
+    total.get().toDouble / (ms / 1000.0)
+  }
+
+  /** (rpsLo, rpsHi, ratio) of random-gather throughput at lo vs hi
+    * threads — the machine's random-access ceiling at this moment. */
+  def randRatio(lo: Int, hi: Int, msPerLevel: Long = 2000L): (Double, Double, Double) = {
+    randThroughput(2, 300L) // JIT + page-fault warm-up
+    val tLo = randThroughput(lo, msPerLevel)
+    val tHi = randThroughput(hi, msPerLevel)
+    (tLo, tHi, if (tLo > 0) tHi / tLo else 0.0)
+  }
+
   /** Steal% of total cpu time over a `ms` sample from /proc/stat (0.0 when
     * unavailable, e.g. non-Linux). */
   def stealPct(ms: Long = 1000L): Double = {

@@ -20,9 +20,11 @@ object CalibProbe {
     val steal = Calibration.stealPct()
     val (_, opsHi, cpuR) = Calibration.cpuRatio(lo, hi)
     val (_, gbpsHi, memR) = Calibration.memRatio(lo, hi)
+    val (_, rpsHi, randR) = Calibration.randRatio(lo, hi)
     println(f"[calib] cpus=$lo->$hi steal=$steal%.2f%%")
     println(f"[calib] cpu_ratio=$cpuR%.2f (eff ${cpuR / ideal}%.2f) mops_per_thread=${opsHi / hi / 1e6}%.0f")
     println(f"[calib] mem_ratio=$memR%.2f (eff ${memR / ideal}%.2f) mem_gbps_hi=${gbpsHi / 1e9}%.1f")
+    println(f"[calib] rand_ratio=$randR%.2f (eff ${randR / ideal}%.2f) rand_mreads_hi=${rpsHi / 1e6}%.0f")
     val admissible = cpuR / ideal >= 0.85 && memR / ideal >= 0.7
     println(s"[calib] window_admissible=$admissible")
   }
