@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
  *  - `WHERE` with and/or/not, parentheses, comparisons
  *    (=, <>, >, >=, <, <=), `CONTAINS`, `STARTS WITH`, `ENDS WITH` over
  *    `var.field` / node vars / literals;
+ *  - `OPTIONAL MATCH` clauses (BEYOND the reference's frontend; openCypher
+ *    semantics): each left-joins on its node variables shared with
+ *    preceding clauses — a base row with no consistent match keeps the
+ *    clause's new columns null; an OPTIONAL MATCH's own `WHERE` filters
+ *    its candidate matches (never the base rows) and may reference only
+ *    the clause's variables; relationship uniqueness is scoped per clause;
+ *    at least one shared node variable is required;
  *  - `RETURN *` | items (`e`, `n`, `e.field`, `type(e)`,
  *    `COUNT(*)` / `COUNT(e)` / `COUNT(e.f)` / `COUNT(DISTINCT e.f)`)
  *    with `AS` aliases; mixing aggregates with plain items applies
@@ -82,6 +89,7 @@ object CypherLite {
   private final case class Ast(
       patterns: Seq[Pattern],
       where: Option[Expr],
+      optionals: Seq[(Seq[Pattern], Option[Expr])], // OPTIONAL MATCH clauses
       returnStar: Boolean,
       items: Seq[RetItem],
       orderBy: Seq[(Expr, Boolean)], // (expr, descending)
@@ -149,6 +157,18 @@ object CypherLite {
       pats += pattern()
       while (peek.kind == ",") { next(); pats += pattern() }
       val where = if (kw("WHERE")) { next(); Some(boolExpr()) } else None
+      // OPTIONAL MATCH clauses (openCypher): each left-joins on its shared
+      // node variables and carries its OWN WHERE (scoped to the optional
+      // match — it filters candidate matches, never drops base rows)
+      val opts = Seq.newBuilder[(Seq[Pattern], Option[Expr])]
+      while (kw("OPTIONAL")) {
+        next(); eatKw("MATCH")
+        val ps = Seq.newBuilder[Pattern]
+        ps += pattern()
+        while (peek.kind == ",") { next(); ps += pattern() }
+        val w = if (kw("WHERE")) { next(); Some(boolExpr()) } else None
+        opts += ((ps.result(), w))
+      }
       eatKw("RETURN")
       var star = false
       var items = Seq.empty[RetItem]
@@ -177,7 +197,7 @@ object CypherLite {
         } else Seq.empty
       val lim = if (kw("LIMIT")) { next(); Some(eat("num").text.toInt) } else None
       require(done, s"trailing tokens from '${peek.text}' in: $q")
-      Ast(pats.result(), where, star, items, ord, lim)
+      Ast(pats.result(), where, opts.result(), star, items, ord, lim)
     }
 
     private def pattern(): Pattern = {
@@ -342,15 +362,21 @@ object CypherLite {
     // pattern frames equi-join on exactly their shared variables
     def nodeCol(v: String) = s"__node_$v"
 
-    // named variables, in first-appearance order (the RETURN-visible set;
-    // validated on the ORIGINAL patterns, before var-length expansion)
-    ast.patterns.foreach { p =>
-      val ns = p.nodes.flatMap(_.name)
-      require(ns.distinct.size == ns.size,
-        s"duplicate node variable within one pattern in: $query")
+    // named variables, in first-appearance order across ALL clauses (the
+    // RETURN-visible set; validated on the ORIGINAL patterns, before
+    // var-length expansion). Edge variables are single-bind across the
+    // whole query; node variables shared across clauses are the SAME
+    // binding (the equi-join / left-join key).
+    val clausesAll: Seq[Seq[Pattern]] = ast.patterns +: ast.optionals.map(_._1)
+    clausesAll.foreach { ps =>
+      ps.foreach { p =>
+        val ns = p.nodes.flatMap(_.name)
+        require(ns.distinct.size == ns.size,
+          s"duplicate node variable within one pattern in: $query")
+      }
     }
-    val namedNode = ast.patterns.flatMap(_.nodes.flatMap(_.name)).distinct
-    val namedRel = ast.patterns.flatMap(_.rels.flatMap(_.name))
+    val namedNode = clausesAll.flatMap(_.flatMap(_.nodes.flatMap(_.name))).distinct
+    val namedRel = clausesAll.flatMap(_.flatMap(_.rels.flatMap(_.name)))
     require(namedRel.distinct.size == namedRel.size, s"duplicate edge variable in: $query")
 
     // ---- variable-length expansion (beyond the reference's frontend):
@@ -380,13 +406,6 @@ object CypherLite {
           Pattern(nodes.result(), rels.result())
         }
     }
-    val branchPatterns: Seq[Seq[Pattern]] =
-      ast.patterns.map(expandPattern).foldLeft(Seq(Seq.empty[Pattern])) {
-        (acc, alts) => acc.flatMap(pre => alts.map(pre :+ _))
-      }
-    require(branchPatterns.size <= MaxVarLenBranches,
-      s"variable-length expansion yields ${branchPatterns.size} branches " +
-        s"(> $MaxVarLenBranches) in: $query")
 
     // expression compiler over a branch's (or the union's) variable maps
     def compiler(nodeColOf: Map[String, String], relVars: Set[String]): Expr => Column = {
@@ -430,13 +449,33 @@ object CypherLite {
       compile
     }
 
-    // union-stable, RETURN-visible columns — identical across branches
-    val stableCols: Seq[String] =
-      namedNode.map(nodeCol) ++ namedRel.flatMap(v => EdgeFields.map(f => s"${v}_$f"))
+    // one clause (MATCH or OPTIONAL MATCH: patterns + its own WHERE) →
+    // frame projected onto the clause's union-stable RETURN-visible
+    // columns, plus the clause's named node/rel variables. The WHERE and
+    // relationship uniqueness are scoped to the clause (openCypher
+    // scoping: an OPTIONAL MATCH's WHERE filters its candidate matches,
+    // never the base rows, and may only reference the clause's own
+    // variables — shared nodes included, since they are its columns too).
+    def clauseFrame(
+        clausePatterns: Seq[Pattern],
+        clauseWhere: Option[Expr]): (DataFrame, Seq[String], Seq[String]) = {
+      val cNode = clausePatterns.flatMap(_.nodes.flatMap(_.name)).distinct
+      val cRel = clausePatterns.flatMap(_.rels.flatMap(_.name))
+      val branchPatterns: Seq[Seq[Pattern]] =
+        clausePatterns.map(expandPattern).foldLeft(Seq(Seq.empty[Pattern])) {
+          (acc, alts) => acc.flatMap(pre => alts.map(pre :+ _))
+        }
+      require(branchPatterns.size <= MaxVarLenBranches,
+        s"variable-length expansion yields ${branchPatterns.size} branches " +
+          s"(> $MaxVarLenBranches) in: $query")
 
-    // one MATCH branch (fixed-length patterns) → filtered frame projected
-    // onto the stable columns
-    def branchFrame(branch: Seq[Pattern]): DataFrame = {
+      // union-stable, RETURN-visible columns — identical across branches
+      val stableCols: Seq[String] =
+        cNode.map(nodeCol) ++ cRel.flatMap(v => EdgeFields.map(f => s"${v}_$f"))
+
+      // one branch (fixed-length patterns) → filtered frame projected
+      // onto the stable columns
+      def branchFrame(branch: Seq[Pattern]): DataFrame = {
       // synthetic names for anonymous vars, unique across ALL patterns; a
       // node var repeated across patterns is the SAME binding (equi-join)
       var anon = -1
@@ -527,15 +566,31 @@ object CypherLite {
         }
       }
 
-      val conjuncts = ast.where.map(compile).toSeq ++ propConj ++ uniqConj
+      val conjuncts = clauseWhere.map(compile).toSeq ++ propConj ++ uniqConj
       val filtered =
         if (conjuncts.isEmpty) base else base.filter(conjuncts.reduce(_ && _))
       if (stableCols.isEmpty) filtered.select(lit(1).as("__row"))
       else filtered.select(stableCols.map(col): _*)
     }
 
-    val filtered: DataFrame =
-      branchPatterns.map(branchFrame).reduceLeft(_ unionByName _)
+      val f = branchPatterns.map(branchFrame).reduceLeft(_ unionByName _)
+      (f, cNode, cRel)
+    }
+
+    // required MATCH frame, then each OPTIONAL MATCH left-joined on its
+    // shared node variables: bindings already made stay fixed, and a base
+    // row with no consistent optional match keeps the clause's new
+    // columns null (openCypher OPTIONAL MATCH semantics)
+    val (reqFrame, _, _) = clauseFrame(ast.patterns, ast.where)
+    val filtered: DataFrame = ast.optionals.foldLeft(reqFrame) {
+      case (acc, (ps, w)) =>
+        val (of, oNode, _) = clauseFrame(ps, w)
+        val shared = oNode.map(nodeCol).filter(acc.columns.contains)
+        require(shared.nonEmpty,
+          s"OPTIONAL MATCH must share at least one node variable " +
+            s"with a preceding clause in: $query")
+        acc.join(of, shared, "left")
+    }
 
     // RETURN-stage variable maps: named vars only (anonymous ones never
     // survive the stable projection)

@@ -4243,6 +4243,30 @@ object Queries {
            |    ON x.dst = y.src AND x.event_id <> y.event_id)
            |SELECT a, CAST(count(*) AS BIGINT) AS n_paths
            |FROM paths GROUP BY a ORDER BY a LIMIT 500""".stripMargin)),
+    (
+      "q_cypher_optional",
+      // OPTIONAL MATCH (beyond the reference's frontend; openCypher
+      // semantics): left-join on the shared node b, the optional clause's
+      // own WHERE filtering candidate views but never the base click rows;
+      // COUNT(f) skips unmatched (null) bindings
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b) OPTIONAL MATCH (b)-[f:view]->(c) " +
+          "WHERE f.time > 1706606940000 " +
+          "RETURN a, b, COUNT(f) AS n_views ORDER BY a, b LIMIT 500"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer,
+           |    epoch_us(ts) // 1000 AS tms FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT x.src AS a, x.dst AS b, CAST(count(y.src) AS BIGINT) AS n_views
+           |FROM (SELECT src, dst FROM e0 WHERE layer = 'click') x
+           |LEFT JOIN (SELECT src FROM e0
+           |           WHERE layer = 'view' AND tms > 1706606940000) y
+           |  ON x.dst = y.src
+           |GROUP BY x.src, x.dst ORDER BY a, b LIMIT 500""".stripMargin)),
 
     // ---- composite property-filter + prefix/fuzzy search (parity with
     //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----

@@ -227,6 +227,50 @@ class CypherLiteSpec extends SparkSpec {
       CypherLite.run(g, "MATCH (a)-[e:KNOWS*1..2]->(b) RETURN e"))
   }
 
+  test("OPTIONAL MATCH left-joins on shared node variables (openCypher semantics)") {
+    // KNOWS pairs: (1,2) (2,3) (2,4); b=2 has no outgoing WORKS → null c
+    val rows = CypherLite.run(
+      g, "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (b)-[f:WORKS]->(c) RETURN a, b, c ORDER BY a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 2L, -1L), (2L, 3L, 4L), (2L, 4L, 1L)))
+    // the optional WHERE filters candidate matches, NEVER the base rows
+    val scoped = CypherLite.run(
+      g, "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (b)-[f:WORKS]->(c) WHERE f.time > 30 " +
+        "RETURN a, b, c ORDER BY a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(scoped == Seq((1L, 2L, -1L), (2L, 3L, -1L), (2L, 4L, 1L)))
+    // COUNT over an optional rel var skips unmatched rows (Cypher COUNT(f))
+    val counts = CypherLite.run(
+      g, "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (b)-[f:WORKS]->(c) RETURN a, COUNT(f) AS n ORDER BY a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(counts == Seq((1L, 0L), (2L, 2L)))
+  }
+
+  test("chained OPTIONAL MATCH clauses; null bindings never match downstream") {
+    val rows = CypherLite.run(
+      g, "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (b)-[f:WORKS]->(c) " +
+        "OPTIONAL MATCH (c)-[h:KNOWS]->(d) RETURN a, b, c, d ORDER BY a, b")
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))
+      }.toSeq
+    // (2,4)→c=1→1-KNOWS→2 = d=2; (2,3)→c=4 has no KNOWS out; (1,2)→c null → d null
+    assert(rows == Seq((1L, 2L, -1L, -1L), (2L, 3L, 4L, -1L), (2L, 4L, 1L, 2L)))
+  }
+
+  test("OPTIONAL MATCH validation is loud") {
+    // no shared node variable
+    intercept[IllegalArgumentException](CypherLite.run(
+      g, "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (x)-[f:WORKS]->(y) RETURN a"))
+    // optional WHERE may only reference the clause's own variables
+    intercept[IllegalArgumentException](CypherLite.run(
+      g, "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (b)-[f:WORKS]->(c) WHERE a = 1 RETURN a"))
+    // edge variables are single-bind across the whole query
+    intercept[IllegalArgumentException](CypherLite.run(
+      g, "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (b)-[e:WORKS]->(c) RETURN a"))
+  }
+
   test("malformed queries fail loudly") {
     intercept[IllegalArgumentException](CypherLite.run(g, "MATCH (a)-[e]->(a) RETURN e")) // dup var
     intercept[IllegalArgumentException](CypherLite.run(g, "MATCH ()-[e]->() RETURN e.nope"))
