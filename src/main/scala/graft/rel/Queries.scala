@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.graph.TemporalGraph
 import graft.algos.{BipartiteProjection, Centrality, Components, ConnectedComponents, FastRP, Hits, Independent, KCore, LabelPropagation, Louvain, Metrics, PageRank, Paths, Scc, Triangles}
-import graft.ml.{CorpusOps, Dedup, GraphLearn, Sampling, SemDedup, Similarity, TextAnalysis}
+import graft.ml.{Clustering, CorpusOps, Dedup, GraphLearn, Sampling, SemDedup, Similarity, TextAnalysis}
 
 /**
  * The relational operator surface checked by the driver's DuckDB oracle:
@@ -3835,6 +3835,63 @@ object Queries {
            |  (row_number() OVER (PARTITION BY cluster ORDER BY ccos, vec_id) = 1)
            |    AS keep
            |FROM lab""".stripMargin
+      }),
+    (
+      "q_embed_kmeans",
+      // Distributed Lloyd's k-means over the embedding corpus (the trained
+      // quantizer SemDeDup/IVF assume upstream): k=8 portable-LCG-sampled
+      // init centroids, 3 assignment rounds with an M-step between each.
+      // Scale shape: assignment is a map-side argmin against a LITERAL
+      // broadcast centroid array (zero corpus shuffle); the M-step's
+      // exchange is (cluster, dim) partial sums only. Determinism: squared
+      // L2 rounded 6dp before the argmin (rank tie-break); centroid means
+      // rounded 6dp per round on both engines; empty clusters retain their
+      // previous centroid. DuckDB replays init, all three assignments and
+      // both M-steps end to end.
+      (s, d) => Clustering.kmeans(
+        t(s, d, "embeddings"), k = 8, assignRounds = 3, portable = true).assignment,
+      Some {
+        // one assignment CTE (argmin over the previous centroid table) and
+        // one M-step CTE (element-wise 6dp-rounded cluster means, empty
+        // clusters coalesced to the previous round's centroid)
+        def distSql(v: String, cv: String) =
+          s"""round(list_sum(list_transform(list_zip($v, $cv),
+             |        p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)""".stripMargin
+        def assignCte(name: String, cen: String) =
+          s"""$name AS MATERIALIZED (
+             |  SELECT vec_id, v, cluster, d FROM (
+             |    SELECT e.vec_id, e.v, c.crank AS cluster,
+             |      ${distSql("e.v", "c.cv")} AS d,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${distSql("e.v", "c.cv")}, c.crank) AS rn
+             |    FROM emb e, $cen c) WHERE rn = 1)""".stripMargin
+        def meanCte(name: String, assigned: String, prev: String) =
+          s"""$name AS MATERIALIZED (
+             |  SELECT $prev.crank, coalesce(g.cv, $prev.cv) AS cv
+             |  FROM $prev LEFT JOIN (
+             |    SELECT cluster AS crank, list(m ORDER BY i) AS cv FROM (
+             |      SELECT cluster, r.i AS i, round(avg(v[r.i + 1]), 6) AS m
+             |      FROM $assigned, range(64) AS r(i) GROUP BY cluster, r.i)
+             |    GROUP BY cluster) g ON g.crank = $prev.crank)""".stripMargin
+        s"""WITH emb AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |c0 AS MATERIALIZED (
+           |  SELECT row_number() OVER (ORDER BY h, pid) AS crank, pv AS cv
+           |  FROM (SELECT vec_id AS pid,
+           |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv,
+           |          ((vec_id % 1000000007) * 1103515245 + 12345)
+           |            % 1000000007 AS h
+           |        FROM embeddings ORDER BY h, pid LIMIT 8)),
+           |${assignCte("a1", "c0")},
+           |${meanCte("c1", "a1", "c0")},
+           |${assignCte("a2", "c1")},
+           |${meanCte("c2", "a2", "c1")},
+           |${assignCte("a3", "c2")}
+           |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d AS dist,
+           |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n
+           |FROM a3""".stripMargin
       }),
     (
       "q_dedup_lines",
