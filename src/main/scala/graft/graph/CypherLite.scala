@@ -43,7 +43,19 @@ import org.apache.spark.sql.functions._
  *    its candidate matches (never the base rows) and may reference only
  *    the clause's variables; relationship uniqueness is scoped per clause;
  *    at least one shared node variable is required;
- *  - `RETURN *` | items (`e`, `n`, `e.field`, `type(e)`,
+ *  - `WITH` pipeline stages (BEYOND the reference's frontend; openCypher
+ *    semantics): `MATCH … WITH [DISTINCT] items [WHERE …] [ORDER BY …
+ *    LIMIT n] MATCH … RETURN …` — items rebind the scope (bare/aliased
+ *    node and edge variables carry through; expressions and aggregates
+ *    must be aliased and become scalar columns; everything not listed
+ *    goes out of scope), an aggregate item triggers implicit grouping by
+ *    the non-aggregate items, the WHERE filters the PROJECTED rows (the
+ *    HAVING shape, written right after the items), and ORDER BY+LIMIT is
+ *    a mid-pipeline top-k (ORDER BY without LIMIT is refused as a no-op).
+ *    A later MATCH equi-joins on carried node variables (cross join when
+ *    disjoint) and its WHERE may reference carried columns;
+ *  - `RETURN *` | items (`e`, `n`, `e.field`, `type(e)`, WITH-projected
+ *    scalars by name,
  *    `COUNT(*)` / `COUNT(e)` / `COUNT(e.f)` / `COUNT(DISTINCT e.f)`)
  *    with `AS` aliases; mixing aggregates with plain items applies
  *    Cypher's IMPLICIT GROUPING — the non-aggregate items become the
@@ -86,10 +98,29 @@ object CypherLite {
 
   private final case class RetItem(expr: Expr, alias: Option[String])
   private final case class Pattern(nodes: Seq[NodePat], rels: Seq[RelPat])
-  private final case class Ast(
+
+  /** One MATCH segment: required patterns + clause WHERE + its OPTIONAL
+    * MATCH clauses. A query is a pipeline of segments separated by WITH. */
+  private final case class Segment(
       patterns: Seq[Pattern],
       where: Option[Expr],
-      optionals: Seq[(Seq[Pattern], Option[Expr])], // OPTIONAL MATCH clauses
+      optionals: Seq[(Seq[Pattern], Option[Expr])])
+
+  /** WITH projection between segments (openCypher): items rebind the
+    * visible variables (everything not carried goes out of scope), an
+    * aggregate item triggers implicit grouping by the non-aggregate items,
+    * the WHERE filters the PROJECTED rows (the HAVING shape), and
+    * ORDER BY + LIMIT make a mid-pipeline top-k. */
+  private final case class WithClause(
+      distinct: Boolean,
+      items: Seq[RetItem],
+      where: Option[Expr],
+      orderBy: Seq[(Expr, Boolean)],
+      limit: Option[Int])
+
+  private final case class Ast(
+      segments: Seq[(Segment, WithClause)], // each ends in its WITH
+      last: Segment, // the segment RETURN projects from
       returnStar: Boolean,
       items: Seq[RetItem],
       orderBy: Seq[(Expr, Boolean)], // (expr, descending)
@@ -152,6 +183,41 @@ object CypherLite {
     def done: Boolean = peek.kind == "eof"
 
     def parse(): Ast = {
+      val segs = Seq.newBuilder[(Segment, WithClause)]
+      var last: Segment = segment()
+      while (kw("WITH")) {
+        next()
+        val distinct = if (kw("DISTINCT")) { next(); true } else false
+        val b = Seq.newBuilder[RetItem]
+        b += retItem()
+        while (peek.kind == ",") { next(); b += retItem() }
+        // WHERE right after the items (the HAVING shape) — filters the
+        // projected rows BEFORE any ORDER BY/LIMIT top-k
+        val w = if (kw("WHERE")) { next(); Some(boolExpr()) } else None
+        val ord = orderByOpt()
+        val lim = if (kw("LIMIT")) { next(); Some(eat("num").text.toInt) } else None
+        segs += ((last, WithClause(distinct, b.result(), w, ord, lim)))
+        // a WITH may feed another WITH or RETURN directly (pure projection
+        // stage) — the segment is empty then
+        last = if (kw("MATCH")) segment() else Segment(Nil, None, Nil)
+      }
+      eatKw("RETURN")
+      var star = false
+      var items = Seq.empty[RetItem]
+      if (peek.kind == "*") { next(); star = true }
+      else {
+        val b = Seq.newBuilder[RetItem]
+        b += retItem()
+        while (peek.kind == ",") { next(); b += retItem() }
+        items = b.result()
+      }
+      val ord = orderByOpt()
+      val lim = if (kw("LIMIT")) { next(); Some(eat("num").text.toInt) } else None
+      require(done, s"trailing tokens from '${peek.text}' in: $q")
+      Ast(segs.result(), last, star, items, ord, lim)
+    }
+
+    private def segment(): Segment = {
       eatKw("MATCH")
       val pats = Seq.newBuilder[Pattern]
       pats += pattern()
@@ -169,36 +235,26 @@ object CypherLite {
         val w = if (kw("WHERE")) { next(); Some(boolExpr()) } else None
         opts += ((ps.result(), w))
       }
-      eatKw("RETURN")
-      var star = false
-      var items = Seq.empty[RetItem]
-      if (peek.kind == "*") { next(); star = true }
-      else {
-        val b = Seq.newBuilder[RetItem]
-        b += retItem()
-        while (peek.kind == ",") { next(); b += retItem() }
-        items = b.result()
-      }
-      val ord =
-        if (kw("ORDER")) {
-          next(); eatKw("BY")
-          val b = Seq.newBuilder[(Expr, Boolean)]
-          def key(): Unit = {
-            val e = valueExpr()
-            val desc =
-              if (kw("DESC")) { next(); true }
-              else if (kw("ASC")) { next(); false }
-              else false
-            b += ((e, desc))
-          }
-          key()
-          while (peek.kind == ",") { next(); key() }
-          b.result()
-        } else Seq.empty
-      val lim = if (kw("LIMIT")) { next(); Some(eat("num").text.toInt) } else None
-      require(done, s"trailing tokens from '${peek.text}' in: $q")
-      Ast(pats.result(), where, opts.result(), star, items, ord, lim)
+      Segment(pats.result(), where, opts.result())
     }
+
+    private def orderByOpt(): Seq[(Expr, Boolean)] =
+      if (!kw("ORDER")) Seq.empty
+      else {
+        next(); eatKw("BY")
+        val b = Seq.newBuilder[(Expr, Boolean)]
+        def key(): Unit = {
+          val e = valueExpr()
+          val desc =
+            if (kw("DESC")) { next(); true }
+            else if (kw("ASC")) { next(); false }
+            else false
+          b += ((e, desc))
+        }
+        key()
+        while (peek.kind == ",") { next(); key() }
+        b.result()
+      }
 
     private def pattern(): Pattern = {
       val nodes = Seq.newBuilder[NodePat]
@@ -362,12 +418,15 @@ object CypherLite {
     // pattern frames equi-join on exactly their shared variables
     def nodeCol(v: String) = s"__node_$v"
 
-    // named variables, in first-appearance order across ALL clauses (the
-    // RETURN-visible set; validated on the ORIGINAL patterns, before
-    // var-length expansion). Edge variables are single-bind across the
-    // whole query; node variables shared across clauses are the SAME
-    // binding (the equi-join / left-join key).
-    val clausesAll: Seq[Seq[Pattern]] = ast.patterns +: ast.optionals.map(_._1)
+    // validations over the ORIGINAL patterns (before var-length expansion)
+    // of EVERY segment. Edge variables are single-bind across the whole
+    // query (a rebind would collide its 5 field columns — refused loudly,
+    // a superset of openCypher's already-bound error); node variables
+    // shared across clauses of one scope are the SAME binding (the
+    // equi-join / left-join key).
+    val allSegments: Seq[Segment] = ast.segments.map(_._1) :+ ast.last
+    val clausesAll: Seq[Seq[Pattern]] =
+      allSegments.flatMap(s => s.patterns +: s.optionals.map(_._1))
     clausesAll.foreach { ps =>
       ps.foreach { p =>
         val ns = p.nodes.flatMap(_.name)
@@ -375,9 +434,13 @@ object CypherLite {
           s"duplicate node variable within one pattern in: $query")
       }
     }
-    val namedNode = clausesAll.flatMap(_.flatMap(_.nodes.flatMap(_.name))).distinct
     val namedRel = clausesAll.flatMap(_.flatMap(_.rels.flatMap(_.name)))
     require(namedRel.distinct.size == namedRel.size, s"duplicate edge variable in: $query")
+
+    /** What a frame's columns currently bind: node variables (as
+      * nodeCol(v)), edge variables (as their 5 field columns), and WITH-
+      * projected scalar columns (by their own name). */
+    final case class Scope(nodes: Seq[String], rels: Seq[String], scalars: Seq[String])
 
     // ---- variable-length expansion (beyond the reference's frontend):
     // each `-[:L*a..b]->` hop expands the MATCH into a UNION of fixed-
@@ -407,8 +470,12 @@ object CypherLite {
         }
     }
 
-    // expression compiler over a branch's (or the union's) variable maps
-    def compiler(nodeColOf: Map[String, String], relVars: Set[String]): Expr => Column = {
+    // expression compiler over a branch's (or the union's) variable maps;
+    // scalarCols are WITH-projected columns, addressed by their own name
+    def compiler(
+        nodeColOf: Map[String, String],
+        relVars: Set[String],
+        scalarCols: Set[String] = Set.empty): Expr => Column = {
       def fieldCol(v: String, field: String): Column = {
         val f = field match {
           case "time" => "ts"
@@ -420,6 +487,9 @@ object CypherLite {
         } else if (nodeColOf.contains(v)) {
           require(f == "id", s"node variables expose only 'id' (got '$field') in: $query")
           col(nodeColOf(v))
+        } else if (scalarCols.contains(v)) {
+          throw new IllegalArgumentException(
+            s"WITH-projected value '$v' has no fields (got '.$field') in: $query")
         } else throw new IllegalArgumentException(s"unknown variable '$v' in: $query")
       }
       def compile(e: Expr): Column = e match {
@@ -427,6 +497,7 @@ object CypherLite {
         case TypeOf(v)    => fieldCol(v, "layer")
         case VarRef(v)    =>
           if (nodeColOf.contains(v)) col(nodeColOf(v))
+          else if (scalarCols.contains(v)) col(v)
           else throw new IllegalArgumentException(s"bare edge variable '$v' not valid here in: $query")
         case Lit(x)       => lit(x)
         case Not(x)       => !compile(x)
@@ -444,7 +515,7 @@ object CypherLite {
           case "ends"     => compile(l).endsWith(r.asInstanceOf[Lit].value.toString)
         }
         case _: CountAgg  =>
-          throw new IllegalArgumentException(s"COUNT is only valid in RETURN: $query")
+          throw new IllegalArgumentException(s"COUNT is only valid in RETURN/WITH items: $query")
       }
       compile
     }
@@ -577,34 +648,169 @@ object CypherLite {
       (f, cNode, cRel)
     }
 
-    // required MATCH frame, then each OPTIONAL MATCH left-joined on its
-    // shared node variables: bindings already made stay fixed, and a base
-    // row with no consistent optional match keeps the clause's new
-    // columns null (openCypher OPTIONAL MATCH semantics)
-    val (reqFrame, _, _) = clauseFrame(ast.patterns, ast.where)
-    val filtered: DataFrame = ast.optionals.foldLeft(reqFrame) {
-      case (acc, (ps, w)) =>
-        val (of, oNode, _) = clauseFrame(ps, w)
-        val shared = oNode.map(nodeCol).filter(acc.columns.contains)
-        require(shared.nonEmpty,
-          s"OPTIONAL MATCH must share at least one node variable " +
-            s"with a preceding clause in: $query")
-        acc.join(of, shared, "left")
+    // one segment → frame: required MATCH (its WHERE clause-scoped for the
+    // FIRST segment; for post-WITH segments the WHERE may also reference
+    // carried columns, so it applies AFTER the carried join), joined with
+    // whatever a preceding WITH carried (equi-join on shared node
+    // variables, cross join when disjoint — the multi-pattern rule), then
+    // each OPTIONAL MATCH left-joined on its shared node variables:
+    // bindings already made stay fixed, and a base row with no consistent
+    // optional match keeps the clause's new columns null (openCypher
+    // OPTIONAL MATCH semantics)
+    def segmentFrame(
+        seg: Segment,
+        carried: Option[(DataFrame, Scope)]): (DataFrame, Scope) = {
+      if (seg.patterns.isEmpty) {
+        // empty segment: a WITH fed straight into another WITH or RETURN
+        val (cf, cs) = carried.getOrElse(throw new IllegalArgumentException(
+          s"internal: empty segment without a preceding WITH in: $query"))
+        return (cf, cs)
+      }
+      val segNodes = (seg.patterns ++ seg.optionals.flatMap(_._1))
+        .flatMap(_.nodes.flatMap(_.name)).distinct
+      val segRels = (seg.patterns ++ seg.optionals.flatMap(_._1))
+        .flatMap(_.rels.flatMap(_.name))
+      val scope = carried match {
+        case None => Scope(segNodes, segRels, Nil)
+        case Some((_, cs)) =>
+          Scope((cs.nodes ++ segNodes).distinct, cs.rels ++ segRels, cs.scalars)
+      }
+      val (reqFrame, _, _) =
+        clauseFrame(seg.patterns, if (carried.isEmpty) seg.where else None)
+      val base = carried match {
+        case None => reqFrame
+        case Some((cf, cs)) =>
+          val shared = cf.columns.intersect(reqFrame.columns).toSeq
+          require(shared.forall(_.startsWith("__node_")),
+            s"WITH-projected name collides with a later MATCH column " +
+              s"(${shared.filterNot(_.startsWith("__node_")).mkString(", ")}) in: $query")
+          val joined =
+            if (shared.nonEmpty) cf.join(reqFrame, shared) else cf.crossJoin(reqFrame)
+          seg.where match {
+            case Some(w) =>
+              val comp = compiler(
+                scope.nodes.map(v => v -> nodeCol(v)).toMap,
+                scope.rels.toSet, cs.scalars.toSet)
+              joined.filter(comp(w))
+            case None => joined
+          }
+      }
+      val f = seg.optionals.foldLeft(base) {
+        case (acc, (ps, w)) =>
+          val (of, oNode, _) = clauseFrame(ps, w)
+          val shared = oNode.map(nodeCol).filter(acc.columns.contains)
+          require(shared.nonEmpty,
+            s"OPTIONAL MATCH must share at least one node variable " +
+              s"with a preceding clause in: $query")
+          acc.join(of, shared, "left")
+      }
+      (f, scope)
     }
 
-    // RETURN-stage variable maps: named vars only (anonymous ones never
-    // survive the stable projection)
-    val nodeColOf: Map[String, String] = namedNode.map(v => v -> nodeCol(v)).toMap
-    val relVars = namedRel.toSet
-    val nodeVar = namedNode
-    val relVar = namedRel
-    val compile = compiler(nodeColOf, relVars)
+    // WITH projection: rebind the scope to the items (implicit grouping if
+    // any item aggregates), filter the projected rows, optional top-k
+    def applyWith(frame: DataFrame, scope: Scope, w: WithClause): (DataFrame, Scope) = {
+      val comp = compiler(
+        scope.nodes.map(v => v -> nodeCol(v)).toMap,
+        scope.rels.toSet, scope.scalars.toSet)
+      // classify each item → (output columns, what it binds afterwards)
+      val nodesOut = Seq.newBuilder[String]
+      val relsOut = Seq.newBuilder[String]
+      val scalarsOut = Seq.newBuilder[String]
+      val keyCols = Seq.newBuilder[Column] // non-aggregate output columns
+      val aggCols = Seq.newBuilder[Column]
+      w.items.zipWithIndex.foreach {
+        case (RetItem(VarRef(v), alias), _) if scope.nodes.contains(v) =>
+          val target = alias.getOrElse(v)
+          nodesOut += target
+          keyCols += col(nodeCol(v)).as(nodeCol(target))
+        case (RetItem(VarRef(v), alias), _) if scope.rels.contains(v) =>
+          val target = alias.getOrElse(v)
+          relsOut += target
+          EdgeFields.foreach(f => keyCols += col(s"${v}_$f").as(s"${target}_$f"))
+        case (RetItem(VarRef(v), alias), _) if scope.scalars.contains(v) =>
+          val target = alias.getOrElse(v)
+          scalarsOut += target
+          keyCols += col(v).as(target)
+        case (RetItem(agg: CountAgg, alias), _) =>
+          val name = alias.getOrElse(throw new IllegalArgumentException(
+            s"aggregates in WITH must be aliased (AS name) in: $query"))
+          scalarsOut += name
+          val c = (agg.arg, agg.distinct) match {
+            case (None, _)       => count(lit(1))
+            case (Some(a), true) => count_distinct(comp(a))
+            case (Some(VarRef(v)), false) if scope.rels.contains(v) =>
+              count(col(s"${v}_src"))
+            case (Some(a), false) => count(comp(a))
+          }
+          aggCols += c.as(name)
+        case (RetItem(e, alias), _) =>
+          val name = alias.getOrElse(throw new IllegalArgumentException(
+            s"expressions in WITH must be aliased (AS name) in: $query"))
+          scalarsOut += name
+          keyCols += comp(e).as(name)
+      }
+      val keys = keyCols.result()
+      val aggs = aggCols.result()
+      val newScope = Scope(nodesOut.result(), relsOut.result(), scalarsOut.result())
+      val outNames = newScope.nodes.map(nodeCol) ++
+        newScope.rels.flatMap(v => EdgeFields.map(f => s"${v}_$f")) ++ newScope.scalars
+      require(outNames.distinct.size == outNames.size,
+        s"duplicate output name in WITH items in: $query")
+      require(aggs.isEmpty || !w.distinct,
+        s"WITH DISTINCT cannot be combined with aggregates in: $query")
+      val projected =
+        if (aggs.nonEmpty) {
+          val grouped =
+            if (keys.isEmpty) frame.agg(aggs.head, aggs.tail: _*)
+            else frame.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+          // groupBy emits key columns first, then aggregates — already the
+          // carried set; just fix the column order to the declared one
+          grouped.select(outNames.map(col): _*)
+        } else {
+          val sel = frame.select(keys: _*)
+          if (w.distinct) sel.distinct() else sel
+        }
+      val comp2 = compiler(
+        newScope.nodes.map(v => v -> nodeCol(v)).toMap,
+        newScope.rels.toSet, newScope.scalars.toSet)
+      val post = w.where.map(e => projected.filter(comp2(e))).getOrElse(projected)
+      require(w.orderBy.isEmpty || w.limit.nonEmpty,
+        s"ORDER BY in WITH requires LIMIT (it is a no-op otherwise) in: $query")
+      val topk = (w.orderBy, w.limit) match {
+        case (ord, Some(n)) if ord.nonEmpty =>
+          post.orderBy(ord.map { case (e, desc) =>
+            if (desc) comp2(e).desc else comp2(e).asc
+          }: _*).limit(n)
+        case (_, Some(n)) => post.limit(n)
+        case _            => post
+      }
+      (topk, newScope)
+    }
+
+    // pipeline: each segment joins what the preceding WITH carried
+    val carried = ast.segments.foldLeft(Option.empty[(DataFrame, Scope)]) {
+      case (acc, (seg, w)) =>
+        val (f, s) = segmentFrame(seg, acc)
+        Some(applyWith(f, s, w))
+    }
+    val (filtered, finalScope) = segmentFrame(ast.last, carried)
+
+    // RETURN-stage variable maps: the final scope's named vars only
+    // (anonymous ones never survive the stable projection)
+    val nodeColOf: Map[String, String] = finalScope.nodes.map(v => v -> nodeCol(v)).toMap
+    val relVars = finalScope.rels.toSet
+    val scalarVars = finalScope.scalars.toSet
+    val nodeVar = finalScope.nodes
+    val relVar = finalScope.rels
+    val compile = compiler(nodeColOf, relVars, scalarVars)
 
     // RETURN
     val items: Seq[RetItem] =
       if (ast.returnStar)
         nodeVar.filterNot(_.startsWith("__")).map(v => RetItem(VarRef(v), None)) ++
-          relVar.filterNot(_.startsWith("__")).map(v => RetItem(VarRef(v), None))
+          relVar.filterNot(_.startsWith("__")).map(v => RetItem(VarRef(v), None)) ++
+          finalScope.scalars.map(v => RetItem(VarRef(v), None))
       else ast.items
 
     // (input column, output name) pairs of a non-aggregate item (a whole
@@ -615,6 +821,8 @@ object CypherLite {
         EdgeFields.map(f => col(s"${v}_$f") -> s"${v}_$f")
       case RetItem(VarRef(v), alias) if nodeColOf.contains(v) =>
         Seq(col(nodeColOf(v)) -> alias.getOrElse(v))
+      case RetItem(VarRef(v), alias) if scalarVars.contains(v) =>
+        Seq(col(v) -> alias.getOrElse(v))
       case RetItem(e, alias) =>
         val default = e match {
           case Prop(v, f) => s"${v}_${if (f == "time") "ts" else f}"
@@ -630,9 +838,9 @@ object CypherLite {
       val c = (arg, distinct) match {
         case (None, _)       => count(lit(1))
         case (Some(a), true) => count_distinct(compile(a))
-        case (Some(VarRef(v)), false) =>
-          // COUNT(e)/COUNT(n): rows where the binding is non-null — the
-          // inner-join chain never produces nulls, so it's the row count
+        case (Some(VarRef(v)), false) if relVars.contains(v) || nodeColOf.contains(v) =>
+          // COUNT(e)/COUNT(n): rows where the binding is non-null (an
+          // OPTIONAL MATCH miss leaves nulls; inner chains never do)
           count(if (relVars.contains(v)) col(s"${v}_src") else col(nodeColOf(v)))
         case (Some(a), false) => count(compile(a))
       }

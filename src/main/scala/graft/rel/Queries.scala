@@ -4324,6 +4324,55 @@ object Queries {
            |           WHERE layer = 'view' AND tms > 1706606940000) y
            |  ON x.dst = y.src
            |GROUP BY x.src, x.dst ORDER BY a, b LIMIT 500""".stripMargin)),
+    (
+      "q_cypher_with",
+      // WITH pipeline (beyond the reference's frontend; openCypher
+      // semantics): implicit grouping midway (b, COUNT(e)), the WITH's
+      // WHERE filtering the PROJECTED rows (the HAVING shape), then a
+      // chained MATCH equi-joining on the carried node variable b with the
+      // carried scalar visible in RETURN
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b) WITH b, COUNT(e) AS clicks WHERE clicks > 2 " +
+          "MATCH (b)-[f:view]->(c) RETURN b, clicks, COUNT(f) AS views " +
+          "ORDER BY b LIMIT 500"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+           |hot AS (
+           |  SELECT dst AS b, CAST(count(*) AS BIGINT) AS clicks
+           |  FROM e0 WHERE layer = 'click' GROUP BY dst HAVING count(*) > 2)
+           |SELECT h.b AS b, h.clicks AS clicks, CAST(count(*) AS BIGINT) AS views
+           |FROM hot h JOIN (SELECT src FROM e0 WHERE layer = 'view') y
+           |  ON y.src = h.b
+           |GROUP BY h.b, h.clicks ORDER BY b LIMIT 500""".stripMargin)),
+    (
+      "q_cypher_with_topk",
+      // WITH ORDER BY + LIMIT: a mid-pipeline top-k (the ten hottest click
+      // sources, ties broken by node id) feeding a second MATCH — the
+      // openCypher idiom Spark plans as TakeOrderedAndProject before the
+      // downstream join
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b) WITH a, COUNT(e) AS n ORDER BY n DESC, a LIMIT 10 " +
+          "MATCH (a)-[f:view]->(c) RETURN a, n, COUNT(f) AS views ORDER BY a"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+           |top AS (
+           |  SELECT src AS a, CAST(count(*) AS BIGINT) AS n
+           |  FROM e0 WHERE layer = 'click' GROUP BY src
+           |  ORDER BY n DESC, a LIMIT 10)
+           |SELECT t.a AS a, t.n AS n, CAST(count(*) AS BIGINT) AS views
+           |FROM top t JOIN (SELECT src FROM e0 WHERE layer = 'view') y
+           |  ON y.src = t.a
+           |GROUP BY t.a, t.n ORDER BY a""".stripMargin)),
 
     // ---- composite property-filter + prefix/fuzzy search (parity with
     //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----

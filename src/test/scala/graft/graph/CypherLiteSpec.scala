@@ -271,6 +271,80 @@ class CypherLiteSpec extends SparkSpec {
       g, "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (b)-[e:WORKS]->(c) RETURN a"))
   }
 
+  test("WITH: implicit grouping + HAVING-shape WHERE feeding a chained MATCH") {
+    // KNOWS out-degrees: 1→1, 2→2; only a=2 survives n > 1; node 2 has two
+    // outgoing edges in total
+    val rows = CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) WITH a, COUNT(e) AS n WHERE n > 1 " +
+        "MATCH (a)-[f]->(c) RETURN a, n, COUNT(f) AS total")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((2L, 2L, 2L)))
+  }
+
+  test("WITH rebinds the scope: uncarried variables drop; DISTINCT dedups") {
+    // all edge dsts: 2,3,4,1,4 — five rows, four distinct
+    assert(CypherLite.run(g, "MATCH ()-[e]->(b) WITH b RETURN COUNT(*) AS n")
+      .first().getLong(0) == 5L)
+    assert(CypherLite.run(g, "MATCH ()-[e]->(b) WITH DISTINCT b RETURN COUNT(*) AS n")
+      .first().getLong(0) == 4L)
+    // e went out of scope after WITH b
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH ()-[e]->(b) WITH b RETURN e.time"))
+  }
+
+  test("WITH carries and renames edge variables") {
+    val rows = CypherLite.run(g,
+      "MATCH (a)-[e:WORKS]->(b) WITH e AS w, b RETURN w.time AS t, b ORDER BY t")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((30L, 4L), (40L, 1L)))
+  }
+
+  test("WITH ORDER BY + LIMIT is a mid-pipeline top-k") {
+    val rows = CypherLite.run(g,
+      "MATCH (a)-[e]->(b) WITH b, e.time AS t ORDER BY t DESC LIMIT 2 " +
+        "RETURN b, t ORDER BY t")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 40L), (4L, 60L)))
+  }
+
+  test("a later MATCH WHERE may reference WITH-projected scalars") {
+    // (a, e.time) for KNOWS: (1,10),(2,20),(2,60); f from a with f.time > t:
+    // only (2,20) finds e4@60
+    val rows = CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) WITH a, e.time AS t " +
+        "MATCH (a)-[f:KNOWS]->(c) WHERE f.time > t RETURN a, t, f.time AS t2")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((2L, 20L, 60L)))
+  }
+
+  test("WITH global aggregate then disjoint MATCH cross-joins") {
+    val rows = CypherLite.run(g,
+      "MATCH ()-[e:WORKS]->() WITH COUNT(e) AS w " +
+        "MATCH ()-[f:KNOWS]->() RETURN w, COUNT(f) AS k")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+  }
+
+  test("WITH validation is loud") {
+    // expressions/aggregates must be aliased
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) WITH e.time MATCH (a)-[f]->(c) RETURN a"))
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) WITH a, COUNT(e) MATCH (a)-[f]->(c) RETURN a"))
+    // ORDER BY without LIMIT is a no-op — refused
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) WITH a ORDER BY a MATCH (a)-[f]->(c) RETURN a"))
+    // DISTINCT cannot combine with aggregates
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) WITH DISTINCT a, COUNT(e) AS n RETURN a, n"))
+    // WITH-projected scalars have no fields
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) WITH a, e.time AS t RETURN t.x"))
+    // duplicate output names
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) WITH a, b AS a RETURN a"))
+  }
+
   test("malformed queries fail loudly") {
     intercept[IllegalArgumentException](CypherLite.run(g, "MATCH (a)-[e]->(a) RETURN e")) // dup var
     intercept[IllegalArgumentException](CypherLite.run(g, "MATCH ()-[e]->() RETURN e.nope"))
