@@ -125,7 +125,12 @@ object Clustering {
 
   /** @param assignRounds number of assignment passes; the M-step runs
     *   after every pass but the last, so the returned assignment is
-    *   measured against the returned (final) centroids. */
+    *   measured against the returned (final) centroids.
+    * @note the corpus is scanned once per round for the M-step and twice
+    *   for the final output (the cluster-sizes aggregate is a separate
+    *   branch — broadcast-joined back rather than windowed, because a
+    *   window over `cluster` would shuffle the whole corpus onto k keys);
+    *   persist the input if scans dominate. */
   def kmeans(
       corpus: DataFrame,
       idCol: String = "vec_id",

@@ -261,7 +261,39 @@ object Similarity {
         .withColumn("prank", row_number().over(Window.orderBy(col("h"), col("pid"))))
         .drop("h"))
     // ^ the global-order window runs on nCells rows only (post-limit)
+    ivfSearch(corpus, queries, k, idCol, vecCol, pivots, nProbe)
+  }
 
+  /** The production-recall IVF path the sampled-pivot docs promise: the
+    * identical joins as [[ivfTopK]], with the coarse quantizer a TRAINED
+    * centroid table — [[Clustering.kmeans]]'s output plugs in directly.
+    * Same 100 TB shape (the k centroids are one broadcast); still fully
+    * oracle-replayable because the trainer is. */
+  def ivfTopKTrained(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      centroids: Array[(Int, Array[Double])],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nProbe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopKTrained needs at least one centroid")
+    val session = corpus.sparkSession
+    import session.implicits._
+    val pivots = broadcast(
+      centroids.toSeq.map { case (r, cv) => (r, cv.toSeq) }.toDF("prank", "pv"))
+    ivfSearch(corpus, queries, k, idCol, vecCol, pivots, nProbe)
+  }
+
+  /** Shared IVF core over a broadcast pivot frame (prank, pv). */
+  private def ivfSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String,
+      vecCol: String,
+      pivots: DataFrame,
+      nProbe: Int): DataFrame = {
     // cell assignment: argmax cosine over the broadcast pivots; the struct
     // max is ties-deterministic (higher cos, then smaller prank) and
     // partial-aggregates map-side, so the exchange carries |corpus| rows

@@ -83,6 +83,52 @@ object Queries {
        |""".stripMargin + (1 to rounds).map(round).mkString(",\n") + "\n"
   }
 
+  /** DuckDB CTE chain replaying [[graft.ml.Clustering.kmeans]] over the
+    * embeddings table (shared by `q_embed_kmeans` and
+    * `q_sim_ivf_trained`): emb (exact float→double cast), c0 (portable-LCG
+    * pivot init), then per round an assignment CTE a&lt;i&gt; (6dp-rounded
+    * squared-L2 argmin, rank tie-break) and an M-step CTE c&lt;i&gt;
+    * (element-wise 6dp-rounded means, empty cells coalesced to the
+    * previous centroid) — ending at the FINAL assignment `a&lt;rounds&gt;`
+    * measured against the trained centroids `c&lt;rounds-1&gt;`. */
+  private def kmeansOracleCtes(k: Int, dim: Int, rounds: Int): String = {
+    def distSql(v: String, cv: String) =
+      s"""round(list_sum(list_transform(list_zip($v, $cv),
+         |        p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)""".stripMargin
+    def assignCte(name: String, cen: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, v, cluster, d FROM (
+         |    SELECT e.vec_id, e.v, c.crank AS cluster,
+         |      ${distSql("e.v", "c.cv")} AS d,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${distSql("e.v", "c.cv")}, c.crank) AS rn
+         |    FROM emb e, $cen c) WHERE rn = 1)""".stripMargin
+    def meanCte(name: String, assigned: String, prev: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT $prev.crank, coalesce(g.cv, $prev.cv) AS cv
+         |  FROM $prev LEFT JOIN (
+         |    SELECT cluster AS crank, list(m ORDER BY i) AS cv FROM (
+         |      SELECT cluster, r.i AS i, round(avg(v[r.i + 1]), 6) AS m
+         |      FROM $assigned, range($dim) AS r(i) GROUP BY cluster, r.i)
+         |    GROUP BY cluster) g ON g.crank = $prev.crank)""".stripMargin
+    val header =
+      s"""emb AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY h, pid) AS crank, pv AS cv
+         |  FROM (SELECT vec_id AS pid,
+         |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv,
+         |          ((vec_id % 1000000007) * 1103515245 + 12345)
+         |            % 1000000007 AS h
+         |        FROM embeddings ORDER BY h, pid LIMIT $k))""".stripMargin
+    val steps = (1 until rounds).flatMap { i =>
+      Seq(assignCte(s"a$i", s"c${i - 1}"), meanCte(s"c$i", s"a$i", s"c${i - 1}"))
+    } :+ assignCte(s"a$rounds", s"c${rounds - 1}")
+    (header +: steps).mkString(",\n")
+  }
+
   /** Edge table derived from events: user of event k → user of the next
     * event of the same type, under the stable order (ts, event_id). */
   def eventEdges(spark: SparkSession, dir: String): DataFrame = {
@@ -3850,49 +3896,59 @@ object Queries {
       // both M-steps end to end.
       (s, d) => Clustering.kmeans(
         t(s, d, "embeddings"), k = 8, assignRounds = 3, portable = true).assignment,
-      Some {
-        // one assignment CTE (argmin over the previous centroid table) and
-        // one M-step CTE (element-wise 6dp-rounded cluster means, empty
-        // clusters coalesced to the previous round's centroid)
-        def distSql(v: String, cv: String) =
-          s"""round(list_sum(list_transform(list_zip($v, $cv),
-             |        p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)""".stripMargin
-        def assignCte(name: String, cen: String) =
-          s"""$name AS MATERIALIZED (
-             |  SELECT vec_id, v, cluster, d FROM (
-             |    SELECT e.vec_id, e.v, c.crank AS cluster,
-             |      ${distSql("e.v", "c.cv")} AS d,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY ${distSql("e.v", "c.cv")}, c.crank) AS rn
-             |    FROM emb e, $cen c) WHERE rn = 1)""".stripMargin
-        def meanCte(name: String, assigned: String, prev: String) =
-          s"""$name AS MATERIALIZED (
-             |  SELECT $prev.crank, coalesce(g.cv, $prev.cv) AS cv
-             |  FROM $prev LEFT JOIN (
-             |    SELECT cluster AS crank, list(m ORDER BY i) AS cv FROM (
-             |      SELECT cluster, r.i AS i, round(avg(v[r.i + 1]), 6) AS m
-             |      FROM $assigned, range(64) AS r(i) GROUP BY cluster, r.i)
-             |    GROUP BY cluster) g ON g.crank = $prev.crank)""".stripMargin
-        s"""WITH emb AS MATERIALIZED (
-           |  SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings),
-           |c0 AS MATERIALIZED (
-           |  SELECT row_number() OVER (ORDER BY h, pid) AS crank, pv AS cv
-           |  FROM (SELECT vec_id AS pid,
-           |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv,
-           |          ((vec_id % 1000000007) * 1103515245 + 12345)
-           |            % 1000000007 AS h
-           |        FROM embeddings ORDER BY h, pid LIMIT 8)),
-           |${assignCte("a1", "c0")},
-           |${meanCte("c1", "a1", "c0")},
-           |${assignCte("a2", "c1")},
-           |${meanCte("c2", "a2", "c1")},
-           |${assignCte("a3", "c2")}
+      Some(
+        s"""WITH ${kmeansOracleCtes(k = 8, dim = 64, rounds = 3)}
            |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d AS dist,
            |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n
-           |FROM a3""".stripMargin
-      }),
+           |FROM a3""".stripMargin)),
+    (
+      "q_sim_ivf_trained",
+      // IVF ANN over TRAINED centroids: Clustering.kmeans (k=8, 3 rounds)
+      // trains the coarse quantizer, then the identical ivfTopK joins run
+      // with the trained centroid table as the broadcast pivot frame —
+      // the production-recall path the sampled-pivot docs promise. DuckDB
+      // replays the trainer ladder (c2 = trained centroids) and then the
+      // cosine argmax assignment, 3-cell probe and exact re-rank.
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        val km = Clustering.kmeans(vecs, k = 8, assignRounds = 3, portable = true)
+        Similarity.ivfTopKTrained(
+          vecs, vecs.filter(col("vec_id") < 3), k = 5,
+          centroids = km.centroids, nProbe = 3)
+      },
+      Some(
+        s"""WITH ${kmeansOracleCtes(k = 8, dim = 64, rounds = 3)},
+           |pcos AS MATERIALIZED (
+           |  SELECT e.vec_id AS cid, p.crank AS prank,
+           |    list_sum(list_transform(list_zip(e.v, p.cv), x -> x[1] * x[2]))
+           |    / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+           |     * sqrt(list_sum(list_transform(p.cv, x -> x * x)))) AS cos
+           |  FROM emb e, c2 p),
+           |assigned AS MATERIALIZED (
+           |  SELECT cid, cell FROM (
+           |    SELECT cid, prank AS cell,
+           |      row_number() OVER (PARTITION BY cid ORDER BY cos DESC, prank) AS arn
+           |    FROM pcos) WHERE arn = 1),
+           |probes AS (
+           |  SELECT cid AS query_id, cell FROM (
+           |    SELECT cid, prank AS cell,
+           |      row_number() OVER (PARTITION BY cid ORDER BY cos DESC, prank) AS qrn
+           |    FROM pcos WHERE cid < 3) WHERE qrn <= 3),
+           |scored AS (
+           |  SELECT pr.query_id, a.cid AS neighbor_id,
+           |    list_sum(list_transform(list_zip(qe.v, ce.v), x -> x[1] * x[2]))
+           |    / (sqrt(list_sum(list_transform(qe.v, x -> x * x)))
+           |     * sqrt(list_sum(list_transform(ce.v, x -> x * x)))) AS cos
+           |  FROM probes pr JOIN assigned a ON a.cell = pr.cell
+           |  JOIN emb qe ON qe.vec_id = pr.query_id
+           |  JOIN emb ce ON ce.vec_id = a.cid
+           |  WHERE pr.query_id <> a.cid),
+           |ranked AS (SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+           |FROM ranked WHERE rank <= 5""".stripMargin)),
     (
       "q_dedup_lines",
       // corpus-level line dedup (CCNet/RefinedWeb analog of C4's repeated-

@@ -126,6 +126,29 @@ class MlSpec extends SparkSpec {
     assert(fullSet == bruteSet, "nProbe = nCells must equal brute force")
   }
 
+  test("IVF over trained k-means centroids: exact rerank; full probe = brute force") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(vecs, queries, k = 5).collect()
+    val bruteMap = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val km = Clustering.kmeans(vecs, k = 8, assignRounds = 2)
+    val ivf = Similarity.ivfTopKTrained(
+      vecs, queries, k = 5, centroids = km.centroids, nProbe = 2).collect()
+    assert(ivf.nonEmpty, "trained IVF must produce candidates at 8 cells / 2 probes")
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteMap.get(key).foreach(exact => assert(math.abs(exact - r.getDouble(2)) < 1e-9))
+    }
+
+    // probing ALL trained cells degenerates to exact brute-force top-k
+    val full = Similarity.ivfTopKTrained(
+      vecs, queries, k = 5, centroids = km.centroids, nProbe = 8).collect()
+    val fullSet = full.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(fullSet == bruteSet, "nProbe = k must equal brute force")
+  }
+
   test("PQ top-k: ADC shortlist carries exact rerank cosines; full shortlist = brute force") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = vecs.filter(col("vec_id") < 3)
