@@ -408,6 +408,20 @@ object Bench {
     val (_, tSemDedup) = timedLeg("dedup_semantic")(
       graft.ml.SemDedup.semDedup(vecs, threshold = 0.35, nCells = 16).count())
     results += "dedup_semantic" -> tSemDedup
+    // k-means training (16 cells, 3 assignment rounds) + the trained-IVF
+    // probe over the same centroids — the production-quantizer path
+    val (kmRes, tKmeans) = time {
+      val r = graft.ml.Clustering.kmeans(vecs, k = 16, assignRounds = 3)
+      r.assignment.count()
+      r
+    }
+    results += "embed_kmeans" -> tKmeans
+    val (_, tIvfT) = time(
+      graft.ml.Similarity
+        .ivfTopKTrained(vecs, vecs.filter(col("vec_id") < 100), k = 10,
+          centroids = kmRes.centroids, nProbe = 4)
+        .count())
+    results += "sim_ivf_trained_topk100q" -> tIvfT
     vecs.unpersist(false)
 
     // --- streaming surface: the stateful paths get MEASURED, not just
