@@ -69,9 +69,18 @@ object SemDedup {
       nCells: Int,
       seed: Long,
       portable: Boolean): DataFrame =
+    assignedOver(corpus, idCol, vecCol, pivots(corpus, idCol, vecCol, nCells, seed, portable))
+
+  /** The assignment joins over ANY broadcast (pv, prank) pivot frame —
+    * sampled pivots or trained centroids alike. */
+  private def assignedOver(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      pivotFrame: DataFrame): DataFrame =
     corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(pivots(corpus, idCol, vecCol, nCells, seed, portable))
+      .crossJoin(pivotFrame.select(col("pv"), col("prank")))
       .select(
         col("id"), col("v"),
         struct(Similarity.cosine("v", "pv").as("pcos"), (-col("prank")).as("nrank")).as("cand"))
@@ -115,9 +124,37 @@ object SemDedup {
       nCells: Int = 16,
       maxCell: Int = 100000,
       seed: Long = 42L,
-      portable: Boolean = false): DataFrame = {
-    val spark = corpus.sparkSession
-    val a = assigned(corpus, idCol, vecCol, nCells, seed, portable)
+      portable: Boolean = false): DataFrame =
+    label(assigned(corpus, idCol, vecCol, nCells, seed, portable),
+      threshold, idCol, maxCell)
+
+  /** SemDeDup with the coarse quantizer the paper actually uses: TRAINED
+    * k-means centroids ([[Clustering.kmeans]] output) instead of the
+    * sampled-pivot stand-in — identical joins, cells defined by the
+    * trained table. Still fully oracle-replayable because the trainer is. */
+  def semDedupTrained(
+      corpus: DataFrame,
+      threshold: Double,
+      centroids: Array[(Int, Array[Double])],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxCell: Int = 100000): DataFrame = {
+    require(centroids.nonEmpty, "semDedupTrained needs at least one centroid")
+    val session = corpus.sparkSession
+    import session.implicits._
+    val pivotFrame = broadcast(
+      centroids.toSeq.map { case (r, cv) => (r, cv.toSeq) }.toDF("prank", "pv"))
+    label(assignedOver(corpus, idCol, vecCol, pivotFrame), threshold, idCol, maxCell)
+  }
+
+  /** Pairing, components and the keep rule over an assigned frame. */
+  private def label(
+      assignedFrame: DataFrame,
+      threshold: Double,
+      idCol: String,
+      maxCell: Int): DataFrame = {
+    val spark = assignedFrame.sparkSession
+    val a = assignedFrame
       .withColumn("cell_n", count(lit(1)).over(Window.partitionBy("cell")))
     val paired = a.filter(col("cell_n") <= maxCell)
     val l = paired.select(col("cell"), col("id").as("pa"), col("v").as("va"))

@@ -3950,6 +3950,57 @@ object Queries {
            |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
            |FROM ranked WHERE rank <= 5""".stripMargin)),
     (
+      "q_dedup_semantic_trained",
+      // SemDeDup with the quantizer the paper actually uses: k-means
+      // centroids (Clustering.kmeans, k=8, 3 rounds) instead of the
+      // sampled-pivot stand-in. Same joins as q_dedup_semantic; cells are
+      // cosine-argmax against the TRAINED table. DuckDB replays trainer +
+      // assignment + pairing + recursive closure + keep rule end to end.
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        val km = Clustering.kmeans(vecs, k = 8, assignRounds = 3, portable = true)
+        SemDedup.semDedupTrained(vecs, threshold = 0.35, centroids = km.centroids)
+      },
+      Some {
+        def cosSql(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+             |    / (sqrt(list_sum(list_transform($a, x -> x * x)))
+             |     * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+        s"""WITH RECURSIVE ${kmeansOracleCtes(k = 8, dim = 64, rounds = 3)},
+           |pcos AS MATERIALIZED (
+           |  SELECT e.vec_id AS cid, p.crank AS prank,
+           |    ${cosSql("e.v", "p.cv")} AS cos
+           |  FROM emb e, c2 p),
+           |sassigned AS MATERIALIZED (
+           |  SELECT cid, cell, ccos FROM (
+           |    SELECT cid, prank AS cell, cos AS ccos,
+           |      row_number() OVER (PARTITION BY cid ORDER BY cos DESC, prank) AS arn
+           |    FROM pcos) WHERE arn = 1),
+           |pr AS MATERIALIZED (
+           |  SELECT a.cid AS a, b.cid AS b
+           |  FROM sassigned a JOIN sassigned b ON a.cell = b.cell AND a.cid < b.cid
+           |  JOIN emb ea ON ea.vec_id = a.cid
+           |  JOIN emb eb ON eb.vec_id = b.cid
+           |  WHERE ${cosSql("ea.v", "eb.v")} >= 0.35),
+           |ud AS MATERIALIZED (SELECT a, b FROM (
+           |  SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr)),
+           |r(id, m) AS (
+           |  SELECT a, b FROM ud
+           |  UNION
+           |  SELECT r.id, ud.b FROM r JOIN ud ON ud.a = r.m),
+           |comp AS (SELECT id, least(id, min(m)) AS cluster FROM r GROUP BY id),
+           |lab AS (
+           |  SELECT s.cid AS vec_id, s.cell, s.ccos,
+           |         coalesce(c.cluster, s.cid) AS cluster
+           |  FROM sassigned s LEFT JOIN comp c ON c.id = s.cid)
+           |SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(ccos, 6) AS ccos,
+           |  cluster,
+           |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n,
+           |  (row_number() OVER (PARTITION BY cluster ORDER BY ccos, vec_id) = 1)
+           |    AS keep
+           |FROM lab""".stripMargin
+      }),
+    (
       "q_dedup_lines",
       // corpus-level line dedup (CCNet/RefinedWeb analog of C4's repeated-
       // span rule): the testdata has no newlines, so both engines first

@@ -63,6 +63,24 @@ class CurationOpsSpec extends SparkSpec {
       .filter(col("k") =!= 1L).count() == 0)
   }
 
+  test("semDedupTrained over k-means centroids: same invariants, trained cells") {
+    val km = Clustering.kmeans(vecs, k = 8, assignRounds = 2)
+    val out = SemDedup.semDedupTrained(vecs, threshold = 0.35, centroids = km.centroids)
+    assert(out.count() == vecs.count(), "one row per input vector")
+    val byCluster = out.groupBy("cluster").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      max("cluster_n").as("cn"))
+    assert(byCluster.filter(col("n_keep") =!= 1L).count() == 0, "exactly one keep per cluster")
+    assert(byCluster.filter(col("n") =!= col("cn")).count() == 0)
+    // cells come from the trained table: every assigned cell is a rank 1..8
+    val cells = out.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf((1L to 8L).toSet) && cells.nonEmpty)
+    // members of one cluster share a cell (pairs only form within cells)
+    assert(out.filter(col("cluster_n") > 1).groupBy("cluster")
+      .agg(countDistinct("cell").as("k")).filter(col("k") =!= 1L).count() == 0)
+  }
+
   test("semDedup portable sampler is total on full-range / negative ids (ANSI)") {
     import spark.implicits._
     // xxhash64-scale ids: the old raw id*1103515245 pivot hash raised
