@@ -45,7 +45,8 @@ import org.apache.spark.sql.functions._
  *    at least one shared node variable is required;
  *  - `WITH` pipeline stages (BEYOND the reference's frontend; openCypher
  *    semantics): `MATCH … WITH [DISTINCT] items [WHERE …] [ORDER BY …
- *    LIMIT n] MATCH … RETURN …` — items rebind the scope (bare/aliased
+ *    LIMIT n] MATCH … RETURN …` — `WITH *` (or `WITH *, items`) carries
+ *    the whole named scope; items rebind the scope (bare/aliased
  *    node and edge variables carry through; expressions and aggregates
  *    must be aliased and become scalar columns; everything not listed
  *    goes out of scope), an aggregate item triggers implicit grouping by
@@ -113,6 +114,7 @@ object CypherLite {
     * ORDER BY + LIMIT make a mid-pipeline top-k. */
   private final case class WithClause(
       distinct: Boolean,
+      star: Boolean, // `WITH *` / `WITH *, items` — carry the whole scope
       items: Seq[RetItem],
       where: Option[Expr],
       orderBy: Seq[(Expr, Boolean)],
@@ -189,14 +191,16 @@ object CypherLite {
         next()
         val distinct = if (kw("DISTINCT")) { next(); true } else false
         val b = Seq.newBuilder[RetItem]
-        b += retItem()
+        var star = false
+        if (peek.kind == "*") { next(); star = true }
+        else b += retItem()
         while (peek.kind == ",") { next(); b += retItem() }
         // WHERE right after the items (the HAVING shape) — filters the
         // projected rows BEFORE any ORDER BY/LIMIT top-k
         val w = if (kw("WHERE")) { next(); Some(boolExpr()) } else None
         val ord = orderByOpt()
         val lim = if (kw("LIMIT")) { next(); Some(eat("num").text.toInt) } else None
-        segs += ((last, WithClause(distinct, b.result(), w, ord, lim)))
+        segs += ((last, WithClause(distinct, star, b.result(), w, ord, lim)))
         // a WITH may feed another WITH or RETURN directly (pure projection
         // stage) — the segment is empty then
         last = if (kw("MATCH")) segment() else Segment(Nil, None, Nil)
@@ -719,7 +723,14 @@ object CypherLite {
       val scalarsOut = Seq.newBuilder[String]
       val keyCols = Seq.newBuilder[Column] // non-aggregate output columns
       val aggCols = Seq.newBuilder[Column]
-      w.items.zipWithIndex.foreach {
+      // `WITH *` prepends a bare carry of every in-scope NAMED variable
+      // (openCypher); explicit items may follow after the star
+      val allItems: Seq[RetItem] =
+        (if (w.star)
+          (scope.nodes ++ scope.rels ++ scope.scalars)
+            .filterNot(_.startsWith("__")).map(v => RetItem(VarRef(v), None))
+        else Seq.empty) ++ w.items
+      allItems.zipWithIndex.foreach {
         case (RetItem(VarRef(v), alias), _) if scope.nodes.contains(v) =>
           val target = alias.getOrElse(v)
           nodesOut += target

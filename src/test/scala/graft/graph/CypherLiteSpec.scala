@@ -325,6 +325,17 @@ class CypherLiteSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
   }
 
+  test("WITH * carries the whole scope; WITH *, item appends") {
+    assert(CypherLite.run(g,
+      "MATCH (a)-[e]->(b) WITH * WHERE e.time > 20 RETURN COUNT(*) AS n")
+      .first().getLong(0) == 3L)
+    val rows = CypherLite.run(g,
+      "MATCH (a)-[e:WORKS]->(b) WITH *, e.time AS t RETURN a, b, t ORDER BY t")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((3L, 4L, 30L), (4L, 1L, 40L)))
+  }
+
   test("WITH validation is loud") {
     // expressions/aggregates must be aliased
     intercept[IllegalArgumentException](
