@@ -430,6 +430,17 @@ object Similarity {
       .select(col("query_id"), col("cid"))
 
     // exact rerank of the shortlist
+    rerankShortlist(short, corpus, queries, k, idCol, vecCol)
+  }
+
+  /** Exact cosine rerank of a (query_id, cid) shortlist → top-k rows. */
+  private def rerankShortlist(
+      short: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     short
       .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), Seq("cid"))
@@ -442,5 +453,95 @@ object Similarity {
         col("neighbor_id"),
         round(col("cos"), 6).as("cos"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** Canonical PQ training (Jégou 2011 §III): an INDEPENDENT k-means per
+    * subspace over the corpus subvector slices — m small [[Clustering]]
+    * runs, each with the bounded k×subdim collects. Returns the trained
+    * per-subspace codebooks for [[pqTopKTrained]]. */
+  def trainPqCodebooks(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 4,
+      kCodes: Int = 16,
+      rounds: Int = 2,
+      portable: Boolean = false,
+      seed: Long = 42L): Seq[(Int, Array[(Int, Array[Double])])] =
+    (0 until m).map { j =>
+      val sub = corpus.select(
+        col(idCol),
+        expr(s"slice($vecCol, $j * (size($vecCol) div $m) + 1, size($vecCol) div $m)")
+          .as("__sub"))
+      j -> Clustering
+        .kmeans(sub, idCol, "__sub", kCodes, rounds, seed = seed, portable = portable)
+        .centroids
+    }
+
+  /** PQ ANN over TRAINED per-subspace codebooks ([[trainPqCodebooks]]) —
+    * canonical product quantization, vs [[pqTopK]]'s zero-training sampled
+    * stand-in. Each subspace encodes against its OWN codewords; the joins
+    * keep the sampled variant's 100 TB shape (one broadcast of m×kCodes
+    * rows, map-side argmin encode with partial aggregation, ADC as m
+    * broadcast lookups with a fixed-order sum, exact rerank). Sub-distances
+    * are rounded to 6 dp (the [[Clustering]] determinism contract) so the
+    * whole pipeline replays in DuckDB. */
+  def pqTopKTrained(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      codebooks: Seq[(Int, Array[(Int, Array[Double])])],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      shortlist: Int = 50): DataFrame = {
+    val m = codebooks.size
+    require(m >= 1, "pqTopKTrained needs at least one subspace codebook")
+    val session = corpus.sparkSession
+    import session.implicits._
+    val combined = broadcast(
+      codebooks.flatMap { case (j, cents) =>
+        cents.map { case (r, cw) => (j, r, cw.toSeq) }
+      }.toDF("j", "crank", "cw"))
+
+    /** 6dp-rounded squared L2 between subvector j of `v` and the joined
+      * codeword column `cw` (fixed-order left fold). */
+    def subDistSql(v: String): Column = expr(
+      s"round(aggregate(zip_with(slice($v, j * (size($v) div $m) + 1, size($v) div $m), cw, " +
+        "(x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), " +
+        "cast(0.0 as double), (s, v) -> s + v), 6)")
+
+    // encode: per (vector, subspace) the argmin codeword of THAT subspace;
+    // min(when(j = …)) skips the other subspaces' rows and aggregates
+    // partial map-side
+    val enc = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .crossJoin(combined)
+      .select(col("cid"), col("j"), col("crank"), subDistSql("cv").as("d"))
+    val codeCols = (0 until m).map(j =>
+      min(when(col("j") === j, struct(col("d"), col("crank"))))
+        .getField("crank").as(s"code_$j"))
+    val codes = enc.groupBy("cid").agg(codeCols.head, codeCols.tail: _*)
+
+    // query distance tables per subspace (ADC)
+    val dtab = broadcast(
+      queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .crossJoin(combined)
+        .select(col("query_id"), col("j"), col("crank"), subDistSql("qv").as("d")))
+    val scanned = (0 until m).foldLeft(codes) { (acc, j) =>
+      val lut = broadcast(dtab
+        .filter(col("j") === j)
+        .select(col("query_id"), col("crank").as(s"code_$j"), col("d").as(s"d_$j")))
+      acc.join(lut, if (j == 0) Seq(s"code_$j") else Seq("query_id", s"code_$j"))
+    }
+    val approx = scanned
+      .withColumn("approx_dist", (0 until m).map(j => col(s"d_$j")).reduce(_ + _))
+    val sw = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("cid"))
+    val short = approx
+      .filter(col("query_id") =!= col("cid"))
+      .withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("cid"))
+    rerankShortlist(short, corpus, queries, k, idCol, vecCol)
   }
 }

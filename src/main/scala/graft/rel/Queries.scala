@@ -91,41 +91,45 @@ object Queries {
     * (element-wise 6dp-rounded means, empty cells coalesced to the
     * previous centroid) — ending at the FINAL assignment `a&lt;rounds&gt;`
     * measured against the trained centroids `c&lt;rounds-1&gt;`. */
-  private def kmeansOracleCtes(k: Int, dim: Int, rounds: Int): String = {
+  private def kmeansOracleCtes(
+      k: Int,
+      dim: Int,
+      rounds: Int,
+      prefix: String = "",
+      vecSql: String = "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+      finalAssign: Boolean = true): String = {
     def distSql(v: String, cv: String) =
       s"""round(list_sum(list_transform(list_zip($v, $cv),
          |        p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)""".stripMargin
     def assignCte(name: String, cen: String) =
-      s"""$name AS MATERIALIZED (
+      s"""$prefix$name AS MATERIALIZED (
          |  SELECT vec_id, v, cluster, d FROM (
          |    SELECT e.vec_id, e.v, c.crank AS cluster,
          |      ${distSql("e.v", "c.cv")} AS d,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${distSql("e.v", "c.cv")}, c.crank) AS rn
-         |    FROM emb e, $cen c) WHERE rn = 1)""".stripMargin
+         |    FROM ${prefix}emb e, $prefix$cen c) WHERE rn = 1)""".stripMargin
     def meanCte(name: String, assigned: String, prev: String) =
-      s"""$name AS MATERIALIZED (
-         |  SELECT $prev.crank, coalesce(g.cv, $prev.cv) AS cv
-         |  FROM $prev LEFT JOIN (
+      s"""$prefix$name AS MATERIALIZED (
+         |  SELECT $prefix$prev.crank, coalesce(g.cv, $prefix$prev.cv) AS cv
+         |  FROM $prefix$prev LEFT JOIN (
          |    SELECT cluster AS crank, list(m ORDER BY i) AS cv FROM (
          |      SELECT cluster, r.i AS i, round(avg(v[r.i + 1]), 6) AS m
-         |      FROM $assigned, range($dim) AS r(i) GROUP BY cluster, r.i)
-         |    GROUP BY cluster) g ON g.crank = $prev.crank)""".stripMargin
+         |      FROM $prefix$assigned, range($dim) AS r(i) GROUP BY cluster, r.i)
+         |    GROUP BY cluster) g ON g.crank = $prefix$prev.crank)""".stripMargin
     val header =
-      s"""emb AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      s"""${prefix}emb AS MATERIALIZED (
+         |  SELECT vec_id, $vecSql AS v
          |  FROM embeddings),
-         |c0 AS MATERIALIZED (
+         |${prefix}c0 AS MATERIALIZED (
          |  SELECT row_number() OVER (ORDER BY h, pid) AS crank, pv AS cv
-         |  FROM (SELECT vec_id AS pid,
-         |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv,
+         |  FROM (SELECT vec_id AS pid, $vecSql AS pv,
          |          ((vec_id % 1000000007) * 1103515245 + 12345)
          |            % 1000000007 AS h
          |        FROM embeddings ORDER BY h, pid LIMIT $k))""".stripMargin
     val steps = (1 until rounds).flatMap { i =>
       Seq(assignCte(s"a$i", s"c${i - 1}"), meanCte(s"c$i", s"a$i", s"c${i - 1}"))
-    } :+ assignCte(s"a$rounds", s"c${rounds - 1}")
+    } ++ (if (finalAssign) Seq(assignCte(s"a$rounds", s"c${rounds - 1}")) else Nil)
     (header +: steps).mkString(",\n")
   }
 
@@ -3184,6 +3188,78 @@ object Queries {
            |  FROM scored)
            |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
            |FROM ranked WHERE rank <= 5""".stripMargin)),
+    (
+      "q_sim_pq_trained",
+      // CANONICAL product quantization (Jégou 2011 §III): an independent
+      // k-means per subspace (m=2 × [k=8, 2 rounds] over the subvector
+      // halves) trains the codebooks, then encode/ADC/rerank run against
+      // them — vs q_sim_pq_topk's zero-training sampled stand-in. DuckDB
+      // replays both trainer ladders and the full search end to end.
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        val cb = Similarity.trainPqCodebooks(
+          vecs, m = 2, kCodes = 8, rounds = 2, portable = true)
+        Similarity.pqTopKTrained(
+          vecs, vecs.filter(col("vec_id") < 3), k = 5,
+          codebooks = cb, shortlist = 50)
+      },
+      Some {
+        def d6(v: String, cv: String) =
+          s"""round(list_sum(list_transform(list_zip($v, $cv),
+             |        p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)""".stripMargin
+        def encCte(name: String, emb: String, cen: String, out: String) =
+          s"""$name AS MATERIALIZED (
+             |  SELECT vec_id AS cid, cluster AS $out FROM (
+             |    SELECT e.vec_id, c.crank AS cluster,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${d6("e.v", "c.cv")}, c.crank) AS rn
+             |    FROM $emb e, $cen c) WHERE rn = 1)""".stripMargin
+        def dtCte(name: String, emb: String, cen: String) =
+          s"""$name AS MATERIALIZED (
+             |  SELECT e.vec_id AS query_id, c.crank,
+             |    ${d6("e.v", "c.cv")} AS d
+             |  FROM $emb e, $cen c WHERE e.vec_id < 3)""".stripMargin
+        def cosSql(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b),
+             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             |    / (sqrt(list_sum(list_transform($a,
+             |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+             |     * sqrt(list_sum(list_transform($b,
+             |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))""".stripMargin
+        s"""WITH ${kmeansOracleCtes(k = 8, dim = 32, rounds = 2, prefix = "p0",
+              vecSql = "list_transform(embedding[1:32], x -> CAST(x AS DOUBLE))",
+              finalAssign = false)},
+           |${kmeansOracleCtes(k = 8, dim = 32, rounds = 2, prefix = "p1",
+              vecSql = "list_transform(embedding[33:64], x -> CAST(x AS DOUBLE))",
+              finalAssign = false)},
+           |${encCte("enc0", "p0emb", "p0c1", "code_0")},
+           |${encCte("enc1", "p1emb", "p1c1", "code_1")},
+           |codes AS MATERIALIZED (
+           |  SELECT enc0.cid, enc0.code_0, enc1.code_1
+           |  FROM enc0 JOIN enc1 ON enc1.cid = enc0.cid),
+           |${dtCte("dt0", "p0emb", "p0c1")},
+           |${dtCte("dt1", "p1emb", "p1c1")},
+           |approx AS MATERIALIZED (
+           |  SELECT d0.query_id, c.cid, d0.d + d1.d AS approx_dist
+           |  FROM codes c
+           |  JOIN dt0 d0 ON d0.crank = c.code_0
+           |  JOIN dt1 d1 ON d1.query_id = d0.query_id AND d1.crank = c.code_1),
+           |short AS (SELECT query_id, cid FROM (
+           |  SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY approx_dist, cid) AS srn
+           |  FROM approx WHERE query_id <> cid) WHERE srn <= 50),
+           |scored AS (
+           |  SELECT s.query_id, s.cid AS neighbor_id,
+           |    ${cosSql("qe.embedding", "ce.embedding")} AS cos
+           |  FROM short s JOIN embeddings qe ON qe.vec_id = s.query_id
+           |  JOIN embeddings ce ON ce.vec_id = s.cid),
+           |ranked AS (SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+           |FROM ranked WHERE rank <= 5""".stripMargin
+      }),
     (
       "q_sim_pq_topk",
       // product-quantization ANN (Jégou et al. 2011): 4 subspaces × 16

@@ -149,6 +149,31 @@ class MlSpec extends SparkSpec {
     assert(fullSet == bruteSet, "nProbe = k must equal brute force")
   }
 
+  test("PQ over per-subspace trained codebooks: exact rerank; full shortlist = brute force") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(vecs, queries, k = 5).collect()
+    val bruteMap = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val cb = Similarity.trainPqCodebooks(vecs, m = 4, kCodes = 8, rounds = 2)
+    assert(cb.size == 4 && cb.forall(_._2.length == 8))
+    // subspace codebooks are genuinely independent (not slices of shared rows)
+    assert(cb.map(_._2.map(_._2.toSeq).toSeq).distinct.size == 4)
+    val pq = Similarity.pqTopKTrained(vecs, queries, k = 5, codebooks = cb, shortlist = 50)
+      .collect()
+    assert(pq.length == 15, "3 queries x 5 with shortlist 50 over 500 vectors")
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteMap.get(key).foreach(exact => assert(math.abs(exact - r.getDouble(2)) < 1e-9))
+    }
+
+    val full = Similarity.pqTopKTrained(
+      vecs, queries, k = 5, codebooks = cb, shortlist = 1000000).collect()
+    val fullSet = full.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(fullSet == bruteSet, "full shortlist must equal brute force")
+  }
+
   test("PQ top-k: ADC shortlist carries exact rerank cosines; full shortlist = brute force") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = vecs.filter(col("vec_id") < 3)
