@@ -67,6 +67,13 @@ import org.apache.spark.sql.functions._
  * (`type(e)` ≡ `e.layer`); a node variable IS its id. Returned edge
  * variables expand to `<var>_src, <var>_dst, <var>_ts, <var>_event_id,
  * <var>_layer`; `e.field` returns column `<var>_<field>`.
+ *
+ * NODE PROPERTIES: the `run(g, query, nodeProps)` overload accepts a
+ * property table `(id, field, …)`; `a.field` on a node variable then
+ * left-joins it on the node id (missing nodes read null — openCypher's
+ * missing-property semantics). Available in required-MATCH WHERE, WITH
+ * items and RETURN/ORDER BY; to use a property after a WITH, carry it as
+ * an aliased item (or re-reach it through the carried node variable).
  */
 object CypherLite {
 
@@ -415,7 +422,21 @@ object CypherLite {
   private val EdgeFields = Seq("src", "dst", "ts", "event_id", "layer")
 
   /** Parse + translate a Cypher-lite query against a temporal graph. */
-  def run(g: TemporalGraph, query: String): DataFrame = {
+  def run(g: TemporalGraph, query: String): DataFrame = run(g, query, None)
+
+  /** As [[run]], with a node-property table `(id, field, …)`: `a.field`
+    * on a node variable resolves against it (left join on the node id —
+    * missing nodes read null, openCypher's missing-property semantics).
+    * Properties are available in MATCH WHERE (required patterns), WITH
+    * items and RETURN; to use one after a WITH, carry it as an aliased
+    * item. */
+  def run(g: TemporalGraph, query: String, nodeProps: DataFrame): DataFrame =
+    run(g, query, Some(nodeProps))
+
+  private def run(
+      g: TemporalGraph,
+      query: String,
+      nodeProps: Option[DataFrame]): DataFrame = {
     val ast = new P(tokenize(query), query).parse()
 
     // node variable v binds column nodeCol(v) — shared across patterns, so
@@ -474,12 +495,50 @@ object CypherLite {
         }
     }
 
+    // node-property support: `a.field` for a node variable resolves
+    // against the optional nodeProps frame (id, field, …), left-joined on
+    // demand as __prop_<var>_<field> columns at each compile site
+    val nodePropFields: Set[String] =
+      nodeProps.map(_.columns.toSet - "id").getOrElse(Set.empty)
+    def propColName(v: String, f: String) = s"__prop_${v}_$f"
+
+    /** Node-property pairs (var, field) an expression references. */
+    def collectProps(e: Expr): Seq[(String, String)] = e match {
+      case Prop(v, f) if f != "id" => Seq((v, f))
+      case Bin(_, l, r)            => collectProps(l) ++ collectProps(r)
+      case Not(x)                  => collectProps(x)
+      case CountAgg(Some(a), _)    => collectProps(a)
+      case _                       => Seq.empty
+    }
+
+    /** Left-join the needed property columns for every referenced node
+      * variable still in scope (one join per variable, all its fields). */
+    def withProps(frame: DataFrame, exprs: Seq[Expr], nodeVars: Seq[String]): DataFrame = {
+      val needed = exprs.flatMap(collectProps).distinct.filter { case (v, f) =>
+        nodeVars.contains(v) && nodePropFields.contains(f) &&
+          !frame.columns.contains(propColName(v, f))
+      }
+      needed.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(frame) {
+        case (acc, (v, pairs)) =>
+          // a plain equi-join on the node id — Catalyst/AQE picks the
+          // strategy (a per-node property table is NOT broadcast-sized at
+          // production scale)
+          val pf = nodeProps.get.select(
+            col("id").as("__pid") +: pairs.map { case (_, f) =>
+              col(f).as(propColName(v, f))
+            }: _*)
+          acc.join(pf, acc(nodeCol(v)) === pf("__pid"), "left").drop("__pid")
+      }
+    }
+
     // expression compiler over a branch's (or the union's) variable maps;
-    // scalarCols are WITH-projected columns, addressed by their own name
+    // scalarCols are WITH-projected columns, addressed by their own name;
+    // withNodeProps enables `a.field` against the joined property columns
     def compiler(
         nodeColOf: Map[String, String],
         relVars: Set[String],
-        scalarCols: Set[String] = Set.empty): Expr => Column = {
+        scalarCols: Set[String] = Set.empty,
+        withNodeProps: Boolean = false): Expr => Column = {
       def fieldCol(v: String, field: String): Column = {
         val f = field match {
           case "time" => "ts"
@@ -489,8 +548,17 @@ object CypherLite {
           require(EdgeFields.contains(f), s"unknown edge field '$field' in: $query")
           col(s"${v}_$f")
         } else if (nodeColOf.contains(v)) {
-          require(f == "id", s"node variables expose only 'id' (got '$field') in: $query")
-          col(nodeColOf(v))
+          if (field == "id") col(nodeColOf(v))
+          else if (withNodeProps && nodePropFields.contains(field))
+            col(propColName(v, field))
+          else throw new IllegalArgumentException(
+            if (nodePropFields.contains(field))
+              s"node property '$field' is not available here " +
+                s"(carry it through WITH as an aliased item) in: $query"
+            else
+              s"node variables expose only 'id'" +
+                (if (nodePropFields.nonEmpty) s" and ${nodePropFields.mkString("/")}"
+                else "") + s" (got '$field') in: $query")
         } else if (scalarCols.contains(v)) {
           throw new IllegalArgumentException(
             s"WITH-projected value '$v' has no fields (got '.$field') in: $query")
@@ -679,8 +747,27 @@ object CypherLite {
         case Some((_, cs)) =>
           Scope((cs.nodes ++ segNodes).distinct, cs.rels ++ segRels, cs.scalars)
       }
-      val (reqFrame, _, _) =
-        clauseFrame(seg.patterns, if (carried.isEmpty) seg.where else None)
+      // a WHERE that references node PROPERTIES cannot compile inside the
+      // per-branch clause frames (the property columns join on at the
+      // segment level) — for named-variable predicates post-frame
+      // filtering is equivalent, and Catalyst pushes the filter back down
+      val reqNodeVars = seg.patterns.flatMap(_.nodes.flatMap(_.name)).distinct
+      val reqRelVars = seg.patterns.flatMap(_.rels.flatMap(_.name))
+      val whereNeedsProps = carried.isEmpty && seg.where.exists(w =>
+        collectProps(w).exists { case (v, f) =>
+          reqNodeVars.contains(v) && nodePropFields.contains(f)
+        })
+      val (reqFrame0, _, _) = clauseFrame(
+        seg.patterns,
+        if (carried.isEmpty && !whereNeedsProps) seg.where else None)
+      val reqFrame =
+        if (!whereNeedsProps) reqFrame0
+        else {
+          val comp = compiler(
+            reqNodeVars.map(v => v -> nodeCol(v)).toMap,
+            reqRelVars.toSet, Set.empty, withNodeProps = true)
+          withProps(reqFrame0, seg.where.toSeq, reqNodeVars).filter(comp(seg.where.get))
+        }
       val base = carried match {
         case None => reqFrame
         case Some((cf, cs)) =>
@@ -694,8 +781,8 @@ object CypherLite {
             case Some(w) =>
               val comp = compiler(
                 scope.nodes.map(v => v -> nodeCol(v)).toMap,
-                scope.rels.toSet, cs.scalars.toSet)
-              joined.filter(comp(w))
+                scope.rels.toSet, cs.scalars.toSet, withNodeProps = true)
+              withProps(joined, Seq(w), scope.nodes).filter(comp(w))
             case None => joined
           }
       }
@@ -713,10 +800,11 @@ object CypherLite {
 
     // WITH projection: rebind the scope to the items (implicit grouping if
     // any item aggregates), filter the projected rows, optional top-k
-    def applyWith(frame: DataFrame, scope: Scope, w: WithClause): (DataFrame, Scope) = {
+    def applyWith(frame0: DataFrame, scope: Scope, w: WithClause): (DataFrame, Scope) = {
       val comp = compiler(
         scope.nodes.map(v => v -> nodeCol(v)).toMap,
-        scope.rels.toSet, scope.scalars.toSet)
+        scope.rels.toSet, scope.scalars.toSet, withNodeProps = true)
+      val frame = withProps(frame0, w.items.map(_.expr), scope.nodes)
       // classify each item → (output columns, what it binds afterwards)
       val nodesOut = Seq.newBuilder[String]
       val relsOut = Seq.newBuilder[String]
@@ -805,7 +893,7 @@ object CypherLite {
         val (f, s) = segmentFrame(seg, acc)
         Some(applyWith(f, s, w))
     }
-    val (filtered, finalScope) = segmentFrame(ast.last, carried)
+    val (filtered0, finalScope) = segmentFrame(ast.last, carried)
 
     // RETURN-stage variable maps: the final scope's named vars only
     // (anonymous ones never survive the stable projection)
@@ -814,7 +902,7 @@ object CypherLite {
     val scalarVars = finalScope.scalars.toSet
     val nodeVar = finalScope.nodes
     val relVar = finalScope.rels
-    val compile = compiler(nodeColOf, relVars, scalarVars)
+    val compile = compiler(nodeColOf, relVars, scalarVars, withNodeProps = true)
 
     // RETURN
     val items: Seq[RetItem] =
@@ -823,6 +911,11 @@ object CypherLite {
           relVar.filterNot(_.startsWith("__")).map(v => RetItem(VarRef(v), None)) ++
           finalScope.scalars.map(v => RetItem(VarRef(v), None))
       else ast.items
+
+    // node properties any RETURN item or ORDER BY key references join on
+    // here (one left join per variable)
+    val filtered = withProps(
+      filtered0, items.map(_.expr) ++ ast.orderBy.map(_._1), finalScope.nodes)
 
     // (input column, output name) pairs of a non-aggregate item (a whole
     // edge var expands to its 5 fields; everything else is one column)

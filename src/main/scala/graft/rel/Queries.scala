@@ -4508,6 +4508,36 @@ object Queries {
            |  ON x.dst = y.src
            |GROUP BY x.src, x.dst ORDER BY a, b LIMIT 500""".stripMargin)),
     (
+      "q_cypher_node_props",
+      // NODE PROPERTIES (beyond the reference's frontend): `a.field` on a
+      // node variable resolves against a property table (id, field, …) by
+      // left join on the node id — here per-user event counts. The WHERE
+      // filters on the source's property; the RETURN projects the
+      // destination's (null-safe, openCypher missing-property semantics).
+      (s, d) => {
+        val props = t(s, d, "events")
+          .groupBy(col("user_id").as("id"))
+          .agg(count(lit(1)).as("n_events"))
+        graft.graph.CypherLite.run(
+          eventGraph(s, d),
+          "MATCH (a)-[e:click]->(b) WHERE a.n_events > 70 " +
+            "RETURN a, b, b.n_events AS bn",
+          props)
+      },
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+           |np AS (
+           |  SELECT user_id AS id, CAST(count(*) AS BIGINT) AS n_events
+           |  FROM events GROUP BY user_id)
+           |SELECT e0.src AS a, e0.dst AS b, bb.n_events AS bn
+           |FROM e0 JOIN np aa ON aa.id = e0.src
+           |LEFT JOIN np bb ON bb.id = e0.dst
+           |WHERE e0.layer = 'click' AND aa.n_events > 70""".stripMargin)),
+    (
       "q_cypher_with",
       // WITH pipeline (beyond the reference's frontend; openCypher
       // semantics): implicit grouping midway (b, COUNT(e)), the WITH's

@@ -336,6 +336,52 @@ class CypherLiteSpec extends SparkSpec {
       Seq((3L, 4L, 30L), (4L, 1L, 40L)))
   }
 
+  private def props = {
+    val session = spark
+    import session.implicits._
+    Seq((1L, "alice", 10L), (2L, "bob", 20L), (3L, "carol", 30L), (4L, "dave", 40L))
+      .toDF("id", "name", "score")
+  }
+
+  test("node properties resolve via the props frame in WHERE and RETURN") {
+    // KNOWS edges: 1→2, 2→3, 2→4; a.score >= 20 keeps a=2
+    val rows = CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) WHERE a.score >= 20 RETURN a, b.name AS bn ORDER BY a, bn",
+      props).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "carol"), (2L, "dave")))
+  }
+
+  test("node properties in WITH items; re-join after a WITH carries the variable") {
+    // all edge dsts: 2,3,4,1,4 → names bob, carol, dave×2, alice
+    val r2 = CypherLite.run(g,
+      "MATCH (a)-[e]->(b) WITH b.name AS bn, COUNT(*) AS n RETURN bn, n ORDER BY bn",
+      props).collect()
+    assert(r2.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("alice", 1L), ("bob", 1L), ("carol", 1L), ("dave", 2L)))
+    // a carried bare through WITH can still reach its properties later
+    val r3 = CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) WITH a, COUNT(e) AS n WHERE n > 1 " +
+        "RETURN a, a.name AS an, n", props).collect()
+    assert(r3.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((2L, "bob", 2L)))
+  }
+
+  test("node properties: missing node reads null; loud errors otherwise") {
+    val partial = props.filter(col("id") =!= 2L)
+    val rows = CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) RETURN b, b.name AS bn ORDER BY b", partial).collect()
+    assert(rows.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((2L, None), (3L, Some("carol")), (4L, Some("dave"))))
+    // unknown field is loud and names the known ones
+    val e1 = intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) RETURN a.nope", props))
+    assert(e1.getMessage.contains("name"))
+    // without a props frame the old contract stands
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) RETURN a.name"))
+  }
+
   test("WITH validation is loud") {
     // expressions/aggregates must be aliased
     intercept[IllegalArgumentException](
