@@ -137,6 +137,19 @@ final case class VectorisedGraph(
   def emptySelection: VectorSelection =
     VectorSelection(this, emptyNodeSel(nodeDb), emptyEdgeSel(edgeDb))
 
+  /** Semantic clustering of the node corpus: [[graft.ml.Clustering]]
+    * k-means over the rendered node embeddings — groups entities whose
+    * documents describe similar structure (the clustering counterpart of
+    * [[nodesBySimilarity]]'s point lookup). Deterministic for a given
+    * corpus; see Clustering for the 100 TB shape. */
+  def clusterNodes(
+      k: Int,
+      assignRounds: Int = 3,
+      portable: Boolean = false): graft.ml.Clustering.KMeansResult =
+    graft.ml.Clustering.kmeans(
+      nodeDb, idCol = "id", vecCol = "embedding",
+      k = k, assignRounds = assignRounds, portable = portable)
+
   /** Top-`limit` entities (nodes and edges pooled) by cosine to `query`
     * (`entities_by_similarity`, vectorised_graph.rs:96). */
   def entitiesBySimilarity(

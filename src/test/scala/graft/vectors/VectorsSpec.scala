@@ -117,4 +117,17 @@ class VectorsSpec extends SparkSpec {
     assert(withEdge.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((2L, 3L)))
   }
+
+  test("clusterNodes groups entities by embedding; every node labelled once") {
+    val vg = Vectorise(graph, HashEmbedder(dim = 8))
+    val r = vg.clusterNodes(k = 2, assignRounds = 2)
+    val rows = r.assignment.collect()
+    assert(rows.length == 5, "one labelled row per node")
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(rows.forall(row => row.getLong(1) >= 1L && row.getLong(1) <= 2L))
+    // deterministic across runs
+    val again = vg.clusterNodes(k = 2, assignRounds = 2).assignment.collect()
+    assert(rows.map(r2 => (r2.getLong(0), r2.getLong(1))).toSet ==
+      again.map(r2 => (r2.getLong(0), r2.getLong(1))).toSet)
+  }
 }
