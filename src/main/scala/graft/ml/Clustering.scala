@@ -81,8 +81,10 @@ object Clustering {
   }
 
   /** Map-side argmin against the LITERAL centroid array: adds
-    * (cluster, dist) with zero shuffle. */
-  private def assign(
+    * (cluster, dist) with zero shuffle. Package-visible so samplers and
+    * curation ops can label against trained centroids without rerunning
+    * the trainer. */
+  private[ml] def assign(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,

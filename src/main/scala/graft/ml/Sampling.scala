@@ -145,4 +145,38 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** Cluster-balanced selection over an embedding corpus: label each
+    * vector against TRAINED k-means centroids ([[Clustering.kmeans]]
+    * output — a map-side argmin, zero corpus shuffle) and keep an equal
+    * quota per cluster, chosen by the deterministic id hash. The
+    * standard diversity-preserving curation step: uniform sampling
+    * over-represents dense semantic regions; a per-cluster quota keeps
+    * the tail (cf. SemDeDup §5's cluster-balanced ablations and
+    * DataComp-style cluster pruning).
+    *
+    * One exchange, keyed by cluster — parallelism is bounded by k, so
+    * size k to the cluster's core count at scale (the [[SemDedup]]
+    * sizing rule). Selection is a pure function of (seed, id): the same
+    * rows survive under any partitioning.
+    *
+    * @return (idCol, cluster: long, rk: long rank within its cluster,
+    *         1-based, <= perCluster)
+    */
+  def clusterBalanced(
+      corpus: DataFrame,
+      centroids: Array[(Int, Array[Double])],
+      perCluster: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(perCluster >= 1, s"perCluster=$perCluster must be positive")
+    val w = Window.partitionBy("cluster").orderBy(col("__h"), col(idCol))
+    Clustering.assign(corpus, idCol, vecCol, centroids)
+      .withColumn("__h", hashU(col(idCol), seed, portable))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCluster)
+      .select(col(idCol), col("cluster").cast("long").as("cluster"), col("rk"))
+  }
 }

@@ -3978,6 +3978,29 @@ object Queries {
            |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n
            |FROM a3""".stripMargin)),
     (
+      "q_sample_cluster_balanced",
+      // cluster-balanced selection (the diversity-preserving curation
+      // step; cf. SemDeDup §5 cluster ablations / DataComp cluster
+      // pruning): label against the trained k-means centroids (map-side
+      // argmin) and keep a 20-row quota per cluster by the deterministic
+      // portable id hash — uniform sampling over-represents dense
+      // regions, the quota keeps the tail. DuckDB replays trainer,
+      // assignment and the per-cluster ranked quota.
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        val km = Clustering.kmeans(vecs, k = 8, assignRounds = 3, portable = true)
+        Sampling.clusterBalanced(
+          vecs, km.centroids, perCluster = 20, seed = 42L, portable = true)
+      },
+      Some(
+        s"""WITH ${kmeansOracleCtes(k = 8, dim = 64, rounds = 3)}
+           |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, rk FROM (
+           |  SELECT vec_id, cluster,
+           |    CAST(row_number() OVER (PARTITION BY cluster
+           |      ORDER BY (42 + (vec_id % 1000000007) * 73856093)
+           |                 % 1000000007 % 1000000, vec_id) AS BIGINT) AS rk
+           |  FROM a3) WHERE rk <= 20""".stripMargin)),
+    (
       "q_sim_ivf_trained",
       // IVF ANN over TRAINED centroids: Clustering.kmeans (k=8, 3 rounds)
       // trains the coarse quantizer, then the identical ivfTopK joins run

@@ -85,4 +85,23 @@ class SamplingSpec extends SparkSpec {
     val got = nat.map(_._2).sum.toDouble
     assert(got > total * 0.7 && got < total * 1.3, s"alpha=1 total $got vs $total")
   }
+
+  test("clusterBalanced keeps min(perCluster, cluster size) per cluster, partition-invariant") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val km = Clustering.kmeans(vecs, k = 4, assignRounds = 2)
+    val sizes = Clustering.kmeans(vecs, k = 4, assignRounds = 2).assignment
+      .groupBy("cluster").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Sampling.clusterBalanced(vecs, km.centroids, perCluster = 30)
+    val byCluster = out.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (c, n) =>
+      assert(n == math.min(30L, sizes(c)), s"cluster $c kept $n of ${sizes(c)}")
+    }
+    assert(out.select("rk").agg(max("rk")).first().getLong(0) <= 30L)
+    // pure function of (seed, id): identical survivors under repartitioning
+    val again = Sampling.clusterBalanced(
+      vecs.repartition(13), km.centroids, perCluster = 30)
+    assert(out.select("vec_id", "cluster", "rk").collect().toSet ==
+      again.select("vec_id", "cluster", "rk").collect().toSet)
+  }
 }
