@@ -133,6 +133,45 @@ object Queries {
     (header +: steps).mkString(",\n")
   }
 
+  /** DuckDB CTE chain replaying [[graft.ml.SemDedup.semDedupTrained]]
+    * over `emb` against the trained centroid CTE `cen` (shared by
+    * `q_dedup_semantic_trained` and `q_pipeline_curation`): cosine argmax
+    * assignment (`sassigned`), within-cell pairing at `threshold`,
+    * recursive closure (`r`/`comp`) and the labelled frame `lab`
+    * (vec_id, cell, ccos, cluster). Callers must open WITH RECURSIVE. */
+  private def semDedupTrainedOracleCtes(cen: String, threshold: Double): String = {
+    def cosSql(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+         |    / (sqrt(list_sum(list_transform($a, x -> x * x)))
+         |     * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+    s"""pcos AS MATERIALIZED (
+       |  SELECT e.vec_id AS cid, p.crank AS prank,
+       |    ${cosSql("e.v", "p.cv")} AS cos
+       |  FROM emb e, $cen p),
+       |sassigned AS MATERIALIZED (
+       |  SELECT cid, cell, ccos FROM (
+       |    SELECT cid, prank AS cell, cos AS ccos,
+       |      row_number() OVER (PARTITION BY cid ORDER BY cos DESC, prank) AS arn
+       |    FROM pcos) WHERE arn = 1),
+       |pr AS MATERIALIZED (
+       |  SELECT a.cid AS a, b.cid AS b
+       |  FROM sassigned a JOIN sassigned b ON a.cell = b.cell AND a.cid < b.cid
+       |  JOIN emb ea ON ea.vec_id = a.cid
+       |  JOIN emb eb ON eb.vec_id = b.cid
+       |  WHERE ${cosSql("ea.v", "eb.v")} >= $threshold),
+       |ud AS MATERIALIZED (SELECT a, b FROM (
+       |  SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr)),
+       |r(id, m) AS (
+       |  SELECT a, b FROM ud
+       |  UNION
+       |  SELECT r.id, ud.b FROM r JOIN ud ON ud.a = r.m),
+       |comp AS (SELECT id, least(id, min(m)) AS cluster FROM r GROUP BY id),
+       |lab AS (
+       |  SELECT s.cid AS vec_id, s.cell, s.ccos,
+       |         coalesce(c.cluster, s.cid) AS cluster
+       |  FROM sassigned s LEFT JOIN comp c ON c.id = s.cid)""".stripMargin
+  }
+
   /** Edge table derived from events: user of event k → user of the next
     * event of the same type, under the stable order (ts, event_id). */
   def eventEdges(spark: SparkSession, dir: String): DataFrame = {
@@ -4060,45 +4099,47 @@ object Queries {
         val km = Clustering.kmeans(vecs, k = 8, assignRounds = 3, portable = true)
         SemDedup.semDedupTrained(vecs, threshold = 0.35, centroids = km.centroids)
       },
-      Some {
-        def cosSql(a: String, b: String) =
-          s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
-             |    / (sqrt(list_sum(list_transform($a, x -> x * x)))
-             |     * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+      Some(
         s"""WITH RECURSIVE ${kmeansOracleCtes(k = 8, dim = 64, rounds = 3)},
-           |pcos AS MATERIALIZED (
-           |  SELECT e.vec_id AS cid, p.crank AS prank,
-           |    ${cosSql("e.v", "p.cv")} AS cos
-           |  FROM emb e, c2 p),
-           |sassigned AS MATERIALIZED (
-           |  SELECT cid, cell, ccos FROM (
-           |    SELECT cid, prank AS cell, cos AS ccos,
-           |      row_number() OVER (PARTITION BY cid ORDER BY cos DESC, prank) AS arn
-           |    FROM pcos) WHERE arn = 1),
-           |pr AS MATERIALIZED (
-           |  SELECT a.cid AS a, b.cid AS b
-           |  FROM sassigned a JOIN sassigned b ON a.cell = b.cell AND a.cid < b.cid
-           |  JOIN emb ea ON ea.vec_id = a.cid
-           |  JOIN emb eb ON eb.vec_id = b.cid
-           |  WHERE ${cosSql("ea.v", "eb.v")} >= 0.35),
-           |ud AS MATERIALIZED (SELECT a, b FROM (
-           |  SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr)),
-           |r(id, m) AS (
-           |  SELECT a, b FROM ud
-           |  UNION
-           |  SELECT r.id, ud.b FROM r JOIN ud ON ud.a = r.m),
-           |comp AS (SELECT id, least(id, min(m)) AS cluster FROM r GROUP BY id),
-           |lab AS (
-           |  SELECT s.cid AS vec_id, s.cell, s.ccos,
-           |         coalesce(c.cluster, s.cid) AS cluster
-           |  FROM sassigned s LEFT JOIN comp c ON c.id = s.cid)
+           |${semDedupTrainedOracleCtes("c2", 0.35)}
            |SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(ccos, 6) AS ccos,
            |  cluster,
            |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n,
            |  (row_number() OVER (PARTITION BY cluster ORDER BY ccos, vec_id) = 1)
            |    AS keep
-           |FROM lab""".stripMargin
-      }),
+           |FROM lab""".stripMargin)),
+    (
+      "q_pipeline_curation",
+      // the embedding-side curation recipe as ONE composed program:
+      // k-means training → SemDeDup over the trained centroids (keep one
+      // representative per semantic-duplicate group) → cluster-balanced
+      // quota over the survivors. Every stage is the already-oracled
+      // operator; this row proves they COMPOSE (the trainer's bounded
+      // driver collects feed both downstream stages from one run). DuckDB
+      // replays trainer, dedup chain, keep rule and ranked quota.
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        val km = Clustering.kmeans(vecs, k = 8, assignRounds = 3, portable = true)
+        val kept = SemDedup.semDedupTrained(vecs, threshold = 0.35, centroids = km.centroids)
+          .filter(col("keep")).select("vec_id")
+        Sampling.clusterBalanced(
+          vecs.join(kept, Seq("vec_id"), "left_semi"), km.centroids,
+          perCluster = 10, seed = 42L, portable = true)
+      },
+      Some(
+        s"""WITH RECURSIVE ${kmeansOracleCtes(k = 8, dim = 64, rounds = 3)},
+           |${semDedupTrainedOracleCtes("c2", 0.35)},
+           |keepers AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id,
+           |      row_number() OVER (PARTITION BY cluster ORDER BY ccos, vec_id) AS kr
+           |    FROM lab) WHERE kr = 1)
+           |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, rk FROM (
+           |  SELECT a.vec_id, a.cluster,
+           |    CAST(row_number() OVER (PARTITION BY a.cluster
+           |      ORDER BY (42 + (a.vec_id % 1000000007) * 73856093)
+           |                 % 1000000007 % 1000000, a.vec_id) AS BIGINT) AS rk
+           |  FROM a3 a JOIN keepers k ON k.vec_id = a.vec_id) WHERE rk <= 10""".stripMargin)),
     (
       "q_dedup_lines",
       // corpus-level line dedup (CCNet/RefinedWeb analog of C4's repeated-
