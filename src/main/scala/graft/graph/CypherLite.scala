@@ -56,8 +56,9 @@ import org.apache.spark.sql.functions._
  *    A later MATCH equi-joins on carried node variables (cross join when
  *    disjoint) and its WHERE may reference carried columns;
  *  - `RETURN *` | items (`e`, `n`, `e.field`, `type(e)`, WITH-projected
- *    scalars by name,
- *    `COUNT(*)` / `COUNT(e)` / `COUNT(e.f)` / `COUNT(DISTINCT e.f)`)
+ *    scalars by name, aggregates `COUNT(*)` / `COUNT(e)` / `COUNT(e.f)`
+ *    / `SUM` / `MIN` / `MAX` / `AVG` — DISTINCT honoured for count/sum,
+ *    a no-op for min/max, refused for avg)
  *    with `AS` aliases; mixing aggregates with plain items applies
  *    Cypher's IMPLICIT GROUPING — the non-aggregate items become the
  *    grouping keys (transpiler/mod.rs:372-437); `ORDER BY … [ASC|DESC]`
@@ -102,7 +103,10 @@ object CypherLite {
   private final case class Bin(op: String, l: Expr, r: Expr) extends Expr
   private final case class Not(e: Expr) extends Expr
   private final case class TypeOf(v: String) extends Expr
-  private final case class CountAgg(arg: Option[Expr], distinct: Boolean) extends Expr
+  /** Aggregate call: fn ∈ count/sum/min/max/avg. `COUNT(*)` has no arg;
+    * DISTINCT is honoured for count/sum (a no-op for min/max, refused for
+    * avg). */
+  private final case class AggFn(fn: String, arg: Option[Expr], distinct: Boolean) extends Expr
 
   private final case class RetItem(expr: Expr, alias: Option[String])
   private final case class Pattern(nodes: Seq[NodePat], rels: Seq[RelPat])
@@ -395,12 +399,17 @@ object CypherLite {
         case "str" => next(); Lit(t.text)
         case "*"   => next(); Lit("*") // only valid inside COUNT(
         case "ident" =>
-          if (t.text.equalsIgnoreCase("COUNT")) {
+          if (AggFns.contains(t.text.toLowerCase)) {
+            val fn = t.text.toLowerCase
             next(); eat("(")
             val distinct = if (kw("DISTINCT")) { next(); true } else false
-            val arg = if (peek.kind == "*") { next(); None } else Some(valueExpr())
+            val arg = if (peek.kind == "*") {
+              require(fn == "count", s"* is only valid inside COUNT in: $q")
+              next(); None
+            } else Some(valueExpr())
+            require(fn == "count" || arg.nonEmpty, s"$fn needs an argument in: $q")
             eat(")")
-            CountAgg(arg, distinct)
+            AggFn(fn, arg, distinct)
           } else if (t.text.equalsIgnoreCase("type")) {
             next(); eat("(")
             val v = eat("ident").text
@@ -420,6 +429,7 @@ object CypherLite {
   // ---------- translation ----------
 
   private val EdgeFields = Seq("src", "dst", "ts", "event_id", "layer")
+  private val AggFns = Set("count", "sum", "min", "max", "avg")
 
   /** Parse + translate a Cypher-lite query against a temporal graph. */
   def run(g: TemporalGraph, query: String): DataFrame = run(g, query, None)
@@ -507,7 +517,7 @@ object CypherLite {
       case Prop(v, f) if f != "id" => Seq((v, f))
       case Bin(_, l, r)            => collectProps(l) ++ collectProps(r)
       case Not(x)                  => collectProps(x)
-      case CountAgg(Some(a), _)    => collectProps(a)
+      case AggFn(_, Some(a), _)    => collectProps(a)
       case _                       => Seq.empty
     }
 
@@ -586,10 +596,35 @@ object CypherLite {
           case "starts"   => compile(l).startsWith(r.asInstanceOf[Lit].value.toString)
           case "ends"     => compile(l).endsWith(r.asInstanceOf[Lit].value.toString)
         }
-        case _: CountAgg  =>
-          throw new IllegalArgumentException(s"COUNT is only valid in RETURN/WITH items: $query")
+        case _: AggFn  =>
+          throw new IllegalArgumentException(
+            s"aggregates are only valid in RETURN/WITH items: $query")
       }
       compile
+    }
+
+    /** One aggregate item → Column. `binding` maps a bare variable to the
+      * column whose non-nullness means "the variable is bound" (COUNT(e)
+      * semantics over OPTIONAL MATCH nulls). DISTINCT: honoured for
+      * count/sum, a no-op for min/max, refused for avg. */
+    def aggColumn(
+        agg: AggFn,
+        comp: Expr => Column,
+        binding: String => Option[Column]): Column = agg.fn match {
+      case "count" => (agg.arg, agg.distinct) match {
+        case (None, _)       => count(lit(1))
+        case (Some(a), true) => count_distinct(comp(a))
+        case (Some(VarRef(v)), false) if binding(v).isDefined => count(binding(v).get)
+        case (Some(a), false) => count(comp(a))
+      }
+      case "sum" =>
+        val a = comp(agg.arg.get)
+        if (agg.distinct) sum_distinct(a) else sum(a)
+      case "min" => min(comp(agg.arg.get))
+      case "max" => max(comp(agg.arg.get))
+      case "avg" =>
+        require(!agg.distinct, s"AVG(DISTINCT) is not supported in: $query")
+        avg(comp(agg.arg.get))
     }
 
     // one clause (MATCH or OPTIONAL MATCH: patterns + its own WHERE) →
@@ -831,18 +866,15 @@ object CypherLite {
           val target = alias.getOrElse(v)
           scalarsOut += target
           keyCols += col(v).as(target)
-        case (RetItem(agg: CountAgg, alias), _) =>
+        case (RetItem(agg: AggFn, alias), _) =>
           val name = alias.getOrElse(throw new IllegalArgumentException(
             s"aggregates in WITH must be aliased (AS name) in: $query"))
           scalarsOut += name
-          val c = (agg.arg, agg.distinct) match {
-            case (None, _)       => count(lit(1))
-            case (Some(a), true) => count_distinct(comp(a))
-            case (Some(VarRef(v)), false) if scope.rels.contains(v) =>
-              count(col(s"${v}_src"))
-            case (Some(a), false) => count(comp(a))
-          }
-          aggCols += c.as(name)
+          val binding: String => Option[Column] = v =>
+            if (scope.rels.contains(v)) Some(col(s"${v}_src"))
+            else if (scope.nodes.contains(v)) Some(col(nodeCol(v)))
+            else None
+          aggCols += aggColumn(agg, comp, binding).as(name)
         case (RetItem(e, alias), _) =>
           val name = alias.getOrElse(throw new IllegalArgumentException(
             s"expressions in WITH must be aliased (AS name) in: $query"))
@@ -937,29 +969,25 @@ object CypherLite {
     }
 
     def aggCol(it: RetItem, k: Int): (Column, String) = {
-      val RetItem(CountAgg(arg, distinct), alias) = it: @unchecked
-      val name = alias.getOrElse(s"count$k")
-      val c = (arg, distinct) match {
-        case (None, _)       => count(lit(1))
-        case (Some(a), true) => count_distinct(compile(a))
-        case (Some(VarRef(v)), false) if relVars.contains(v) || nodeColOf.contains(v) =>
-          // COUNT(e)/COUNT(n): rows where the binding is non-null (an
-          // OPTIONAL MATCH miss leaves nulls; inner chains never do)
-          count(if (relVars.contains(v)) col(s"${v}_src") else col(nodeColOf(v)))
-        case (Some(a), false) => count(compile(a))
-      }
-      c -> name
+      val RetItem(agg: AggFn, alias) = it: @unchecked
+      val name = alias.getOrElse(s"${agg.fn}$k")
+      // COUNT(e)/COUNT(n) counts rows where the binding is non-null (an
+      // OPTIONAL MATCH miss leaves nulls; inner chains never do)
+      val binding: String => Option[Column] = v =>
+        if (relVars.contains(v)) Some(col(s"${v}_src"))
+        else nodeColOf.get(v).map(col)
+      aggColumn(agg, compile, binding) -> name
     }
 
-    val hasAgg = items.exists(_.expr.isInstanceOf[CountAgg])
+    val hasAgg = items.exists(_.expr.isInstanceOf[AggFn])
     val result: DataFrame =
       if (hasAgg) {
         // Cypher's implicit grouping (transpiler/mod.rs:372-437): the
         // non-aggregate RETURN items become the grouping keys, in order;
         // output column order follows the RETURN list
         val named = items.zipWithIndex.map {
-          case (it, k) if it.expr.isInstanceOf[CountAgg] => Left(aggCol(it, k))
-          case (it, _)                                   => Right(itemCols(it))
+          case (it, k) if it.expr.isInstanceOf[AggFn] => Left(aggCol(it, k))
+          case (it, _)                                => Right(itemCols(it))
         }
         val keys = named.collect { case Right(cs) => cs }.flatten
         val aggs = named.collect { case Left(a) => a }.map { case (c, n) => c.as(n) }
@@ -978,8 +1006,8 @@ object CypherLite {
           // key syntactically to its output column; an aggregate is
           // addressable via its alias
           val outName: Map[Expr, String] = items.zipWithIndex.flatMap {
-            case (RetItem(e, alias), k) if e.isInstanceOf[CountAgg] =>
-              val n = alias.getOrElse(s"count$k")
+            case (RetItem(e, alias), k) if e.isInstanceOf[AggFn] =>
+              val n = alias.getOrElse(s"${e.asInstanceOf[AggFn].fn}$k")
               Seq(e -> n) ++ alias.map(a => (VarRef(a): Expr) -> n)
             case (it @ RetItem(e, alias), _) =>
               Seq(e -> itemCols(it).head._2) ++

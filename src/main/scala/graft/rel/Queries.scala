@@ -4650,6 +4650,30 @@ object Queries {
            |FROM top t JOIN (SELECT src FROM e0 WHERE layer = 'view') y
            |  ON y.src = t.a
            |GROUP BY t.a, t.n ORDER BY a""".stripMargin)),
+    (
+      "q_cypher_agg",
+      // the full aggregate family (SUM/MIN/MAX + COUNT/COUNT DISTINCT)
+      // under implicit grouping — openCypher's RETURN-clause aggregation
+      // beyond the reference transpiler's COUNT-only shapes
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b) RETURN a, COUNT(e) AS n, " +
+          "MIN(e.time) AS first_ts, MAX(e.time) AS last_ts, " +
+          "SUM(e.time) AS total_ts, COUNT(DISTINCT b) AS nb " +
+          "ORDER BY a LIMIT 500"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer,
+           |    epoch_us(ts) // 1000 AS tms FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT src AS a, CAST(count(*) AS BIGINT) AS n,
+           |  min(tms) AS first_ts, max(tms) AS last_ts,
+           |  CAST(sum(tms) AS BIGINT) AS total_ts,
+           |  CAST(count(DISTINCT dst) AS BIGINT) AS nb
+           |FROM e0 WHERE layer = 'click'
+           |GROUP BY src ORDER BY a LIMIT 500""".stripMargin)),
 
     // ---- composite property-filter + prefix/fuzzy search (parity with
     //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----

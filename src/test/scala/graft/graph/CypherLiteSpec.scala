@@ -75,6 +75,38 @@ class CypherLiteSpec extends SparkSpec {
       .first().getLong(0) == 2L)
   }
 
+  test("SUM/MIN/MAX/AVG aggregates, global and implicitly grouped") {
+    val rows = CypherLite.run(g,
+      "MATCH (a)-[e]->(b) RETURN a, SUM(e.time) AS s, MIN(e.time) AS mn, MAX(e.time) AS mx ORDER BY a")
+    assert(rows.columns.toSeq == Seq("a", "s", "mn", "mx"))
+    assert(rows.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 10L, 10L, 10L), (2L, 80L, 20L, 60L), (3L, 30L, 30L, 30L), (4L, 40L, 40L, 40L)))
+    val global = CypherLite.run(g,
+      "MATCH ()-[e]->() RETURN SUM(e.time) AS s, AVG(e.time) AS av, MIN(e.layer) AS ml").first()
+    assert(global.getLong(0) == 160L)
+    assert(math.abs(global.getDouble(1) - 32.0) < 1e-9)
+    assert(global.getString(2) == "KNOWS")
+  }
+
+  test("SUM(DISTINCT); SUM/MAX in WITH; aggregate validation is loud") {
+    // edge srcs: 1,2,3,4,2 → sum 12, distinct sum 10
+    val r = CypherLite.run(g,
+      "MATCH (a)-[e]->(b) RETURN SUM(a) AS s, SUM(DISTINCT a) AS sd").first()
+    assert(r.getLong(0) == 12L && r.getLong(1) == 10L)
+    // the WITH pipeline shares the same aggregate dispatch
+    val w = CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) WITH a, MAX(e.time) AS mx WHERE mx > 10 RETURN a, mx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(w == Seq((2L, 60L)))
+    // * is COUNT-only; AVG(DISTINCT) refused; aggregates invalid in WHERE
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH ()-[e]->() RETURN SUM(*)"))
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH ()-[e]->() RETURN AVG(DISTINCT e.time)"))
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH ()-[e]->() WHERE SUM(e.time) > 1 RETURN e"))
+  }
+
   test("two-hop chain ()-[e1]->()-[e2]->() (transpiler :1410s)") {
     // chains: (1→2→3), (1→2→4), (2→3→4), (3→4→1), (4→1→2), (2→4→1)
     val n = CypherLite.run(g, "MATCH ()-[e1]->()-[e2]->() RETURN e1, e2").count()
