@@ -45,7 +45,8 @@ import org.apache.spark.sql.functions._
  *    at least one shared node variable is required;
  *  - `WITH` pipeline stages (BEYOND the reference's frontend; openCypher
  *    semantics): `MATCH … WITH [DISTINCT] items [WHERE …] [ORDER BY …
- *    LIMIT n] MATCH … RETURN …` — `WITH *` (or `WITH *, items`) carries
+ *    [SKIP s] LIMIT n] MATCH … RETURN …` — `WITH *` (or `WITH *, items`)
+ *    carries
  *    the whole named scope; items rebind the scope (bare/aliased
  *    node and edge variables carry through; expressions and aggregates
  *    must be aliased and become scalar columns; everything not listed
@@ -55,14 +56,18 @@ import org.apache.spark.sql.functions._
  *    a mid-pipeline top-k (ORDER BY without LIMIT is refused as a no-op).
  *    A later MATCH equi-joins on carried node variables (cross join when
  *    disjoint) and its WHERE may reference carried columns;
- *  - `RETURN *` | items (`e`, `n`, `e.field`, `type(e)`, WITH-projected
- *    scalars by name, aggregates `COUNT(*)` / `COUNT(e)` / `COUNT(e.f)`
- *    / `SUM` / `MIN` / `MAX` / `AVG` — DISTINCT honoured for count/sum,
- *    a no-op for min/max, refused for avg)
- *    with `AS` aliases; mixing aggregates with plain items applies
- *    Cypher's IMPLICIT GROUPING — the non-aggregate items become the
- *    grouping keys (transpiler/mod.rs:372-437); `ORDER BY … [ASC|DESC]`
- *    (over output items when grouped); `LIMIT n`.
+ *  - `RETURN [DISTINCT] *` | items (`e`, `n`, `e.field`, `type(e)`,
+ *    WITH-projected scalars by name, aggregates `COUNT(*)` / `COUNT(e)`
+ *    / `COUNT(e.f)` / `SUM` / `MIN` / `MAX` / `AVG` / `COLLECT` —
+ *    DISTINCT honoured for count/sum/collect, a no-op for min/max,
+ *    refused for avg; collect() pins ASCENDING element order for
+ *    determinism) with `AS` aliases; mixing aggregates with plain items
+ *    applies Cypher's IMPLICIT GROUPING — the non-aggregate items become
+ *    the grouping keys (transpiler/mod.rs:372-437); `RETURN DISTINCT`
+ *    dedups the projected rows (refused alongside aggregates, and its
+ *    ORDER BY must name a RETURN item); `ORDER BY … [ASC|DESC]` (over
+ *    output items when grouped); `SKIP s` (openCypher pagination —
+ *    requires ORDER BY so pages are well-defined); `LIMIT n`.
  *
  * Field names: edges expose src, dst, ts (alias `time`), event_id, layer
  * (`type(e)` ≡ `e.layer`); a node variable IS its id. Returned edge
@@ -129,14 +134,17 @@ object CypherLite {
       items: Seq[RetItem],
       where: Option[Expr],
       orderBy: Seq[(Expr, Boolean)],
+      skip: Option[Int],
       limit: Option[Int])
 
   private final case class Ast(
       segments: Seq[(Segment, WithClause)], // each ends in its WITH
       last: Segment, // the segment RETURN projects from
       returnStar: Boolean,
+      distinct: Boolean, // RETURN DISTINCT — dedup the projected rows
       items: Seq[RetItem],
       orderBy: Seq[(Expr, Boolean)], // (expr, descending)
+      skip: Option[Int], // SKIP n — openCypher pagination, needs ORDER BY
       limit: Option[Int])
 
   // ---------- tokenizer ----------
@@ -210,13 +218,15 @@ object CypherLite {
         // projected rows BEFORE any ORDER BY/LIMIT top-k
         val w = if (kw("WHERE")) { next(); Some(boolExpr()) } else None
         val ord = orderByOpt()
+        val skp = if (kw("SKIP")) { next(); Some(eat("num").text.toInt) } else None
         val lim = if (kw("LIMIT")) { next(); Some(eat("num").text.toInt) } else None
-        segs += ((last, WithClause(distinct, star, b.result(), w, ord, lim)))
+        segs += ((last, WithClause(distinct, star, b.result(), w, ord, skp, lim)))
         // a WITH may feed another WITH or RETURN directly (pure projection
         // stage) — the segment is empty then
         last = if (kw("MATCH")) segment() else Segment(Nil, None, Nil)
       }
       eatKw("RETURN")
+      val distinct = if (kw("DISTINCT")) { next(); true } else false
       var star = false
       var items = Seq.empty[RetItem]
       if (peek.kind == "*") { next(); star = true }
@@ -227,9 +237,10 @@ object CypherLite {
         items = b.result()
       }
       val ord = orderByOpt()
+      val skp = if (kw("SKIP")) { next(); Some(eat("num").text.toInt) } else None
       val lim = if (kw("LIMIT")) { next(); Some(eat("num").text.toInt) } else None
       require(done, s"trailing tokens from '${peek.text}' in: $q")
-      Ast(segs.result(), last, star, items, ord, lim)
+      Ast(segs.result(), last, star, distinct, items, ord, skp, lim)
     }
 
     private def segment(): Segment = {
@@ -429,7 +440,7 @@ object CypherLite {
   // ---------- translation ----------
 
   private val EdgeFields = Seq("src", "dst", "ts", "event_id", "layer")
-  private val AggFns = Set("count", "sum", "min", "max", "avg")
+  private val AggFns = Set("count", "sum", "min", "max", "avg", "collect")
 
   /** Parse + translate a Cypher-lite query against a temporal graph. */
   def run(g: TemporalGraph, query: String): DataFrame = run(g, query, None)
@@ -625,6 +636,13 @@ object CypherLite {
       case "avg" =>
         require(!agg.distinct, s"AVG(DISTINCT) is not supported in: $query")
         avg(comp(agg.arg.get))
+      case "collect" =>
+        // openCypher collect() gathers non-null values in no defined
+        // order; we pin ASCENDING order so results are deterministic
+        // (and therefore testable) — callers relying on input order
+        // should ORDER BY upstream and treat the array as a set
+        val a = comp(agg.arg.get)
+        sort_array(if (agg.distinct) collect_set(a) else collect_list(a))
     }
 
     // one clause (MATCH or OPTIONAL MATCH: patterns + its own WHERE) →
@@ -908,11 +926,14 @@ object CypherLite {
       val post = w.where.map(e => projected.filter(comp2(e))).getOrElse(projected)
       require(w.orderBy.isEmpty || w.limit.nonEmpty,
         s"ORDER BY in WITH requires LIMIT (it is a no-op otherwise) in: $query")
+      require(w.skip.isEmpty || (w.orderBy.nonEmpty && w.limit.nonEmpty),
+        s"SKIP in WITH requires ORDER BY + LIMIT (rows have no defined order otherwise) in: $query")
       val topk = (w.orderBy, w.limit) match {
         case (ord, Some(n)) if ord.nonEmpty =>
-          post.orderBy(ord.map { case (e, desc) =>
+          val sorted = post.orderBy(ord.map { case (e, desc) =>
             if (desc) comp2(e).desc else comp2(e).asc
-          }: _*).limit(n)
+          }: _*)
+          w.skip.map(sorted.offset).getOrElse(sorted).limit(n)
         case (_, Some(n)) => post.limit(n)
         case _            => post
       }
@@ -980,6 +1001,8 @@ object CypherLite {
     }
 
     val hasAgg = items.exists(_.expr.isInstanceOf[AggFn])
+    require(!(ast.distinct && hasAgg),
+      s"RETURN DISTINCT cannot be combined with aggregates in: $query")
     val result: DataFrame =
       if (hasAgg) {
         // Cypher's implicit grouping (transpiler/mod.rs:372-437): the
@@ -1019,6 +1042,23 @@ object CypherLite {
             if (desc) c.desc else c.asc
           }: _*)
         } else grouped
+      } else if (ast.distinct) {
+        // RETURN DISTINCT dedups the PROJECTED rows; ORDER BY then
+        // addresses the output items only (openCypher's rule — the
+        // pre-projection columns are gone after the dedup)
+        val cols = items.flatMap(itemCols).map { case (c, n) => c.as(n) }
+        val outName: Map[Expr, String] = items.flatMap { it =>
+          Seq(it.expr -> itemCols(it).head._2) ++
+            it.alias.map(a => (VarRef(a): Expr) -> itemCols(it).head._2)
+        }.toMap
+        val deduped = filtered.select(cols: _*).distinct()
+        if (ast.orderBy.nonEmpty)
+          deduped.orderBy(ast.orderBy.map { case (e, desc) =>
+            val c = outName.get(e).map(col).getOrElse(throw new IllegalArgumentException(
+              s"ORDER BY with RETURN DISTINCT must name a RETURN item in: $query"))
+            if (desc) c.desc else c.asc
+          }: _*)
+        else deduped
       } else {
         val cols = items.flatMap(itemCols).map { case (c, n) => c.as(n) }
         // ORDER BY may address a RETURN alias (Cypher): a bare variable
@@ -1037,6 +1077,9 @@ object CypherLite {
           else filtered
         ordered.select(cols: _*)
       }
-    ast.limit.map(result.limit).getOrElse(result)
+    require(ast.skip.isEmpty || ast.orderBy.nonEmpty,
+      s"SKIP requires ORDER BY (rows have no defined order otherwise) in: $query")
+    val paged = ast.skip.map(result.offset).getOrElse(result)
+    ast.limit.map(paged.limit).getOrElse(paged)
   }
 }

@@ -4674,6 +4674,22 @@ object Queries {
            |  CAST(count(DISTINCT dst) AS BIGINT) AS nb
            |FROM e0 WHERE layer = 'click'
            |GROUP BY src ORDER BY a LIMIT 500""".stripMargin)),
+    (
+      "q_cypher_distinct_skip",
+      // RETURN DISTINCT + ORDER BY + SKIP/LIMIT — openCypher row dedup
+      // and keyset-free pagination; the full ORDER BY over both output
+      // columns makes the page deterministic
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b) RETURN DISTINCT a, b ORDER BY a, b SKIP 10 LIMIT 50"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT DISTINCT src AS a, dst AS b FROM e0 WHERE layer = 'click'
+           |ORDER BY a, b LIMIT 50 OFFSET 10""".stripMargin)),
 
     // ---- composite property-filter + prefix/fuzzy search (parity with
     //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----

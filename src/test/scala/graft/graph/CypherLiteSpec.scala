@@ -107,6 +107,66 @@ class CypherLiteSpec extends SparkSpec {
       CypherLite.run(g, "MATCH ()-[e]->() WHERE SUM(e.time) > 1 RETURN e"))
   }
 
+  test("RETURN DISTINCT dedups projected rows; ORDER BY names a RETURN item") {
+    // edge dsts: 2,3,4,1,4 → four distinct
+    val rows = CypherLite.run(g, "MATCH ()-[e]->(b) RETURN DISTINCT b ORDER BY b")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 2L, 3L, 4L))
+    // multi-column distinct: KNOWS sources 1,2,2 → two (a, type) rows
+    val pairs = CypherLite.run(
+      g, "MATCH (a)-[e:KNOWS]->() RETURN DISTINCT a, type(e) AS t ORDER BY a")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(pairs == Seq((1L, "KNOWS"), (2L, "KNOWS")))
+    // refused alongside aggregates; ORDER BY over a dropped column is loud
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) RETURN DISTINCT a, COUNT(e)"))
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) RETURN DISTINCT b ORDER BY e.time"))
+  }
+
+  test("SKIP pages an ordered result; requires ORDER BY; pages WITH top-k too") {
+    val ts = CypherLite.run(g, "MATCH ()-[e]->() RETURN e.time ORDER BY e.time SKIP 1 LIMIT 2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ts == Seq(20L, 30L))
+    // SKIP without LIMIT returns the remainder
+    val rest = CypherLite.run(g, "MATCH ()-[e]->() RETURN e.time ORDER BY e.time SKIP 3")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rest == Seq(40L, 60L))
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH ()-[e]->() RETURN e.time SKIP 2"))
+    // WITH-stage pagination: the middle page feeds the next stage
+    val mid = CypherLite.run(g,
+      "MATCH (a)-[e]->(b) WITH b, e.time AS t ORDER BY t SKIP 1 LIMIT 2 RETURN b, t ORDER BY t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(mid == Seq((3L, 20L), (4L, 30L)))
+    intercept[IllegalArgumentException](CypherLite.run(g,
+      "MATCH (a)-[e]->(b) WITH b, e.time AS t ORDER BY t SKIP 1 RETURN b"))
+  }
+
+  test("collect() gathers ascending; DISTINCT dedups; nulls skipped; works in WITH") {
+    val rows = CypherLite.run(g,
+      "MATCH (a)-[e]->(b) RETURN a, COLLECT(e.time) AS ts ORDER BY a")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    assert(rows == Seq(
+      (1L, Seq(10L)), (2L, Seq(20L, 60L)), (3L, Seq(30L)), (4L, Seq(40L))))
+    // global collect; DISTINCT dedups: dsts 2,3,4,1,4
+    val g1 = CypherLite.run(g,
+      "MATCH ()-[e]->(b) RETURN COLLECT(b) AS bs, COLLECT(DISTINCT b) AS ds").first()
+    assert(g1.getSeq[Long](0).toSeq == Seq(1L, 2L, 3L, 4L, 4L))
+    assert(g1.getSeq[Long](1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // OPTIONAL MATCH misses leave nulls, which collect() skips
+    val o = CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (b)-[f:WORKS]->(c) " +
+        "RETURN a, COLLECT(c) AS cs ORDER BY a")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    assert(o == Seq((1L, Seq()), (2L, Seq(1L, 4L))))
+    // collect in a WITH stage
+    val w = CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) WITH a, COLLECT(b) AS bs RETURN a, bs ORDER BY a")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    assert(w == Seq((1L, Seq(2L)), (2L, Seq(3L, 4L))))
+  }
+
   test("two-hop chain ()-[e1]->()-[e2]->() (transpiler :1410s)") {
     // chains: (1→2→3), (1→2→4), (2→3→4), (3→4→1), (4→1→2), (2→4→1)
     val n = CypherLite.run(g, "MATCH ()-[e1]->()-[e2]->() RETURN e1, e2").count()
