@@ -98,7 +98,10 @@ object GraphQuery {
         // default stable order: by id for per-node results; global scalar
         // results (e.g. triangle_count) sort by their first column
         val defaultSort =
-          Seq(GraphViews.SortKey(if (out.columns.contains("id")) "id" else out.columns.head))
+          if (out.columns.contains("id")) Seq(GraphViews.SortKey("id"))
+          else if (out.columns.take(2).sameElements(Array("a", "b")))
+            Seq(GraphViews.SortKey("a"), GraphViews.SortKey("b")) // edge-shaped (k-truss)
+          else Seq(GraphViews.SortKey(out.columns.head))
         GraphViews.resultPage(
           out,
           if (sort.nonEmpty) sort else defaultSort,
@@ -128,9 +131,13 @@ object GraphQuery {
     * (iterCount; plus tol/damping with the library defaults) and
     * `shortest_path` (source, cutoff); the rest of the iterative library
     * is exposed under the same convention — `connected_components`,
-    * `label_propagation`, `triangle_count`, `eigenvector` (iterCount,
-    * tol), `katz` (iterCount, alpha, beta), `harmonic` (iterCount),
-    * `mis` and `coloring` (maxRounds). */
+    * `label_propagation`, `triangle_count` / `local_triangle_count`,
+    * `local_clustering_coefficient`, `local_reciprocity`, `degree`,
+    * `eigenvector` (iterCount, tol), `katz` (iterCount, alpha, beta),
+    * `harmonic` (iterCount), `mis` and `coloring` (maxRounds), `hits`
+    * (iterCount, tol), `kcore` (k, iterCount), `ktruss` (k, maxRounds),
+    * `scc` (maxRounds), `louvain` (resolution, maxLevels), `betweenness`
+    * (k sample size, normalized), `component_sizes`. */
   private def runAlgorithm(a: Algo, pg: PropertyGraph): DataFrame = {
     val g = pg.graph
     val spark = g.edges.sparkSession
@@ -179,6 +186,44 @@ object GraphQuery {
         import spark.implicits._
         Seq(graft.algos.Triangles.globalCount(spark, g)).toDF("triangles")
       }
+      case "local_triangle_count" =>
+        graft.algos.Triangles.localCounts(spark, g)
+      case "local_clustering_coefficient" =>
+        graft.algos.Metrics.localClusteringCoefficient(spark, g)
+      case "local_reciprocity" =>
+        graft.algos.Metrics.localReciprocity(g)
+      case "degree" =>
+        graft.algos.Metrics.degreeStats(g)
+      case "hits" =>
+        graft.algos.Hits.run(
+          spark, g,
+          graft.algos.Hits.Config(
+            maxIter = pInt("iterCount", 20), tol = pDouble("tol", 0.01)))
+      case "kcore" =>
+        val k = a.params.get("k").map(_.asInt).getOrElse(
+          throw new IllegalArgumentException("kcore needs a 'k' param"))
+        graft.algos.KCore.coreSet(
+          spark, g, graft.algos.KCore.Config(k = k, maxIter = pInt("iterCount", 1000)))
+      case "ktruss" =>
+        val k = a.params.get("k").map(_.asInt).getOrElse(
+          throw new IllegalArgumentException("ktruss needs a 'k' param"))
+        graft.algos.Truss.run(spark, g, k, pInt("maxRounds", 64))
+      case "scc" =>
+        graft.algos.Scc.run(
+          spark, g, graft.algos.Scc.Config(maxRounds = pInt("maxRounds", 64)))
+      case "louvain" =>
+        graft.algos.Louvain.run(
+          spark, g,
+          graft.algos.Louvain.Config(
+            resolution = pDouble("resolution", 1.0),
+            maxLevels = pInt("maxLevels", 20)))
+      case "betweenness" =>
+        graft.algos.Betweenness.run(
+          spark, g,
+          k = a.params.get("k").map(_.asInt),
+          normalized = a.params.get("normalized").exists(_.asBoolean))
+      case "component_sizes" =>
+        graft.algos.Components.componentSizes(spark, g)
       case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
     }
   }

@@ -359,6 +359,13 @@ object Queries {
       |nodes AS (SELECT DISTINCT id FROM (
       |  SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))""".stripMargin
 
+  /** [[viewedGraphBaseSql]] plus `u` (undirected pairs, both
+    * orientations) — the base the undirected-peel oracles need. */
+  private val viewedGraphBaseSqlWithU =
+    viewedGraphBaseSql + """,
+      |u AS (SELECT DISTINCT a, b FROM (
+      |  SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e))""".stripMargin
+
   private def pageRankOracleSql(iters: Int, damping: Double): String =
     pageRankOracleSqlOver(graphBaseSql, iters, damping)
 
@@ -821,9 +828,14 @@ object Queries {
     (head +: steps).mkString(",\n") + "\n" + fin
   }
 
-  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+  private def kcoreOracleSql(k: Int, rounds: Int): String =
+    kcoreOracleSqlOver(graphBaseSql, k, rounds)
+
+  /** As [[kcoreOracleSql]] over any base CTE block that defines `u`
+    * (undirected pairs, both orientations). */
+  private def kcoreOracleSqlOver(base: String, k: Int, rounds: Int): String = {
     val head =
-      s"""WITH $graphBaseSql,
+      s"""WITH $base,
          |a0 AS MATERIALIZED (SELECT a AS id FROM u GROUP BY a HAVING count(*) >= $k)""".stripMargin
     val steps = (1 to rounds).map { r =>
       s"""a$r AS MATERIALIZED (
@@ -4414,6 +4426,22 @@ object Queries {
           .select(col("id"), round(col("score"), 6).as("score"))
       },
       Some(pageRankOracleSqlOver(viewedGraphBaseSql, iters = 10, damping = 0.85))),
+    (
+      "q_view_algorithm_kcore",
+      // the widened wire-format algorithm surface: an undirected peel
+      // (kcore) over the same composed window+layer view — the oracle
+      // replays the peel to fixpoint over the identically-filtered
+      // undirected pair set
+      (s, d) => {
+        val json =
+          """{"view":[
+            |  {"op":"window","start":1704240000000,"end":1706227200000},
+            |  {"op":"excludeLayers","names":["error"]}],
+            | "algorithm":{"name":"kcore","params":{"k":4}}}""".stripMargin
+        graft.graph.GraphQuery.run(eventGraph(s, d), json)
+      },
+      Some(kcoreOracleSqlOver(viewedGraphBaseSqlWithU, k = 4, rounds = 48) +
+        " ORDER BY id")),
 
     (
       "q_cypher_match",

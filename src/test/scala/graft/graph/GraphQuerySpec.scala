@@ -156,6 +156,42 @@ class GraphQuerySpec extends SparkSpec {
       .columns.toSeq == Seq("triangles"))
   }
 
+  test("algorithm clause: structural dispatches equal direct calls (hits/kcore/ktruss/scc/louvain/degree/…)") {
+    val hits = GraphQuery.run(
+      g, """{"algorithm":{"name":"hits","params":{"iterCount":5,"tol":0.0}}}""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val hitsDirect = graft.algos.Hits.run(
+      spark, g, graft.algos.Hits.Config(maxIter = 5, tol = 0.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(hits == hitsDirect)
+    // 2-core of the cycle graph: every node survives; k is mandatory
+    assert(GraphQuery.run(g, """{"algorithm":{"name":"kcore","params":{"k":2}}}""")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    intercept[IllegalArgumentException](
+      GraphQuery.run(g, """{"algorithm":{"name":"kcore"}}"""))
+    // 3-truss: exactly the {2,3,4} triangle's edges, default-sorted (a, b)
+    assert(GraphQuery.run(g, """{"algorithm":{"name":"ktruss","params":{"k":3}}}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 3L), (2L, 4L), (3L, 4L)))
+    // the directed 5-cycle is one SCC labelled by its min id
+    val scc = GraphQuery.run(g, """{"algorithm":{"name":"scc"}}""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc.keySet == Set(1L, 2L, 3L, 4L, 5L) && scc.values.toSet == Set(1L))
+    assert(GraphQuery.run(g, """{"algorithm":{"name":"louvain"}}""").columns.toSeq ==
+      Seq("id", "community"))
+    // one weak component of five nodes
+    assert(GraphQuery.run(g, """{"algorithm":{"name":"component_sizes"}}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 5L)))
+    // degree stats is a single global row; per-node surfaces return rows
+    assert(GraphQuery.run(g, """{"algorithm":{"name":"degree"}}""").count() == 1L)
+    assert(GraphQuery.run(g, """{"algorithm":{"name":"betweenness"}}""").count() == 5L)
+    assert(GraphQuery.run(g, """{"algorithm":{"name":"local_triangle_count"}}""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(GraphQuery.run(g, """{"algorithm":{"name":"local_clustering_coefficient"}}""")
+      .count() == 5L)
+  }
+
   test("algorithm clause: connected_components over a layer view") {
     // excluding the 'late' layer removes 4→5, 5→1 and 2→4: components
     // {1,2,3,4} (chain) and {5} drops to... 5 has no remaining edges, so
