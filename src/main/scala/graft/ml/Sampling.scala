@@ -107,6 +107,57 @@ object Sampling {
   }
 
   /**
+   * Deterministic weighted repetition — the multi-epoch mixture rule
+   * (GPT-3's Table 2.2 / Llama-1's "Wikipedia, 3.4 epochs"): every row of
+   * group g is emitted floor(w_g) times, plus one more copy with
+   * probability frac(w_g), so the group's expected row mass scales by
+   * exactly w_g. One op covers up-sampling (w > 1 — what
+   * [[temperatureMix]] deliberately never does) and down-sampling
+   * (w < 1 degenerates to a Bernoulli(w) keep). The fractional-copy
+   * decision is the same pure function of (seed, id) as the other
+   * samplers, so the composed corpus replays bit-identically on any
+   * partitioning (and in the oracle, in the portable family). Groups
+   * absent from `epochs` are dropped (an explicit weight 0) — mixtures
+   * must name their members. The emitted `copy` column (1-based) makes
+   * each repetition addressable downstream: [[epochShuffle]] over
+   * (id, copy) spreads copies through the training order, and dedup
+   * audits can count them.
+   *
+   * Scale shape: tiny broadcast weight table, then a pure map — explode
+   * over a per-row `sequence(1, copies)` with copies ≤ ceil(w); ZERO
+   * shuffle, output size is Σ n_g·w_g in expectation by construction.
+   * `maxEpochs` caps the blowup a typo'd weight could cause.
+   */
+  def repeatWeighted(
+      df: DataFrame,
+      groupCol: String,
+      epochs: Map[String, Double],
+      idCol: String = "doc_id",
+      seed: Long = 42L,
+      portable: Boolean = false,
+      maxEpochs: Double = 100.0): DataFrame = {
+    require(epochs.nonEmpty, "repeatWeighted: epochs map must not be empty")
+    epochs.foreach { case (g, w) =>
+      require(w >= 0.0 && w <= maxEpochs, s"repeatWeighted: weight $w for '$g' out of [0, $maxEpochs]")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    // integer-threshold split driver-side: base whole copies + the
+    // fractional copy's hash threshold in the samplers' 1e6 grid
+    val weights = epochs.toSeq.map { case (g, w) =>
+      (g, math.floor(w).toLong, math.round((w - math.floor(w)) * 1e6))
+    }.toDF(groupCol, "__base", "__thr")
+    df.join(broadcast(weights), Seq(groupCol))
+      .withColumn(
+        "__copies",
+        col("__base") +
+          when(hashU(col(idCol), seed, portable) < col("__thr"), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__base", "__thr", "__copies")
+  }
+
+  /**
    * Deterministic epoch shuffle — the global training-order permutation a
    * data loader consumes, as a pure function of (seed, epoch, id): row →
    * (shard, position-in-shard), where the concatenation shard 0 ‖ shard 1

@@ -4234,6 +4234,29 @@ object Queries {
           |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
           |FROM h""".stripMargin)),
     (
+      "q_sample_repeat",
+      // weighted repetition (the GPT-3/Llama multi-epoch mixture rule):
+      // floor(w) copies per row plus a deterministic fractional copy —
+      // src0×3.4, src1×1, src2×0.5, src3×2.25, every other source
+      // weight-0; the oracle replays the hash and the copy expansion
+      (s, d) => Sampling.repeatWeighted(
+        t(s, d, "documents"), "source",
+        Map("src0" -> 3.4, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 2.25),
+        portable = true)
+        .select(col("doc_id"), col("source"), col("copy")),
+      Some(
+        """WITH w(source, base, thr) AS (VALUES
+          |  ('src0', 3, 400000), ('src1', 1, 0),
+          |  ('src2', 0, 500000), ('src3', 2, 250000)),
+          |c AS (
+          |  SELECT d.doc_id, d.source,
+          |    base + CASE WHEN (42 + ((d.doc_id % 1000000007 + 1000000007) % 1000000007)
+          |      * 73856093) % 1000000007 % 1000000 < thr THEN 1 ELSE 0 END AS copies
+          |  FROM documents d JOIN w USING (source))
+          |SELECT doc_id, source,
+          |  CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy
+          |FROM c""".stripMargin)),
+    (
       "q_text_analyze",
       (s, d) => TextAnalysis.analyze(t(s, d, "documents"))
         .select("doc_id", "n_tokens", "n_subwords", "fingerprint", "pred_lang", "quality"),

@@ -86,6 +86,40 @@ class SamplingSpec extends SparkSpec {
     assert(got > total * 0.7 && got < total * 1.3, s"alpha=1 total $got vs $total")
   }
 
+  test("repeatWeighted: floor copies + deterministic fractional copy; unlisted groups drop") {
+    val w = Map("src0" -> 3.4, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 2.25, "src4" -> 0.0)
+    val out = Sampling.repeatWeighted(docs, "source", w).persist()
+    try {
+      // every listed-group row appears floor(w) or floor(w)+1 times, keyed
+      // by copy 1..copies; unlisted sources (and weight-0) never appear
+      assert(out.select("source").distinct().collect().map(_.getString(0)).toSet ==
+        Set("src0", "src1", "src2", "src3"))
+      val perDoc = out.groupBy("doc_id", "source").agg(
+        count(lit(1)).as("n"), max("copy").as("maxc")).collect()
+      perDoc.foreach { r =>
+        val base = math.floor(w(r.getString(1))).toLong
+        assert(r.getLong(2) == base || r.getLong(2) == base + 1, s"bad copies: $r")
+        assert(r.getLong(2) == r.getLong(3), "copy must run 1..copies")
+      }
+      // group mass tracks the weight (25 docs per source at sf0.001):
+      // src0 ∈ [3·25, 4·25]; src1 exactly 25; src2 a strict subsample
+      val mass = out.groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(mass("src0") >= 75L && mass("src0") <= 100L)
+      assert(mass("src1") == 25L)
+      assert(mass("src2") < 25L)
+      assert(mass("src3") >= 50L && mass("src3") <= 75L)
+      // membership/copies are partitioning-invariant
+      val again = Sampling.repeatWeighted(docs.repartition(7), "source", w)
+        .select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(again.toSeq ==
+        out.select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+      // weights out of range are loud
+      intercept[IllegalArgumentException](
+        Sampling.repeatWeighted(docs, "source", Map("src0" -> 1000.0)))
+    } finally out.unpersist(false)
+  }
+
   test("clusterBalanced keeps min(perCluster, cluster size) per cluster, partition-invariant") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val km = Clustering.kmeans(vecs, k = 4, assignRounds = 2)
