@@ -78,6 +78,116 @@ object CorpusOps {
     docs.join(dirty, Seq(idCol), "left_anti")
   }
 
+  // ---------- DSIR importance-weighted data selection ----------
+
+  /** One row per hashed n-gram occurrence: (id, b) with b = the feature's
+    * hash bucket. The feature space is the union of word n-grams at the
+    * requested sizes (DSIR's unigram+bigram space by default), built with
+    * the exact [[Dedup.shingles]] construction so the portable family's
+    * DuckDB twin replays it verbatim. */
+  private def featureBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int,
+      ngramSizes: Seq[Int],
+      portable: Boolean): DataFrame = {
+    val featureArr = ngramSizes.map { k =>
+      val sh =
+        s"element_at(transform(array(split($textCol, '\\\\s+')), toks -> " +
+          s"transform(sequence(0, greatest(size(toks) - $k, 0)), " +
+          s"i -> array_join(slice(toks, i + 1, $k), ' '))), 1)"
+      if (portable) s"transform($sh, s -> ${Dedup.polyHashSql("s")})"
+      else s"transform($sh, s -> xxhash64(s))"
+    }.mkString("concat(", ", ", ")")
+    df.select(col(idCol).as("id"), explode(expr(featureArr)).as("h"))
+      .select(col("id"), pmod(col("h"), lit(buckets.toLong)).as("b"))
+  }
+
+  /**
+   * DSIR hashed n-gram importance weights (Xie et al., NeurIPS 2023,
+   * "Data Selection for Language Models via Importance Resampling"):
+   * score each corpus document by how much more likely its hashed n-gram
+   * features are under a TARGET-domain bag-of-ngrams model than under the
+   * corpus's own —
+   * `weight = Σ_f n_f · (ln p_target(b_f) − ln p_corpus(b_f))`
+   * with Laplace-smoothed bucket unigram models over `buckets` hash
+   * buckets and the paper's unigram+bigram feature space (`ngramSizes`).
+   *
+   * Determinism: each ln is pinned to integer MICRO-nats
+   * (`round(ln·1e6)` per bucket, on both engines) so the per-document
+   * weight is an exact INTEGER sum — no float-accumulation-order noise —
+   * and, in the portable family, the whole computation replays in DuckDB.
+   *
+   * Scale shape: the corpus explodes to one row per n-gram occurrence
+   * (the census shape, ~2 rows/token at the default sizes) into a
+   * partial-agg groupBy on (id, bucket); the corpus model FOLDS from
+   * those per-doc counts (no second corpus pass in the plan), both models
+   * are `buckets`-row frames and the log-ratio table broadcasts; the
+   * target side is the small curated corpus. At deployment scale persist
+   * the per-doc count frame — it is referenced by both the model fold and
+   * the weight join.
+   *
+   * @return (idCol, dsir_weight_micro) — one row per corpus doc, weight
+   *         in integer micro-nats (positive = more target-like)
+   */
+  def dsirWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      targetTextCol: String = "text",
+      buckets: Int = 4096,
+      ngramSizes: Seq[Int] = Seq(1, 2),
+      portable: Boolean = false): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    require(ngramSizes.nonEmpty && ngramSizes.forall(_ >= 1), s"bad ngramSizes: $ngramSizes")
+    val dc = featureBuckets(corpus, idCol, textCol, buckets, ngramSizes, portable)
+      .groupBy("id", "b")
+      .agg(count(lit(1)).as("n"))
+    val src = dc.groupBy("b").agg(sum("n").as("sc"))
+    val tgt = featureBuckets(target, idCol, targetTextCol, buckets, ngramSizes, portable)
+      .groupBy("b")
+      .agg(count(lit(1)).as("tc"))
+    val totals = broadcast(
+      src.agg(sum("sc").as("sN"))
+        .crossJoin(tgt.agg(coalesce(sum("tc"), lit(0L)).as("tN"))))
+    val microLn: Column => Column = p => round(log(p) * 1e6, 0).cast("long")
+    val ratio = src
+      .join(tgt, Seq("b"), "left")
+      .crossJoin(totals)
+      .select(
+        col("b"),
+        (microLn((coalesce(col("tc"), lit(0L)) + 1).cast("double") / (col("tN") + buckets)) -
+          microLn((col("sc") + 1).cast("double") / (col("sN") + buckets))).as("ri"))
+    dc.join(broadcast(ratio), Seq("b"))
+      .groupBy("id")
+      .agg(sum(col("n") * col("ri")).as("dsir_weight_micro"))
+      .select(col("id").as(idCol), col("dsir_weight_micro"))
+  }
+
+  /** The `k` most target-like corpus documents under [[dsirWeights]],
+    * deterministically ranked by (weight desc, id) — the paper resamples
+    * with Gumbel noise; the pinned top-k keeps selection replayable.
+    * Returns (idCol, dsir_weight_micro, rank). */
+  def dsirSelect(
+      corpus: DataFrame,
+      target: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      targetTextCol: String = "text",
+      buckets: Int = 4096,
+      ngramSizes: Seq[Int] = Seq(1, 2),
+      portable: Boolean = false): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val w = Window.orderBy(col("dsir_weight_micro").desc, col(idCol))
+    dsirWeights(corpus, target, idCol, textCol, targetTextCol, buckets, ngramSizes, portable)
+      .orderBy(col("dsir_weight_micro").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   // ---------- sequence packing (concat-and-chunk) ----------
 
   /**

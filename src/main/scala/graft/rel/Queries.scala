@@ -3851,6 +3851,54 @@ object Queries {
           |SELECT doc_id, n_grams, n_contaminated,
           |  round(n_contaminated * 1.0 / n_grams, 6) AS frac
           |FROM c WHERE n_contaminated > 0""".stripMargin)),
+    (
+      "q_text_dsir",
+      // DSIR importance-weighted selection (Xie et al. 2023): hashed
+      // unigram+bigram bucket models, target = the src0/src1 domains,
+      // micro-nat integer log-ratios so the weight sum is exact; top-100
+      // by (weight desc, id). The oracle replays tokenization, shingling,
+      // the polynomial hash, both Laplace models and the pinned-ln ladder.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        CorpusOps.dsirSelect(
+          docs, docs.filter(col("source").isin("src0", "src1")),
+          k = 100, portable = true)
+      },
+      Some(
+        s"""WITH tk AS (
+           |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+           |feat AS (
+           |  SELECT doc_id, unnest(
+           |    list_transform(range(1, greatest(len(tk) - 1, 0) + 2),
+           |      i -> array_to_string(tk[i:i], ' '))
+           |    || list_transform(range(1, greatest(len(tk) - 2, 0) + 2),
+           |      i -> array_to_string(tk[i:i+1], ' '))) AS s
+           |  FROM tk),
+           |cb AS (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(s, ''), c -> CAST(ascii(c) % 65536 AS BIGINT))),
+           |      (acc, c) -> (acc * 31 + c) % ${graft.ml.Dedup.PolyP}) % 4096 AS b
+           |  FROM feat),
+           |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n FROM cb GROUP BY doc_id, b),
+           |src AS (SELECT b, CAST(sum(n) AS BIGINT) AS sc FROM dc GROUP BY b),
+           |tgt AS (
+           |  SELECT b, CAST(count(*) AS BIGINT) AS tc
+           |  FROM cb JOIN documents USING (doc_id)
+           |  WHERE source IN ('src0', 'src1') GROUP BY b),
+           |tot AS (SELECT (SELECT CAST(sum(sc) AS BIGINT) FROM src) AS sN,
+           |               (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) FROM tgt) AS tN),
+           |r AS (
+           |  SELECT src.b,
+           |    CAST(round(ln((coalesce(tc, 0) + 1.0) / (tN + 4096)) * 1e6, 0) AS BIGINT)
+           |    - CAST(round(ln((sc + 1.0) / (sN + 4096)) * 1e6, 0) AS BIGINT) AS ri
+           |  FROM src LEFT JOIN tgt ON src.b = tgt.b, tot),
+           |w AS (
+           |  SELECT doc_id, CAST(sum(n * ri) AS BIGINT) AS dsir_weight_micro
+           |  FROM dc JOIN r USING (b) GROUP BY doc_id)
+           |SELECT doc_id, dsir_weight_micro,
+           |  CAST(row_number() OVER (ORDER BY dsir_weight_micro DESC, doc_id) AS BIGINT) AS rank
+           |FROM w ORDER BY rank LIMIT 100""".stripMargin)),
 
     (
       "q_pack_sequences",

@@ -41,6 +41,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), "benchmark grams must broadcast, not shuffle the corpus")
   }
 
+  test("dsirWeights ranks target-like docs above off-domain; integer, partition-invariant") {
+    val session = spark
+    import session.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry apple banana"),
+      (3L, "xylophone quartz zenith vortex"),
+      (4L, "granite nebula quasar xylophone"))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "apple banana cherry apple")).toDF("doc_id", "text")
+    val w = CorpusOps.dsirWeights(corpus, target, buckets = 512, portable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L))
+    // fruit docs score strictly above the off-domain docs
+    assert(math.min(w(1L), w(2L)) > math.max(w(3L), w(4L)))
+    // weights are a pure function of content: partitioning-invariant
+    val w2 = CorpusOps.dsirWeights(corpus.repartition(5), target, buckets = 512, portable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w2 == w)
+    // the xxhash64 family agrees on the RANKING (different buckets)
+    val wx = CorpusOps.dsirWeights(corpus, target, buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(math.min(wx(1L), wx(2L)) > math.max(wx(3L), wx(4L)))
+    // top-k selection is the (weight desc, id) prefix with 1-based ranks
+    val sel = CorpusOps.dsirSelect(corpus, target, k = 2, buckets = 512, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(sel.map(_._2) == Seq(1L, 2L))
+    assert(sel.map(_._1).toSet == Set(1L, 2L))
+    intercept[IllegalArgumentException](
+      CorpusOps.dsirWeights(corpus, target, buckets = 0))
+    intercept[IllegalArgumentException](
+      CorpusOps.dsirWeights(corpus, target, ngramSizes = Seq.empty))
+  }
+
   test("packSequences: chunks tile each doc and each sequence exactly") {
     val session = spark
     import session.implicits._
