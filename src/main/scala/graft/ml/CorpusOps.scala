@@ -188,6 +188,47 @@ object CorpusOps {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /**
+   * DSIR's sampled selection, made deterministic: Gumbel top-k over the
+   * importance weights (sampling k docs without replacement ∝ exp(weight)
+   * — Xie et al. §3.2 resample step). The Gumbel perturbation
+   * `g = −ln(−ln(u))` draws `u` from the same (seed, id) integer hash the
+   * samplers use (u = (h + 0.5)/10^6 ∈ (0,1)), and is pinned to integer
+   * micro-nats like the weights, so the perturbed score — and therefore
+   * the selected set — is a pure integer function of (corpus, target,
+   * seed), replayable in DuckDB in the portable family.
+   *
+   * @return (idCol, dsir_weight_micro, score_micro, rank) for the top `k`
+   *         by (score desc, id)
+   */
+  def dsirResample(
+      corpus: DataFrame,
+      target: DataFrame,
+      k: Int,
+      seed: Long = 42L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      targetTextCol: String = "text",
+      buckets: Int = 4096,
+      ngramSizes: Seq[Int] = Seq(1, 2),
+      portable: Boolean = false): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val P = 1000000007L
+    val h =
+      if (portable) {
+        val s = ((seed % P) + P) % P
+        (lit(s) + pmod(col(idCol).cast("long"), lit(P)) * 73856093L) % P % 1000000L
+      } else pmod(xxhash64(lit(seed), col(idCol)), lit(1000000L))
+    val u = (h.cast("double") + 0.5) / 1e6
+    val g = round(-log(-log(u)) * 1e6, 0).cast("long")
+    val w = Window.orderBy(col("score_micro").desc, col(idCol))
+    dsirWeights(corpus, target, idCol, textCol, targetTextCol, buckets, ngramSizes, portable)
+      .withColumn("score_micro", col("dsir_weight_micro") + g)
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   // ---------- sequence packing (concat-and-chunk) ----------
 
   /**

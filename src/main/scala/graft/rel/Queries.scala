@@ -890,6 +890,44 @@ object Queries {
        |sized AS (SELECT *, count(*) OVER (PARTITION BY band, bh) AS bucket_n FROM banded),
        |ok AS (SELECT * FROM sized WHERE bucket_n <= 1000)""".stripMargin
 
+  /** DSIR oracle CTE chain ([[graft.ml.CorpusOps.dsirWeights]] replay):
+    * tokenize → unigram+bigram shingles → portable polynomial hash mod
+    * 4096 buckets → per-doc counts `dc` → corpus model `src` / target
+    * model `tgt` (src0+src1 domains) → micro-nat log-ratio ladder `r` →
+    * integer weights `w`(doc_id, dsir_weight_micro). */
+  private val dsirCtesSql =
+    s"""tk AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+       |feat AS (
+       |  SELECT doc_id, unnest(
+       |    list_transform(range(1, greatest(len(tk) - 1, 0) + 2),
+       |      i -> array_to_string(tk[i:i], ' ')) ||
+       |    list_transform(range(1, greatest(len(tk) - 2, 0) + 2),
+       |      i -> array_to_string(tk[i:i+1], ' '))) AS s
+       |  FROM tk),
+       |cb AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(s, ''), c -> CAST(ascii(c) % 65536 AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % ${graft.ml.Dedup.PolyP}) % 4096 AS b
+       |  FROM feat),
+       |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n FROM cb GROUP BY doc_id, b),
+       |src AS (SELECT b, CAST(sum(n) AS BIGINT) AS sc FROM dc GROUP BY b),
+       |tgt AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS tc
+       |  FROM cb JOIN documents USING (doc_id)
+       |  WHERE source IN ('src0', 'src1') GROUP BY b),
+       |tot AS (SELECT (SELECT CAST(sum(sc) AS BIGINT) FROM src) AS sN,
+       |               (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) FROM tgt) AS tN),
+       |r AS (
+       |  SELECT src.b,
+       |    CAST(round(ln((coalesce(tc, 0) + 1.0) / (tN + 4096)) * 1e6, 0) AS BIGINT)
+       |    - CAST(round(ln((sc + 1.0) / (sN + 4096)) * 1e6, 0) AS BIGINT) AS ri
+       |  FROM src LEFT JOIN tgt ON src.b = tgt.b, tot),
+       |w AS (
+       |  SELECT doc_id, CAST(sum(n * ri) AS BIGINT) AS dsir_weight_micro
+       |  FROM dc JOIN r USING (b) GROUP BY doc_id)""".stripMargin
+
   /** Final pair select over [[minHashCtesSql]] (threshold 0.4). */
   private val minHashPairsSql =
     """SELECT a, b, round(max(est), 6) AS est_jaccard FROM (
@@ -3865,40 +3903,33 @@ object Queries {
           k = 100, portable = true)
       },
       Some(
-        s"""WITH tk AS (
-           |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
-           |feat AS (
-           |  SELECT doc_id, unnest(
-           |    list_transform(range(1, greatest(len(tk) - 1, 0) + 2),
-           |      i -> array_to_string(tk[i:i], ' '))
-           |    || list_transform(range(1, greatest(len(tk) - 2, 0) + 2),
-           |      i -> array_to_string(tk[i:i+1], ' '))) AS s
-           |  FROM tk),
-           |cb AS (
-           |  SELECT doc_id,
-           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |      list_transform(string_split(s, ''), c -> CAST(ascii(c) % 65536 AS BIGINT))),
-           |      (acc, c) -> (acc * 31 + c) % ${graft.ml.Dedup.PolyP}) % 4096 AS b
-           |  FROM feat),
-           |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n FROM cb GROUP BY doc_id, b),
-           |src AS (SELECT b, CAST(sum(n) AS BIGINT) AS sc FROM dc GROUP BY b),
-           |tgt AS (
-           |  SELECT b, CAST(count(*) AS BIGINT) AS tc
-           |  FROM cb JOIN documents USING (doc_id)
-           |  WHERE source IN ('src0', 'src1') GROUP BY b),
-           |tot AS (SELECT (SELECT CAST(sum(sc) AS BIGINT) FROM src) AS sN,
-           |               (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) FROM tgt) AS tN),
-           |r AS (
-           |  SELECT src.b,
-           |    CAST(round(ln((coalesce(tc, 0) + 1.0) / (tN + 4096)) * 1e6, 0) AS BIGINT)
-           |    - CAST(round(ln((sc + 1.0) / (sN + 4096)) * 1e6, 0) AS BIGINT) AS ri
-           |  FROM src LEFT JOIN tgt ON src.b = tgt.b, tot),
-           |w AS (
-           |  SELECT doc_id, CAST(sum(n * ri) AS BIGINT) AS dsir_weight_micro
-           |  FROM dc JOIN r USING (b) GROUP BY doc_id)
+        s"""WITH $dsirCtesSql
            |SELECT doc_id, dsir_weight_micro,
            |  CAST(row_number() OVER (ORDER BY dsir_weight_micro DESC, doc_id) AS BIGINT) AS rank
            |FROM w ORDER BY rank LIMIT 100""".stripMargin)),
+    (
+      "q_text_dsir_resample",
+      // the paper's §3.2 resample step, deterministic: Gumbel top-k over
+      // the weights with the Gumbel drawn from the portable (seed, id)
+      // hash and pinned to micro-nats — the selected SET is an integer
+      // function of (corpus, target, seed) and DuckDB replays it
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        CorpusOps.dsirResample(
+          docs, docs.filter(col("source").isin("src0", "src1")),
+          k = 100, seed = 7L, portable = true)
+      },
+      Some(
+        s"""WITH $dsirCtesSql,
+           |sc AS (
+           |  SELECT doc_id, dsir_weight_micro,
+           |    dsir_weight_micro + CAST(round(-ln(-ln(
+           |      ((7 + ((doc_id % 1000000007 + 1000000007) % 1000000007) * 73856093)
+           |        % 1000000007 % 1000000 + 0.5) / 1e6)) * 1e6, 0) AS BIGINT) AS score_micro
+           |  FROM w)
+           |SELECT doc_id, dsir_weight_micro, score_micro,
+           |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+           |FROM sc ORDER BY rank LIMIT 100""".stripMargin)),
 
     (
       "q_pack_sequences",

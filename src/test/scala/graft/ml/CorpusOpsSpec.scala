@@ -73,6 +73,19 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.dsirWeights(corpus, target, buckets = 0))
     intercept[IllegalArgumentException](
       CorpusOps.dsirWeights(corpus, target, ngramSizes = Seq.empty))
+    // Gumbel resample: a pure function of (corpus, target, seed) — same
+    // seed replays across partitionings, a new seed shifts the scores
+    val r1 = CorpusOps.dsirResample(corpus, target, k = 4, seed = 1L,
+      buckets = 512, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val r1b = CorpusOps.dsirResample(corpus.repartition(3), target, k = 4, seed = 1L,
+      buckets = 512, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(r1 == r1b)
+    val r2 = CorpusOps.dsirResample(corpus, target, k = 4, seed = 2L,
+      buckets = 512, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(r1.map(_._2) != r2.map(_._2))
   }
 
   test("packSequences: chunks tile each doc and each sequence exactly") {
