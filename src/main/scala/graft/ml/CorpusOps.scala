@@ -229,6 +229,72 @@ object CorpusOps {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  // ---------- exact quantile buckets (CCNet head/middle/tail) ----------
+
+  /**
+   * Exact global quantile buckets over a value column WITHOUT a global
+   * sort — the CCNet partition (Wenzek et al. 2020: split the corpus by
+   * LM perplexity into head/middle/tail thirds) generalized to
+   * `nBuckets`. Every row gets its EXACT global rank under the
+   * (valueCol, idCol) total order and `bucket = (rank−1)·nBuckets div n
+   * + 1` (equal-width on rank; identical to SQL ntile when nBuckets
+   * divides n).
+   *
+   * Scale shape: the [[packSequences]] two-phase pattern on the VALUE
+   * axis — rows range-bucket into `shards` spans using boundaries from a
+   * bounded `approxQuantile` probe (boundary quality affects only shard
+   * BALANCE; the rank, and therefore every output column, is exact and
+   * partitioning-invariant regardless), a per-shard window ranks in
+   * parallel, and the `shards`-row totals frame prefix-sums into
+   * broadcast base offsets. No single-partition global window anywhere.
+   * `valueCol` must be non-null numeric (nulls have no place in the
+   * total order — filter them first).
+   *
+   * @return input plus (rank, bucket), rank 1-based ascending
+   */
+  def quantileBuckets(
+      df: DataFrame,
+      valueCol: String,
+      nBuckets: Int,
+      idCol: String = "doc_id",
+      shards: Int = 64): DataFrame = {
+    require(nBuckets > 0, s"nBuckets=$nBuckets must be positive")
+    require(shards > 0, s"shards=$shards must be positive")
+    val n = df.count()
+    if (n == 0L)
+      return df.withColumn("rank", lit(0L)).withColumn("bucket", lit(0L)).limit(0)
+    val probs = (1 until shards).map(_.toDouble / shards).toArray
+    val bounds =
+      if (shards > 1) df.stat.approxQuantile(valueCol, probs, 0.05).distinct.sorted
+      else Array.empty[Double]
+    // strict `value > boundary` keeps ties in one shard → sharding is
+    // monotone in the (value, id) order, the two-phase invariant
+    val shard =
+      if (bounds.isEmpty) lit(0L)
+      else
+        size(filter(
+          array(bounds.toIndexedSeq.map(lit(_)): _*),
+          b => col(valueCol).cast("double") > b)).cast("long")
+    val sharded = df.withColumn("__shard", shard)
+    val w = Window.partitionBy("__shard").orderBy(col(valueCol), col(idCol))
+    val local = sharded.withColumn("__lr", row_number().over(w).cast("long"))
+    val bases = sharded
+      .groupBy("__shard")
+      .agg(count(lit(1)).as("tot"))
+      .withColumn(
+        "base",
+        coalesce(
+          sum("tot").over(
+            Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__shard", "base")
+    local
+      .join(broadcast(bases), Seq("__shard"))
+      .withColumn("rank", col("base") + col("__lr"))
+      .withColumn("bucket", expr(s"((rank - 1) * $nBuckets) div ${n}L + 1L"))
+      .drop("__shard", "__lr", "base")
+  }
+
   // ---------- sequence packing (concat-and-chunk) ----------
 
   /**

@@ -928,6 +928,37 @@ object Queries {
        |  SELECT doc_id, CAST(sum(n * ri) AS BIGINT) AS dsir_weight_micro
        |  FROM dc JOIN r USING (b) GROUP BY doc_id)""".stripMargin
 
+  /** Char-trigram LM oracle CTE chain ([[graft.ml.TextAnalysis.lmQuality]]
+    * replay): normalization `nt` → trigram/bigram censuses → add-k
+    * smoothing → per-doc log-prob terms `lp`(doc_id, n, lp). */
+  private val lmQualityCtesSql =
+    """nt AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+      |      '^ | $', '', 'g') AS t
+      |  FROM documents),
+      |tri3 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, length(t) - 1),
+      |    i -> substr(t, CAST(i AS INT), 3))) AS g
+      |  FROM nt WHERE length(t) >= 3),
+      |bi2 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, length(t)),
+      |    i -> substr(t, CAST(i AS INT), 2))) AS g2
+      |  FROM nt WHERE length(t) >= 2),
+      |tri AS (SELECT g, count(*) AS c3 FROM tri3 GROUP BY g),
+      |bi AS (SELECT g2, count(*) AS c2 FROM bi2 GROUP BY g2),
+      |vocab AS (
+      |  SELECT count(DISTINCT substr(t, CAST(i.i AS INT), 1)) AS v
+      |  FROM (SELECT t, unnest(range(1, length(t) + 1)) AS i FROM nt WHERE length(t) >= 1) i),
+      |dg AS (SELECT doc_id, g, count(*) AS n FROM tri3 GROUP BY doc_id, g),
+      |lp AS (
+      |  SELECT dg.doc_id, dg.n,
+      |    dg.n * ln((coalesce(tri.c3, 0) + 0.1)
+      |              / (coalesce(bi.c2, 0) + 0.1 * vocab.v)) AS lp
+      |  FROM dg LEFT JOIN tri USING (g)
+      |    LEFT JOIN bi ON bi.g2 = substr(dg.g, 1, 2)
+      |    CROSS JOIN vocab)""".stripMargin
+
   /** Final pair select over [[minHashCtesSql]] (threshold 0.4). */
   private val minHashPairsSql =
     """SELECT a, b, round(max(est), 6) AS est_jaccard FROM (
@@ -3447,36 +3478,36 @@ object Queries {
       // normalization → trigram census → smoothing → per-doc score
       (s, d) => TextAnalysis.lmQuality(t(s, d, "documents")),
       Some(
-        """WITH nt AS (
-          |  SELECT doc_id,
-          |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
-          |      '^ | $', '', 'g') AS t
-          |  FROM documents),
-          |tri3 AS (
-          |  SELECT doc_id, unnest(list_transform(range(1, length(t) - 1),
-          |    i -> substr(t, CAST(i AS INT), 3))) AS g
-          |  FROM nt WHERE length(t) >= 3),
-          |bi2 AS (
-          |  SELECT doc_id, unnest(list_transform(range(1, length(t)),
-          |    i -> substr(t, CAST(i AS INT), 2))) AS g2
-          |  FROM nt WHERE length(t) >= 2),
-          |tri AS (SELECT g, count(*) AS c3 FROM tri3 GROUP BY g),
-          |bi AS (SELECT g2, count(*) AS c2 FROM bi2 GROUP BY g2),
-          |vocab AS (
-          |  SELECT count(DISTINCT substr(t, CAST(i.i AS INT), 1)) AS v
-          |  FROM (SELECT t, unnest(range(1, length(t) + 1)) AS i FROM nt WHERE length(t) >= 1) i),
-          |dg AS (SELECT doc_id, g, count(*) AS n FROM tri3 GROUP BY doc_id, g),
-          |lp AS (
-          |  SELECT dg.doc_id, dg.n,
-          |    dg.n * ln((coalesce(tri.c3, 0) + 0.1)
-          |              / (coalesce(bi.c2, 0) + 0.1 * vocab.v)) AS lp
-          |  FROM dg LEFT JOIN tri USING (g)
-          |    LEFT JOIN bi ON bi.g2 = substr(dg.g, 1, 2)
-          |    CROSS JOIN vocab)
-          |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
-          |  round(sum(lp) / sum(n), 6) AS avg_logp,
-          |  round(exp(-(sum(lp) / sum(n))), 6) AS perplexity
-          |FROM lp GROUP BY doc_id""".stripMargin)),
+        s"""WITH $lmQualityCtesSql
+           |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+           |  round(sum(lp) / sum(n), 6) AS avg_logp,
+           |  round(exp(-(sum(lp) / sum(n))), 6) AS perplexity
+           |FROM lp GROUP BY doc_id""".stripMargin)),
+    (
+      "q_text_perplexity_buckets",
+      // the CCNet head/middle/tail partition, exact: global perplexity
+      // rank (ties by doc_id) via the two-phase sharded rank — NO global
+      // sort — then thirds by (rank-1)*3 div n. DuckDB replays the LM
+      // and the rank/bucket arithmetic directly.
+      (s, d) => {
+        val ppl = TextAnalysis.lmQuality(t(s, d, "documents"))
+          .select(col("doc_id"), col("perplexity"))
+        graft.ml.CorpusOps
+          .quantileBuckets(ppl, "perplexity", nBuckets = 3, shards = 8)
+          .select("doc_id", "perplexity", "rank", "bucket")
+      },
+      Some(
+        s"""WITH $lmQualityCtesSql,
+           |ppl AS (
+           |  SELECT doc_id, round(exp(-(sum(lp) / sum(n))), 6) AS perplexity
+           |  FROM lp GROUP BY doc_id),
+           |rk AS (
+           |  SELECT doc_id, perplexity,
+           |    CAST(row_number() OVER (ORDER BY perplexity, doc_id) AS BIGINT) AS rank,
+           |    (SELECT count(*) FROM ppl) AS n
+           |  FROM ppl)
+           |SELECT doc_id, perplexity, rank,
+           |  CAST((rank - 1) * 3 // n + 1 AS BIGINT) AS bucket FROM rk""".stripMargin)),
     (
       "q_text_quality",
       (s, d) =>

@@ -88,6 +88,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r1.map(_._2) != r2.map(_._2))
   }
 
+  test("quantileBuckets: exact global rank + buckets without a global sort; ties by id") {
+    val session = spark
+    import session.implicits._
+    // 45 distinct values, each appearing twice → tie-breaks exercised
+    val vals = (1 to 90).map(i => (i.toLong, (i % 45).toDouble))
+    val df = vals.toDF("doc_id", "v")
+    val expected = vals.sortBy { case (id, v) => (v, id) }.zipWithIndex
+      .map { case ((id, v), i) => (id, v, i + 1L, i.toLong * 3 / 90 + 1L) }.toSet
+    val got = CorpusOps.quantileBuckets(df, "v", nBuckets = 3, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    // exactness is partitioning-invariant (shard boundaries are only a
+    // balance hint)
+    val again = CorpusOps.quantileBuckets(df.repartition(7), "v", nBuckets = 3, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again == expected)
+    // single shard degenerates gracefully; empty input; loud validation
+    assert(CorpusOps.quantileBuckets(df, "v", nBuckets = 3, shards = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet == expected)
+    assert(CorpusOps.quantileBuckets(df.limit(0), "v", 3).count() == 0L)
+    intercept[IllegalArgumentException](CorpusOps.quantileBuckets(df, "v", 0))
+  }
+
   test("packSequences: chunks tile each doc and each sequence exactly") {
     val session = spark
     import session.implicits._
