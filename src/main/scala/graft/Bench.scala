@@ -397,6 +397,19 @@ object Bench {
     results += "text_bpe_merges" -> tBpe
     val (_, tShuf) = time(graft.ml.Sampling.epochShuffle(docs).count())
     results += "sample_epoch_shuffle" -> tShuf
+    // DSIR selection (hashed unigram+bigram models, target = src0/src1)
+    // and the exact CCNet-thirds partition over the trigram-LM perplexity
+    val (_, tDsir) = time(
+      graft.ml.CorpusOps
+        .dsirSelect(docs, docs.filter(col("source").isin("src0", "src1")), k = 100)
+        .count())
+    results += "text_dsir_select" -> tDsir
+    val (_, tPplB) = time {
+      val ppl = graft.ml.TextAnalysis.lmQuality(docs)
+        .select(col("doc_id"), col("perplexity"))
+      graft.ml.CorpusOps.quantileBuckets(ppl, "perplexity", nBuckets = 3).count()
+    }
+    results += "text_perplexity_buckets" -> tPplB
     docs.unpersist(false)
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").persist()
     extras += "n_vecs" -> vecs.count().toDouble
