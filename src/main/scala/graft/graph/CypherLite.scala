@@ -34,8 +34,9 @@ import org.apache.spark.sql.functions._
  *    edges distinct (openCypher semantics); min ≥ 1, explicit upper bound
  *    required, branch product bounded; the hop variable cannot be named;
  *  - `WHERE` with and/or/not, parentheses, comparisons
- *    (=, <>, >, >=, <, <=), `CONTAINS`, `STARTS WITH`, `ENDS WITH` over
- *    `var.field` / node vars / literals;
+ *    (=, <>, >, >=, <, <=), `CONTAINS`, `STARTS WITH`, `ENDS WITH`,
+ *    `IN [literals]`, `IS [NOT] NULL` (the OPTIONAL MATCH null probe)
+ *    over `var.field` / node vars / literals;
  *  - `OPTIONAL MATCH` clauses (BEYOND the reference's frontend; openCypher
  *    semantics): each left-joins on its node variables shared with
  *    preceding clauses — a base row with no consistent match keeps the
@@ -107,6 +108,8 @@ object CypherLite {
   private final case class Lit(value: Any) extends Expr
   private final case class Bin(op: String, l: Expr, r: Expr) extends Expr
   private final case class Not(e: Expr) extends Expr
+  private final case class InList(e: Expr, items: Seq[Any]) extends Expr
+  private final case class IsNull(e: Expr, negated: Boolean) extends Expr
   private final case class TypeOf(v: String) extends Expr
   /** Aggregate call: fn ∈ count/sum/min/max/avg. `COUNT(*)` has no arg;
     * DISTINCT is honoured for count/sum (a no-op for min/max, refused for
@@ -398,7 +401,32 @@ object CypherLite {
       } else if (kw("CONTAINS")) { next(); Bin("contains", l, valueExpr()) }
       else if (kw("STARTS")) { next(); eatKw("WITH"); Bin("starts", l, valueExpr()) }
       else if (kw("ENDS")) { next(); eatKw("WITH"); Bin("ends", l, valueExpr()) }
-      else throw new IllegalArgumentException(s"expected comparison at '${peek.text}' in: $q")
+      else if (kw("IN")) {
+        next(); eat("[")
+        val items = Seq.newBuilder[Any]
+        if (peek.kind != "]") {
+          items += litValue()
+          while (peek.kind == ",") { next(); items += litValue() }
+        }
+        eat("]")
+        InList(l, items.result())
+      } else if (kw("IS")) {
+        next()
+        val neg = if (kw("NOT")) { next(); true } else false
+        eatKw("NULL")
+        IsNull(l, neg)
+      } else throw new IllegalArgumentException(s"expected comparison at '${peek.text}' in: $q")
+    }
+
+    /** A bare literal (list elements — no nested expressions). */
+    private def litValue(): Any = {
+      val t = peek
+      t.kind match {
+        case "num" => next(); if (t.text.contains('.')) t.text.toDouble else t.text.toLong
+        case "str" => next(); t.text
+        case _ =>
+          throw new IllegalArgumentException(s"expected a literal in list at '${t.text}' in: $q")
+      }
     }
 
     private def valueExpr(): Expr = {
@@ -528,6 +556,8 @@ object CypherLite {
       case Prop(v, f) if f != "id" => Seq((v, f))
       case Bin(_, l, r)            => collectProps(l) ++ collectProps(r)
       case Not(x)                  => collectProps(x)
+      case InList(x, _)            => collectProps(x)
+      case IsNull(x, _)            => collectProps(x)
       case AggFn(_, Some(a), _)    => collectProps(a)
       case _                       => Seq.empty
     }
@@ -594,6 +624,8 @@ object CypherLite {
           else throw new IllegalArgumentException(s"bare edge variable '$v' not valid here in: $query")
         case Lit(x)       => lit(x)
         case Not(x)       => !compile(x)
+        case InList(x, items) => compile(x).isin(items: _*)
+        case IsNull(x, neg)   => if (neg) compile(x).isNotNull else compile(x).isNull
         case Bin(op, l, r) => op match {
           case "and"      => compile(l) && compile(r)
           case "or"       => compile(l) || compile(r)

@@ -167,6 +167,28 @@ class CypherLiteSpec extends SparkSpec {
     assert(w == Seq((1L, Seq(2L)), (2L, Seq(3L, 4L))))
   }
 
+  test("IN list predicates and IS [NOT] NULL (the OPTIONAL MATCH null probe)") {
+    assert(CypherLite.run(g, "MATCH (a)-[e]->(b) WHERE a IN [1, 3] RETURN COUNT(*)")
+      .first().getLong(0) == 2L) // edges from 1 and 3
+    assert(CypherLite.run(g, "MATCH ()-[e]->() WHERE e.layer IN ['WORKS'] RETURN COUNT(*)")
+      .first().getLong(0) == 2L)
+    assert(CypherLite.run(g, "MATCH (a)-[e]->(b) WHERE NOT a IN [1, 3] AND e.time IN [20, 60] " +
+      "RETURN COUNT(*)").first().getLong(0) == 2L) // 2→3@20, 2→4@60
+    // IS NULL over an OPTIONAL MATCH miss: b=2 has no outgoing WORKS
+    val misses = CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (b)-[f:WORKS]->(c) " +
+        "WITH a, b, c WHERE c IS NULL RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(misses == Seq((1L, 2L)))
+    assert(CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (b)-[f:WORKS]->(c) " +
+        "WITH a, c WHERE c IS NOT NULL RETURN COUNT(*)")
+      .first().getLong(0) == 2L)
+    // malformed lists are loud
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) WHERE a IN [b] RETURN a"))
+  }
+
   test("two-hop chain ()-[e1]->()-[e2]->() (transpiler :1410s)") {
     // chains: (1→2→3), (1→2→4), (2→3→4), (3→4→1), (4→1→2), (2→4→1)
     val n = CypherLite.run(g, "MATCH ()-[e1]->()-[e2]->() RETURN e1, e2").count()
