@@ -78,6 +78,58 @@ object CorpusOps {
     docs.join(dirty, Seq(idCol), "left_anti")
   }
 
+  /**
+   * FUZZY benchmark decontamination: near-duplicate overlap between the
+   * corpus and an evaluation set via MinHash-LSH across the two corpora —
+   * catches the paraphrased/reformatted leakage the exact n-gram rule
+   * ([[contamination]]) misses (the complementary check run by e.g. the
+   * GPT-4 and Llama-2 eval-contamination audits).
+   *
+   * Scale shape: the benchmark side is an eval suite, so its banded
+   * signatures BROADCAST; the corpus side computes signatures in one pass
+   * and probes the broadcast buckets on (band, bh) — the 100 TB corpus is
+   * never shuffled on a signature key. Candidates verify against the
+   * full-signature Jaccard estimate, then aggregate to one row per
+   * contaminated corpus doc.
+   *
+   * @return (idCol, bench_id, est_jaccard) — per corpus doc, the
+   *         best-matching benchmark doc at estimate ≥ `threshold`
+   *         (bench_id ties broken low)
+   */
+  def contaminationFuzzy(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchIdCol: String = "doc_id",
+      benchTextCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val c = Dedup.bandedMinHash(docs, idCol, textCol, shingleSize, numHashes, bands, portable)
+    val b = Dedup.bandedMinHash(bench, benchIdCol, benchTextCol, shingleSize, numHashes, bands, portable)
+      .select(col("id").as("bench_id"), col("minhash").as("bench_minhash"), col("band"), col("bh"))
+    c.join(broadcast(b), Seq("band", "bh"))
+      .select(
+        col("id"),
+        col("bench_id"),
+        (graft.functions.HashExpressions.eqCount(col("minhash"), col("bench_minhash"))
+          .cast("double") / numHashes).as("est"))
+      .filter(col("est") >= threshold)
+      .groupBy("id", "bench_id")
+      .agg(round(max("est"), 6).as("est"))
+      // one row per corpus doc: its best benchmark match (ties → low id)
+      .withColumn(
+        "__rk",
+        row_number().over(
+          Window.partitionBy("id").orderBy(col("est").desc, col("bench_id"))))
+      .filter(col("__rk") === 1)
+      .select(col("id").as(idCol), col("bench_id"), col("est").as("est_jaccard"))
+  }
+
   // ---------- DSIR importance-weighted data selection ----------
 
   /** One row per hashed n-gram occurrence: (id, b) with b = the feature's

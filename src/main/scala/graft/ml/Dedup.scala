@@ -111,9 +111,10 @@ object Dedup {
    *
    * @return (a, b, est_jaccard) with a < b.
    */
-  /** The banded signature rows shared by [[minHashLsh]] and
-    * [[minHashLshDropped]]: (id, minhash, band, bh, bucket_n). */
-  private def bandedSignatures(
+  /** Banded signature rows WITHOUT the bucket-size window: (id, minhash,
+    * band, bh) — the cross-corpus ops ([[CorpusOps.contaminationFuzzy]])
+    * join these directly on (band, bh). */
+  private[graft] def bandedMinHash(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -139,9 +140,21 @@ object Dedup {
             s"'band', b, 'bh', $bandHash))"))
           .as("bb"))
       .select(col("id"), col("minhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** The banded signature rows shared by [[minHashLsh]] and
+    * [[minHashLshDropped]]: (id, minhash, band, bh, bucket_n). */
+  private def bandedSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int,
+      portable: Boolean): DataFrame =
+    bandedMinHash(docs, idCol, textCol, shingleSize, numHashes, bands, portable)
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-  }
 
   /** Guardrail accounting for [[minHashLsh]]: the buckets the cap would
     * drop, as (band, bh, bucket_n) — at 100 TB the drops ARE the story

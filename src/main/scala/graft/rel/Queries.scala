@@ -3921,6 +3921,36 @@ object Queries {
           |  round(n_contaminated * 1.0 / n_grams, 6) AS frac
           |FROM c WHERE n_contaminated > 0""".stripMargin)),
     (
+      "q_text_decontaminate_fuzzy",
+      // FUZZY decontamination: MinHash-LSH overlap between the corpus and
+      // the same deterministic benchmark slice — catches paraphrased
+      // leakage the exact 13-gram rule misses. Benchmark signatures
+      // broadcast; the oracle reuses the shared banded-signature CTEs and
+      // replays the candidate join + full-signature estimate + best-match
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        CorpusOps.contaminationFuzzy(
+          docs, docs.filter(col("doc_id") % 97 === 0),
+          threshold = 0.5, portable = true)
+      },
+      Some(
+        s"""WITH $minHashCtesSql,
+           |bb AS (
+           |  SELECT doc_id AS bench_id, minhash AS bmh, band, bh
+           |  FROM banded WHERE doc_id % 97 = 0),
+           |cand AS (
+           |  SELECT c.doc_id, b.bench_id,
+           |    len(list_filter(range(1, 33), i -> c.minhash[i] = b.bmh[i])) / 32.0 AS est
+           |  FROM banded c JOIN bb b USING (band, bh)),
+           |hit AS (
+           |  SELECT doc_id, bench_id, round(max(est), 6) AS est
+           |  FROM cand WHERE est >= 0.5 GROUP BY doc_id, bench_id),
+           |rk AS (
+           |  SELECT doc_id, bench_id, est,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY est DESC, bench_id) AS rk
+           |  FROM hit)
+           |SELECT doc_id, bench_id, est AS est_jaccard FROM rk WHERE rk = 1""".stripMargin)),
+    (
       "q_text_dsir",
       // DSIR importance-weighted selection (Xie et al. 2023): hashed
       // unigram+bigram bucket models, target = the src0/src1 domains,

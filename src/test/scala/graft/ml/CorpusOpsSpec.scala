@@ -88,6 +88,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r1.map(_._2) != r2.map(_._2))
   }
 
+  test("contaminationFuzzy flags near-dup leakage; benchmark side broadcast") {
+    val session = spark
+    import session.implicits._
+    // benchmark doc 900 is an exact copy of corpus doc 1 → estimate 1.0
+    val bench = Seq((900L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.contaminationFuzzy(docsDf, bench, threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toList
+    assert(r.exists(t => t._1 == 1L && t._2 == 900L && t._3 == 1.0))
+    assert(r.forall(_._3 >= 0.5))
+    // one row per contaminated corpus doc
+    assert(r.map(_._1).distinct.size == r.size)
+    // the benchmark side broadcasts — the corpus is never shuffled on (band, bh)
+    val plan = CorpusOps.contaminationFuzzy(docsDf, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"))
+    intercept[IllegalArgumentException](
+      CorpusOps.contaminationFuzzy(docsDf, bench, numHashes = 32, bands = 7))
+  }
+
   test("quantileBuckets: exact global rank + buckets without a global sort; ties by id") {
     val session = spark
     import session.implicits._
