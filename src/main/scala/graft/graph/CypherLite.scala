@@ -36,7 +36,11 @@ import org.apache.spark.sql.functions._
  *  - `WHERE` with and/or/not, parentheses, comparisons
  *    (=, <>, >, >=, <, <=), `CONTAINS`, `STARTS WITH`, `ENDS WITH`,
  *    `IN [literals]`, `IS [NOT] NULL` (the OPTIONAL MATCH null probe)
- *    over `var.field` / node vars / literals;
+ *    over `var.field` / node vars / literals; value ARITHMETIC
+ *    (+ − * / %, unary minus, standard precedence) anywhere a value
+ *    appears — items, WHERE, ORDER BY — with arithmetic RETURN/WITH
+ *    items requiring an `AS` alias (value-level parens unsupported:
+ *    a leading paren always opens a boolean group);
  *  - `OPTIONAL MATCH` clauses (BEYOND the reference's frontend; openCypher
  *    semantics): each left-joins on its node variables shared with
  *    preceding clauses — a base row with no consistent match keeps the
@@ -182,7 +186,7 @@ object CypherLite {
       else if (c == '>' && peek(1) == '=') { out += Tok("op", ">="); i += 2 }
       else if (c == '<' && peek(1) == '-') { out += Tok("arrow", "<-"); i += 2 }
       else if (c == '-' && peek(1) == '>') { out += Tok("arrow", "->"); i += 2 }
-      else if ("()[]{}.,:*=<>-".contains(c)) { out += Tok(c.toString, c.toString); i += 1 }
+      else if ("()[]{}.,:*=<>-+/%".contains(c)) { out += Tok(c.toString, c.toString); i += 1 }
       else throw new IllegalArgumentException(s"unexpected character '$c' at offset $i in: $s")
     }
     out.result()
@@ -429,7 +433,29 @@ object CypherLite {
       }
     }
 
+    // value grammar with arithmetic precedence: valueExpr := mulExpr
+    // (('+'|'-') mulExpr)*; mulExpr := atomExpr (('*'|'/'|'%') atomExpr)*;
+    // unary minus desugars to 0 - x. Value-level parentheses are not
+    // supported (a leading '(' always opens a boolean group in WHERE) —
+    // precedence covers the practical shapes.
     private def valueExpr(): Expr = {
+      var e = mulExpr()
+      while (peek.kind == "+" || peek.kind == "-") {
+        val op = next().kind
+        e = Bin(op, e, mulExpr())
+      }
+      e
+    }
+    private def mulExpr(): Expr = {
+      var e = atomExpr()
+      while (peek.kind == "*" || peek.kind == "/" || peek.kind == "%") {
+        val op = next().kind
+        e = Bin(op, e, atomExpr())
+      }
+      e
+    }
+    private def atomExpr(): Expr = {
+      if (peek.kind == "-") { next(); return Bin("-", Lit(0L), atomExpr()) }
       val t = peek
       t.kind match {
         case "num" =>
@@ -638,6 +664,11 @@ object CypherLite {
           case "contains" => compile(l).contains(compile(r))
           case "starts"   => compile(l).startsWith(r.asInstanceOf[Lit].value.toString)
           case "ends"     => compile(l).endsWith(r.asInstanceOf[Lit].value.toString)
+          case "+"        => compile(l) + compile(r)
+          case "-"        => compile(l) - compile(r)
+          case "*"        => compile(l) * compile(r)
+          case "/"        => compile(l) / compile(r)
+          case "%"        => compile(l) % compile(r)
         }
         case _: AggFn  =>
           throw new IllegalArgumentException(
@@ -1016,6 +1047,8 @@ object CypherLite {
         val default = e match {
           case Prop(v, f) => s"${v}_${if (f == "time") "ts" else f}"
           case TypeOf(v)  => s"${v}_type"
+          case _: Bin => alias.getOrElse(throw new IllegalArgumentException(
+            s"arithmetic RETURN items must be aliased (AS name) in: $query"))
           case _          => "expr"
         }
         Seq(compile(e) -> alias.getOrElse(default))

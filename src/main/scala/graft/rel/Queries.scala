@@ -4881,6 +4881,26 @@ object Queries {
            |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
            |SELECT DISTINCT src AS a, dst AS b FROM e0 WHERE layer = 'click'
            |ORDER BY a, b LIMIT 50 OFFSET 10""".stripMargin)),
+    (
+      "q_cypher_arith",
+      // value arithmetic as a grouping key and inside WHERE: user-id
+      // cohorts (a % 100) over recent clicks, counted with the window's
+      // latest timestamp
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b) WHERE e.time - 1704240000000 > 0 " +
+          "RETURN a % 100 AS cohort, COUNT(*) AS n, MAX(e.time) AS last_ts ORDER BY cohort"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer,
+           |    epoch_us(ts) // 1000 AS tms FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT src % 100 AS cohort, CAST(count(*) AS BIGINT) AS n,
+           |  max(tms) AS last_ts
+           |FROM e0 WHERE layer = 'click' AND tms - 1704240000000 > 0
+           |GROUP BY src % 100 ORDER BY cohort""".stripMargin)),
 
     // ---- composite property-filter + prefix/fuzzy search (parity with
     //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----

@@ -189,6 +189,32 @@ class CypherLiteSpec extends SparkSpec {
       CypherLite.run(g, "MATCH (a)-[e]->(b) WHERE a IN [b] RETURN a"))
   }
 
+  test("value arithmetic in items, WHERE, ORDER BY and grouping keys") {
+    // ts values 10,20,30,40,60 → t2 = ts*2+1: top two 121, 81
+    val rows = CypherLite.run(g,
+      "MATCH (a)-[e]->(b) RETURN a, e.time * 2 + 1 AS t2 ORDER BY t2 DESC LIMIT 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((2L, 121L), (4L, 81L)))
+    // arithmetic across hops in WHERE: only 1→2→4 gains > 20
+    assert(CypherLite.run(g,
+      "MATCH (a)-[e1]->(b)-[e2]->(c) WHERE e2.time - e1.time > 20 RETURN COUNT(*)")
+      .first().getLong(0) == 1L)
+    // unary minus; modulo; float division
+    assert(CypherLite.run(g, "MATCH ()-[e]->() WHERE e.time > -10 RETURN COUNT(*)")
+      .first().getLong(0) == 5L)
+    val md = CypherLite.run(g,
+      "MATCH ()-[e]->() WHERE e.time = 10 RETURN e.time % 20 AS m, e.time / 4 AS q").first()
+    assert(md.getLong(0) == 10L && math.abs(md.getDouble(1) - 2.5) < 1e-12)
+    // arithmetic grouping key under implicit grouping: a parity cohorts
+    val parity = CypherLite.run(g,
+      "MATCH (a)-[e]->(b) RETURN a % 2 AS p, COUNT(*) AS n ORDER BY p")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(parity == Seq((0L, 3L), (1L, 2L))) // srcs 1,2,2,3,4
+    // unaliased arithmetic items are refused
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) RETURN e.time + 1"))
+  }
+
   test("two-hop chain ()-[e1]->()-[e2]->() (transpiler :1410s)") {
     // chains: (1→2→3), (1→2→4), (2→3→4), (3→4→1), (4→1→2), (2→4→1)
     val n = CypherLite.run(g, "MATCH ()-[e1]->()-[e2]->() RETURN e1, e2").count()
