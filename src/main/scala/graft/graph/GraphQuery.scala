@@ -135,7 +135,8 @@ object GraphQuery {
     * `local_clustering_coefficient`, `local_reciprocity`, `degree`,
     * `eigenvector` (iterCount, tol), `katz` (iterCount, alpha, beta),
     * `harmonic` (iterCount), `mis` and `coloring` (maxRounds), `hits`
-    * (iterCount, tol), `kcore` (k, iterCount), `ktruss` (k, maxRounds),
+    * (iterCount, tol), `kcore` (k, iterCount), `coreness` (iterCount —
+    * full decomposition), `ktruss` (k, maxRounds),
     * `scc` (maxRounds), `louvain` (resolution, maxLevels), `betweenness`
     * (k sample size, normalized), `component_sizes`. */
   private def runAlgorithm(a: Algo, pg: PropertyGraph): DataFrame = {
@@ -204,6 +205,8 @@ object GraphQuery {
           throw new IllegalArgumentException("kcore needs a 'k' param"))
         graft.algos.KCore.coreSet(
           spark, g, graft.algos.KCore.Config(k = k, maxIter = pInt("iterCount", 1000)))
+      case "coreness" =>
+        graft.algos.KCore.coreness(spark, g, maxIter = pInt("iterCount", 100))
       case "ktruss" =>
         val k = a.params.get("k").map(_.asInt).getOrElse(
           throw new IllegalArgumentException("ktruss needs a 'k' param"))

@@ -831,6 +831,25 @@ object Queries {
   private def kcoreOracleSql(k: Int, rounds: Int): String =
     kcoreOracleSqlOver(graphBaseSql, k, rounds)
 
+  /** Pinned-round h-index coreness ladder ([[graft.algos.KCore.coreness]]
+    * replay): c0 = undirected degree; each round caps by the node's own
+    * value and takes the h-index of its neighbours' values (row_number
+    * descending inside the node's neighbour list). */
+  private def corenessOracleSql(rounds: Int): String = {
+    val head =
+      s"""WITH $graphBaseSql,
+         |c0 AS MATERIALIZED (SELECT a AS id, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY a)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""c$r AS MATERIALIZED (
+         |  SELECT id, least(pc, max(least(qc, rn))) AS c FROM (
+         |    SELECT u.a AS id, p.c AS pc, q.c AS qc,
+         |      CAST(row_number() OVER (PARTITION BY u.a ORDER BY q.c DESC, u.b) AS BIGINT) AS rn
+         |    FROM u JOIN c${r - 1} p ON p.id = u.a JOIN c${r - 1} q ON q.id = u.b) x
+         |  GROUP BY id, pc)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") + s"\nSELECT id, c AS coreness FROM c$rounds"
+  }
+
   /** As [[kcoreOracleSql]] over any base CTE block that defines `u`
     * (undirected pairs, both orientations). */
   private def kcoreOracleSqlOver(base: String, k: Int, rounds: Int): String = {
@@ -1789,6 +1808,14 @@ object Queries {
       "q_graph_kcore",
       (s, d) => KCore.coreSet(s, eventGraph(s, d), KCore.Config(k = 4)),
       Some(kcoreOracleSql(k = 4, rounds = 48))),
+    (
+      "q_graph_coreness",
+      // FULL core decomposition via the h-index fixpoint (Lü et al.
+      // 2016): every node's core number in one run. The oracle replays
+      // the same iteration as a pinned 48-round CTE ladder (the Spark
+      // side converges well before; extra rounds are fixpoint no-ops).
+      (s, d) => graft.algos.KCore.coreness(s, eventGraph(s, d)),
+      Some(corenessOracleSql(rounds = 48))),
     (
       "q_graph_hits",
       // pinned 20 supersteps, tol=0 (see q_graph_pagerank)

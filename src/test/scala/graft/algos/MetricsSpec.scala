@@ -91,6 +91,35 @@ class MetricsSpec extends SparkSpec {
     assert(core == Set(1L, 3L, 4L, 5L, 6L, 8L, 9L, 10L, 11L))
   }
 
+  test("coreness: h-index fixpoint equals brute-force peel at every k") {
+    // K4 {1,2,3,4} (coreness 3), triangle {5,6,7} bridged to it (2),
+    // pendant 8 (1)
+    val edges = Seq[(Long, Long)](
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (5, 6), (6, 7), (5, 7), (4, 5), (1, 8))
+    val g = graph(edges)
+    val got = KCore.coreness(spark, g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 1L))
+    // coreness >= k must reproduce every peel's k-core set
+    (1 to 3).foreach { k =>
+      val fromCoreness = got.filter(_._2 >= k).keySet
+      val peel = KCore.coreSet(spark, g, KCore.Config(k = k))
+        .collect().map(_.getLong(0)).toSet
+      assert(fromCoreness == peel, s"k=$k")
+    }
+    // and on the reference k_core_2 fixture
+    val edges2 = Seq[(Long, Long)](
+      (1, 2), (1, 3), (1, 4), (3, 1), (3, 4), (3, 5), (4, 5), (5, 6), (5, 8), (7, 5),
+      (8, 5), (1, 9), (9, 1), (6, 3), (4, 8), (8, 3), (5, 10), (10, 5), (10, 8), (1, 11),
+      (11, 1), (9, 11), (11, 9))
+    val c2 = KCore.coreness(spark, graph(edges2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2.filter(_._2 >= 2L).keySet == Set(1L, 3L, 4L, 5L, 6L, 8L, 9L, 10L, 11L))
+  }
+
   test("HITS 8-node golden (centrality.rs:81-137, f32 reference @1e-3)") {
     val edges = Seq[(Long, Long)](
       (1, 4), (2, 3), (2, 5), (3, 1), (4, 2), (4, 3), (5, 2), (5, 3), (5, 4), (5, 6),
