@@ -72,7 +72,10 @@ import org.apache.spark.sql.functions._
  *    dedups the projected rows (refused alongside aggregates, and its
  *    ORDER BY must name a RETURN item); `ORDER BY … [ASC|DESC]` (over
  *    output items when grouped); `SKIP s` (openCypher pagination —
- *    requires ORDER BY so pages are well-defined); `LIMIT n`.
+ *    requires ORDER BY so pages are well-defined); `LIMIT n`;
+ *  - `UNION [ALL]` between whole queries (openCypher set semantics:
+ *    UNION dedups the combined rows, ALL keeps them; parts must return
+ *    the same columns and the two forms cannot mix).
  *
  * Field names: edges expose src, dst, ts (alias `time`), event_id, layer
  * (`type(e)` ≡ `e.layer`); a node variable IS its id. Returned edge
@@ -246,8 +249,24 @@ object CypherLite {
       val ord = orderByOpt()
       val skp = if (kw("SKIP")) { next(); Some(eat("num").text.toInt) } else None
       val lim = if (kw("LIMIT")) { next(); Some(eat("num").text.toInt) } else None
-      require(done, s"trailing tokens from '${peek.text}' in: $q")
       Ast(segs.result(), last, star, distinct, items, ord, skp, lim)
+    }
+
+    /** Whole input: one query, or `UNION [ALL]`-combined queries
+      * (openCypher set semantics: UNION dedups the combined rows, ALL
+      * keeps them; mixing the two is refused at the run layer).
+      * @return (ast, combinedWithAll) — the flag on the first part is
+      *         meaningless */
+    def parseAll(): Seq[(Ast, Boolean)] = {
+      val out = Seq.newBuilder[(Ast, Boolean)]
+      out += ((parse(), false))
+      while (kw("UNION")) {
+        next()
+        val all = if (kw("ALL")) { next(); true } else false
+        out += ((parse(), all))
+      }
+      require(done, s"trailing tokens from '${peek.text}' in: $q")
+      out.result()
     }
 
     private def segment(): Segment = {
@@ -512,7 +531,29 @@ object CypherLite {
       g: TemporalGraph,
       query: String,
       nodeProps: Option[DataFrame]): DataFrame = {
-    val ast = new P(tokenize(query), query).parse()
+    val parts = new P(tokenize(query), query).parseAll()
+    val frames = parts.map { case (ast, _) => translate(g, query, nodeProps, ast) }
+    if (frames.size == 1) frames.head
+    else {
+      val flags = parts.drop(1).map(_._2)
+      require(flags.distinct.size == 1, s"cannot mix UNION and UNION ALL in: $query")
+      val cols = frames.head.columns.toSeq
+      frames.tail.foreach { f =>
+        require(
+          f.columns.toSeq == cols,
+          s"UNION parts must return the same columns " +
+            s"(${cols.mkString(", ")} vs ${f.columns.mkString(", ")}) in: $query")
+      }
+      val combined = frames.reduce(_ unionByName _)
+      if (flags.head) combined else combined.distinct()
+    }
+  }
+
+  private def translate(
+      g: TemporalGraph,
+      query: String,
+      nodeProps: Option[DataFrame],
+      ast: Ast): DataFrame = {
 
     // node variable v binds column nodeCol(v) — shared across patterns, so
     // pattern frames equi-join on exactly their shared variables

@@ -4928,6 +4928,23 @@ object Queries {
            |  max(tms) AS last_ts
            |FROM e0 WHERE layer = 'click' AND tms - 1704240000000 > 0
            |GROUP BY src % 100 ORDER BY cohort""".stripMargin)),
+    (
+      "q_cypher_union",
+      // UNION set semantics across whole queries: distinct union of click
+      // sources and view targets
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b) RETURN a AS id " +
+          "UNION MATCH (a2)-[f:view]->(b2) RETURN b2 AS id"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT src AS id FROM e0 WHERE layer = 'click'
+           |UNION
+           |SELECT dst FROM e0 WHERE layer = 'view'""".stripMargin)),
 
     // ---- composite property-filter + prefix/fuzzy search (parity with
     //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----

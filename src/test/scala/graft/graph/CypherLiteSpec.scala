@@ -215,6 +215,29 @@ class CypherLiteSpec extends SparkSpec {
       CypherLite.run(g, "MATCH (a)-[e]->(b) RETURN e.time + 1"))
   }
 
+  test("UNION / UNION ALL combine whole queries with set semantics") {
+    // KNOWS dsts {2,3,4} ∪ WORKS dsts {4,1} → distinct {1,2,3,4}
+    val u = CypherLite.run(g,
+      "MATCH ()-[e:KNOWS]->(b) RETURN b UNION MATCH ()-[e2:WORKS]->(b) RETURN b")
+      .collect().map(_.getLong(0)).toSet
+    assert(u == Set(1L, 2L, 3L, 4L))
+    assert(CypherLite.run(g,
+      "MATCH ()-[e:KNOWS]->(b) RETURN b UNION ALL MATCH ()-[e2:WORKS]->(b) RETURN b")
+      .count() == 5L)
+    // aggregates per part compose: edge counts per layer side by side
+    val counts = CypherLite.run(g,
+      "MATCH ()-[e:KNOWS]->() RETURN COUNT(*) AS n UNION ALL " +
+        "MATCH ()-[f:WORKS]->() RETURN COUNT(*) AS n")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(counts == Seq(2L, 3L))
+    // column mismatch and mixed UNION forms are loud
+    intercept[IllegalArgumentException](CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) RETURN a UNION MATCH ()-[e2:WORKS]->(b) RETURN b"))
+    intercept[IllegalArgumentException](CypherLite.run(g,
+      "MATCH ()-[e]->(b) RETURN b UNION MATCH ()-[e2]->(b) RETURN b " +
+        "UNION ALL MATCH (c) RETURN c AS b"))
+  }
+
   test("two-hop chain ()-[e1]->()-[e2]->() (transpiler :1410s)") {
     // chains: (1→2→3), (1→2→4), (2→3→4), (3→4→1), (4→1→2), (2→4→1)
     val n = CypherLite.run(g, "MATCH ()-[e1]->()-[e2]->() RETURN e1, e2").count()
