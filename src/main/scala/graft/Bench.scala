@@ -224,6 +224,13 @@ object Bench {
     extras += "triangles_best" -> triReps.map(_._2).min
     extras += "triangle_count" -> triCount.toDouble
 
+    // --- full core decomposition on the same graph (h-index fixpoint:
+    // every k-core in one run). Bounded at 6 rounds — the same
+    // throughput-not-convergence-lottery discipline as the Louvain leg;
+    // exactness is the oracle's job (q_graph_coreness) ---
+    val (_, tCoreness) = time(graft.algos.KCore.coreness(spark, ra, maxIter = 6).count())
+    results += "graph_coreness_6r" -> tCoreness
+
     // --- Louvain on the RA graph (bounded: 3 levels × 8 rounds — community
     // structure on random attachment is weak, the bound keeps the timing a
     // throughput measure rather than a convergence lottery) ---
