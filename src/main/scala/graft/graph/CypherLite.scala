@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
  *    MATCH-wide as in openCypher; statically-distinct-layer pairs elided);
  *  - pattern property maps `(a {id: 5})` / `-[e {layer: 'x', time: 9}]->`
  *    desugared to equality conjuncts (ast.rs NodePattern/RelPattern.props,
- *    transpiler mod.rs:875-917);
+ *    transpiler mod.rs:875-917); node LABELS `(a:User)` desugar to
+ *    `a.node_type = 'User'` against the node-property frame (named
+ *    variable + a props frame with node_type required; not supported
+ *    inside OPTIONAL MATCH);
  *  - variable-length hops `-[:L*a..b]->` (BEYOND the reference's
  *    frontend): expanded into a union of fixed-length chains with fresh
  *    anonymous intermediates, relationship uniqueness making each path's
@@ -93,7 +96,10 @@ object CypherLite {
 
   // ---------- AST ----------
 
-  private final case class NodePat(name: Option[String], props: Seq[(String, Lit)] = Nil)
+  private final case class NodePat(
+      name: Option[String],
+      props: Seq[(String, Lit)] = Nil,
+      label: Option[String] = None)
   /** dir: 1 = `->`, -1 = `<-`, 0 = undirected; range: variable-length
     * `*a..b` hop bounds (min ≥ 1, explicit upper bound required). */
   private final case class RelPat(
@@ -345,9 +351,10 @@ object CypherLite {
     private def nodePat(): NodePat = {
       eat("(")
       val name = if (peek.kind == "ident") Some(next().text) else None
+      val label = if (peek.kind == ":") { next(); Some(eat("ident").text) } else None
       val props = propMap()
       eat(")")
-      NodePat(name, props)
+      NodePat(name, props, label)
     }
 
     private def relPat(): RelPat = {
@@ -887,8 +894,26 @@ object CypherLite {
     // optional match keeps the clause's new columns null (openCypher
     // OPTIONAL MATCH semantics)
     def segmentFrame(
-        seg: Segment,
+        seg0: Segment,
         carried: Option[(DataFrame, Scope)]): (DataFrame, Scope) = {
+      // `(a:Label)` desugars to `a.node_type = 'Label'` against the node
+      // property frame (labels therefore need a NAMED variable and a props
+      // frame carrying node_type — both absences error loudly downstream)
+      val labelConj: Seq[Expr] = seg0.patterns.flatMap(_.nodes).flatMap { n =>
+        n.label.map { lbl =>
+          val v = n.name.getOrElse(throw new IllegalArgumentException(
+            s"a node label needs a named variable ((a:$lbl), not (:$lbl)) in: $query"))
+          Bin("=", Prop(v, "node_type"), Lit(lbl)): Expr
+        }
+      }
+      seg0.optionals.foreach { case (ps, _) =>
+        require(ps.flatMap(_.nodes).forall(_.label.isEmpty),
+          s"node labels inside OPTIONAL MATCH are not supported in: $query")
+      }
+      val seg =
+        if (labelConj.isEmpty) seg0
+        else seg0.copy(where =
+          Some((seg0.where.toSeq ++ labelConj).reduce(Bin("and", _, _))))
       if (seg.patterns.isEmpty) {
         // empty segment: a WITH fed straight into another WITH or RETURN
         val (cf, cs) = carried.getOrElse(throw new IllegalArgumentException(

@@ -4820,6 +4820,39 @@ object Queries {
            |LEFT JOIN np bb ON bb.id = e0.dst
            |WHERE e0.layer = 'click' AND aa.n_events > 70""".stripMargin)),
     (
+      "q_cypher_labels",
+      // node LABELS: (a:power)-[:click]->(b:casual) desugars onto the
+      // property frame's node_type column — activity-derived labels, with
+      // implicit grouping over the labeled pairs
+      (s, d) => {
+        val props = t(s, d, "events")
+          .groupBy(col("user_id").as("id"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn(
+            "node_type",
+            when(col("n_events") > 60, lit("power")).otherwise(lit("casual")))
+        graft.graph.CypherLite.run(
+          eventGraph(s, d),
+          "MATCH (a:power)-[e:click]->(b:casual) RETURN a, b, COUNT(e) AS n ORDER BY a, b",
+          props)
+      },
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+           |np AS (
+           |  SELECT user_id AS id,
+           |    CASE WHEN count(*) > 60 THEN 'power' ELSE 'casual' END AS node_type
+           |  FROM events GROUP BY user_id)
+           |SELECT e0.src AS a, e0.dst AS b, CAST(count(*) AS BIGINT) AS n
+           |FROM e0 JOIN np aa ON aa.id = e0.src
+           |JOIN np bb ON bb.id = e0.dst
+           |WHERE e0.layer = 'click' AND aa.node_type = 'power'
+           |  AND bb.node_type = 'casual'
+           |GROUP BY 1, 2 ORDER BY a, b""".stripMargin)),
+    (
       "q_cypher_with",
       // WITH pipeline (beyond the reference's frontend; openCypher
       // semantics): implicit grouping midway (b, COUNT(e)), the WITH's

@@ -530,6 +530,36 @@ class CypherLiteSpec extends SparkSpec {
       Seq((2L, "bob", 2L)))
   }
 
+  test("node labels (a:Type) desugar onto the node_type property") {
+    val session = spark
+    import session.implicits._
+    val typed = Seq((1L, "user"), (2L, "bot"), (3L, "user"), (4L, "bot"))
+      .toDF("id", "node_type")
+    // KNOWS sources labeled user: only a=1 (2 is a bot)
+    val rows = CypherLite.run(g,
+      "MATCH (a:user)-[e:KNOWS]->(b) RETURN a, b ORDER BY a, b", typed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 2L)))
+    // both endpoints labeled: bot = {2, 4}; only 2→4 connects them
+    val bb = CypherLite.run(g,
+      "MATCH (a:bot)-[e]->(b:bot) RETURN a, b", typed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bb == Seq((2L, 4L)))
+    // labels compose with WITH pipelines (post-carry segment)
+    val post = CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) WITH a, b MATCH (b:bot)-[f]->(c) " +
+        "RETURN a, b, c ORDER BY a, b, c", typed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(post == Seq((1L, 2L, 3L), (1L, 2L, 4L), (2L, 4L, 1L)))
+    // loud: anonymous labeled node, label without a props frame, label in OPTIONAL MATCH
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (:user)-[e]->(b) RETURN b", typed))
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a:user)-[e]->(b) RETURN b"))
+    intercept[IllegalArgumentException](CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (b:bot)-[f]->(c) RETURN a", typed))
+  }
+
   test("node properties: missing node reads null; loud errors otherwise") {
     val partial = props.filter(col("id") =!= 2L)
     val rows = CypherLite.run(g,
