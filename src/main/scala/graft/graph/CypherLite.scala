@@ -43,7 +43,10 @@ import org.apache.spark.sql.functions._
  *    (+ − * / %, unary minus, standard precedence) anywhere a value
  *    appears — items, WHERE, ORDER BY — with arithmetic RETURN/WITH
  *    items requiring an `AS` alias (value-level parens unsupported:
- *    a leading paren always opens a boolean group);
+ *    a leading paren always opens a boolean group); generic-form
+ *    `CASE WHEN cond THEN val … [ELSE val] END` anywhere a value appears
+ *    (branches in order, missing ELSE = null; the simple `CASE x WHEN`
+ *    form is not supported);
  *  - `OPTIONAL MATCH` clauses (BEYOND the reference's frontend; openCypher
  *    semantics): each left-joins on its node variables shared with
  *    preceding clauses — a base row with no consistent match keeps the
@@ -78,7 +81,14 @@ import org.apache.spark.sql.functions._
  *    requires ORDER BY so pages are well-defined); `LIMIT n`;
  *  - `UNION [ALL]` between whole queries (openCypher set semantics:
  *    UNION dedups the combined rows, ALL keeps them; parts must return
- *    the same columns and the two forms cannot mix).
+ *    the same columns and the two forms cannot mix);
+ *  - `UNWIND list AS x` (openCypher row generation): one output row per
+ *    list element, bound as a scalar. The list is a literal `[…]` or a
+ *    carried scalar (a `collect(…)` alias from a preceding WITH — the
+ *    collect→UNWIND round trip). UNWIND clauses stack (later ones may
+ *    reference earlier aliases; cross-product semantics) and may open a
+ *    query, follow a WITH, or precede a MATCH whose WHERE references the
+ *    unwound value. An empty or null list yields no rows (openCypher).
  *
  * Field names: edges expose src, dst, ts (alias `time`), event_id, layer
  * (`type(e)` ≡ `e.layer`); a node variable IS its id. Returned edge
@@ -124,6 +134,11 @@ object CypherLite {
   private final case class InList(e: Expr, items: Seq[Any]) extends Expr
   private final case class IsNull(e: Expr, negated: Boolean) extends Expr
   private final case class TypeOf(v: String) extends Expr
+  /** Generic-form CASE: `CASE WHEN cond THEN val … [ELSE val] END` —
+    * branches evaluate in order; no ELSE yields null (openCypher). */
+  private final case class CaseWhen(
+      branches: Seq[(Expr, Expr)],
+      otherwise: Option[Expr]) extends Expr
   /** Aggregate call: fn ∈ count/sum/min/max/avg. `COUNT(*)` has no arg;
     * DISTINCT is honoured for count/sum (a no-op for min/max, refused for
     * avg). */
@@ -132,9 +147,16 @@ object CypherLite {
   private final case class RetItem(expr: Expr, alias: Option[String])
   private final case class Pattern(nodes: Seq[NodePat], rels: Seq[RelPat])
 
-  /** One MATCH segment: required patterns + clause WHERE + its OPTIONAL
-    * MATCH clauses. A query is a pipeline of segments separated by WITH. */
+  /** `UNWIND list AS alias` — list is a literal element sequence or an
+    * expression over the current scope (a carried collect() alias). */
+  private final case class Unwind(list: Either[Seq[Any], Expr], alias: String)
+
+  /** One MATCH segment: leading UNWIND clauses + required patterns +
+    * clause WHERE + its OPTIONAL MATCH clauses. A query is a pipeline of
+    * segments separated by WITH. A segment may be UNWIND-only (no
+    * patterns) — `UNWIND … RETURN …`. */
   private final case class Segment(
+      unwinds: Seq[Unwind],
       patterns: Seq[Pattern],
       where: Option[Expr],
       optionals: Seq[(Seq[Pattern], Option[Expr])])
@@ -239,7 +261,9 @@ object CypherLite {
         segs += ((last, WithClause(distinct, star, b.result(), w, ord, skp, lim)))
         // a WITH may feed another WITH or RETURN directly (pure projection
         // stage) — the segment is empty then
-        last = if (kw("MATCH")) segment() else Segment(Nil, None, Nil)
+        last =
+          if (kw("MATCH") || kw("UNWIND")) segment()
+          else Segment(Nil, Nil, None, Nil)
       }
       eatKw("RETURN")
       val distinct = if (kw("DISTINCT")) { next(); true } else false
@@ -276,6 +300,27 @@ object CypherLite {
     }
 
     private def segment(): Segment = {
+      // leading UNWIND clauses: `UNWIND [lits] AS x` or `UNWIND expr AS x`
+      val unw = Seq.newBuilder[Unwind]
+      while (kw("UNWIND")) {
+        next()
+        val lst: Either[Seq[Any], Expr] =
+          if (peek.kind == "[") {
+            next()
+            val items = Seq.newBuilder[Any]
+            if (peek.kind != "]") {
+              items += litValue()
+              while (peek.kind == ",") { next(); items += litValue() }
+            }
+            eat("]")
+            Left(items.result())
+          } else Right(valueExpr())
+        eatKw("AS")
+        unw += Unwind(lst, eat("ident").text)
+      }
+      val unwinds = unw.result()
+      // an UNWIND-only segment feeds WITH/RETURN directly (no patterns)
+      if (unwinds.nonEmpty && !kw("MATCH")) return Segment(unwinds, Nil, None, Nil)
       eatKw("MATCH")
       val pats = Seq.newBuilder[Pattern]
       pats += pattern()
@@ -293,7 +338,7 @@ object CypherLite {
         val w = if (kw("WHERE")) { next(); Some(boolExpr()) } else None
         opts += ((ps.result(), w))
       }
-      Segment(pats.result(), where, opts.result())
+      Segment(unwinds, pats.result(), where, opts.result())
     }
 
     private def orderByOpt(): Seq[(Expr, Boolean)] =
@@ -490,7 +535,23 @@ object CypherLite {
         case "str" => next(); Lit(t.text)
         case "*"   => next(); Lit("*") // only valid inside COUNT(
         case "ident" =>
-          if (AggFns.contains(t.text.toLowerCase)) {
+          if (t.text.equalsIgnoreCase("case")) {
+            // generic-form CASE (openCypher): branches evaluate in order,
+            // missing ELSE yields null. The simple form (`CASE x WHEN v`)
+            // is not supported — write the predicate out.
+            next()
+            require(kw("WHEN"), s"CASE needs WHEN (generic form) in: $q")
+            val branches = Seq.newBuilder[(Expr, Expr)]
+            while (kw("WHEN")) {
+              next()
+              val cond = boolExpr()
+              eatKw("THEN")
+              branches += ((cond, valueExpr()))
+            }
+            val els = if (kw("ELSE")) { next(); Some(valueExpr()) } else None
+            eatKw("END")
+            CaseWhen(branches.result(), els)
+          } else if (AggFns.contains(t.text.toLowerCase)) {
             val fn = t.text.toLowerCase
             next(); eat("(")
             val distinct = if (kw("DISTINCT")) { next(); true } else false
@@ -633,6 +694,9 @@ object CypherLite {
       case InList(x, _)            => collectProps(x)
       case IsNull(x, _)            => collectProps(x)
       case AggFn(_, Some(a), _)    => collectProps(a)
+      case CaseWhen(bs, els) =>
+        bs.flatMap { case (c, v) => collectProps(c) ++ collectProps(v) } ++
+          els.toSeq.flatMap(collectProps)
       case _                       => Seq.empty
     }
 
@@ -697,6 +761,12 @@ object CypherLite {
           else if (scalarCols.contains(v)) col(v)
           else throw new IllegalArgumentException(s"bare edge variable '$v' not valid here in: $query")
         case Lit(x)       => lit(x)
+        case CaseWhen(branches, otherwise) =>
+          val chained = branches.tail.foldLeft(
+            when(compile(branches.head._1), compile(branches.head._2))) {
+            case (acc, (c, v)) => acc.when(compile(c), compile(v))
+          }
+          otherwise.map(e => chained.otherwise(compile(e))).getOrElse(chained)
         case Not(x)       => !compile(x)
         case InList(x, items) => compile(x).isin(items: _*)
         case IsNull(x, neg)   => if (neg) compile(x).isNotNull else compile(x).isNull
@@ -914,9 +984,41 @@ object CypherLite {
         if (labelConj.isEmpty) seg0
         else seg0.copy(where =
           Some((seg0.where.toSeq ++ labelConj).reduce(Bin("and", _, _))))
+      // UNWIND clauses apply to the carried frame BEFORE the segment's
+      // patterns join on — the unwound scalar is in scope for the MATCH's
+      // WHERE (and for later UNWINDs in the same stack: cross-product
+      // semantics). With nothing carried, the unwind starts from one seed
+      // row, so a literal list yields its elements exactly once. explode()
+      // drops empty/null lists — openCypher's UNWIND-of-empty = no rows.
+      val carriedU: Option[(DataFrame, Scope)] =
+        if (seg.unwinds.isEmpty) carried
+        else {
+          val init = carried.getOrElse(
+            (
+              g.edges.sparkSession.range(1).select(lit(1).as("__unwind_seed")),
+              Scope(Nil, Nil, Nil)))
+          val (uf, us) = seg.unwinds.foldLeft(init) { case ((f, s), u) =>
+            require(
+              !(s.nodes ++ s.rels ++ s.scalars).contains(u.alias),
+              s"UNWIND alias '${u.alias}' collides with a variable in scope in: $query")
+            val comp = compiler(
+              s.nodes.map(v => v -> nodeCol(v)).toMap,
+              s.rels.toSet,
+              s.scalars.toSet)
+            val listCol = u.list match {
+              case Left(items) => array(items.map(lit): _*)
+              case Right(e)    => comp(e)
+            }
+            (
+              f.select(f.columns.map(col) :+ explode(listCol).as(u.alias): _*),
+              s.copy(scalars = s.scalars :+ u.alias))
+          }
+          Some((uf.drop("__unwind_seed"), us))
+        }
       if (seg.patterns.isEmpty) {
-        // empty segment: a WITH fed straight into another WITH or RETURN
-        val (cf, cs) = carried.getOrElse(throw new IllegalArgumentException(
+        // empty segment: a WITH (or UNWIND stack) fed straight into
+        // another WITH or RETURN
+        val (cf, cs) = carriedU.getOrElse(throw new IllegalArgumentException(
           s"internal: empty segment without a preceding WITH in: $query"))
         return (cf, cs)
       }
@@ -924,7 +1026,7 @@ object CypherLite {
         .flatMap(_.nodes.flatMap(_.name)).distinct
       val segRels = (seg.patterns ++ seg.optionals.flatMap(_._1))
         .flatMap(_.rels.flatMap(_.name))
-      val scope = carried match {
+      val scope = carriedU match {
         case None => Scope(segNodes, segRels, Nil)
         case Some((_, cs)) =>
           Scope((cs.nodes ++ segNodes).distinct, cs.rels ++ segRels, cs.scalars)
@@ -935,13 +1037,13 @@ object CypherLite {
       // filtering is equivalent, and Catalyst pushes the filter back down
       val reqNodeVars = seg.patterns.flatMap(_.nodes.flatMap(_.name)).distinct
       val reqRelVars = seg.patterns.flatMap(_.rels.flatMap(_.name))
-      val whereNeedsProps = carried.isEmpty && seg.where.exists(w =>
+      val whereNeedsProps = carriedU.isEmpty && seg.where.exists(w =>
         collectProps(w).exists { case (v, f) =>
           reqNodeVars.contains(v) && nodePropFields.contains(f)
         })
       val (reqFrame0, _, _) = clauseFrame(
         seg.patterns,
-        if (carried.isEmpty && !whereNeedsProps) seg.where else None)
+        if (carriedU.isEmpty && !whereNeedsProps) seg.where else None)
       val reqFrame =
         if (!whereNeedsProps) reqFrame0
         else {
@@ -950,7 +1052,7 @@ object CypherLite {
             reqRelVars.toSet, Set.empty, withNodeProps = true)
           withProps(reqFrame0, seg.where.toSeq, reqNodeVars).filter(comp(seg.where.get))
         }
-      val base = carried match {
+      val base = carriedU match {
         case None => reqFrame
         case Some((cf, cs)) =>
           val shared = cf.columns.intersect(reqFrame.columns).toSeq

@@ -4978,6 +4978,51 @@ object Queries {
            |SELECT src AS id FROM e0 WHERE layer = 'click'
            |UNION
            |SELECT dst FROM e0 WHERE layer = 'view'""".stripMargin)),
+    (
+      "q_cypher_unwind",
+      // UNWIND row generation (openCypher): a literal cohort list unwound
+      // into scope, the following MATCH's WHERE referencing the unwound
+      // value (Catalyst rewrites the cross-join + equality into an
+      // equi-join); per-cohort aggregates under implicit grouping
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "UNWIND [0, 1, 2] AS cohort MATCH (a)-[e:click]->(b) " +
+          "WHERE a % 3 = cohort " +
+          "RETURN cohort, COUNT(e) AS n, COUNT(DISTINCT a) AS na ORDER BY cohort"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+           |cohorts AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS cohort)
+           |SELECT c.cohort, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(DISTINCT e0.src) AS BIGINT) AS na
+           |FROM cohorts c JOIN e0 ON e0.layer = 'click' AND e0.src % 3 = c.cohort
+           |GROUP BY c.cohort ORDER BY c.cohort""".stripMargin)),
+    (
+      "q_cypher_case",
+      // generic-form CASE as an implicit grouping key: time-of-window
+      // buckets over click edges, counted per bucket
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b) " +
+          "RETURN CASE WHEN e.time < 1704326400000 THEN 'd1' " +
+          "WHEN e.time < 1704499200000 THEN 'd2' ELSE 'later' END AS bucket, " +
+          "COUNT(*) AS n, COUNT(DISTINCT a) AS na ORDER BY bucket"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer,
+           |    epoch_us(ts) // 1000 AS tms FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT CASE WHEN tms < 1704326400000 THEN 'd1'
+           |    WHEN tms < 1704499200000 THEN 'd2' ELSE 'later' END AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(DISTINCT src) AS BIGINT) AS na
+           |FROM e0 WHERE layer = 'click'
+           |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
     // ---- composite property-filter + prefix/fuzzy search (parity with
     //      searcher.rs:30-62 search_nodes(filter, limit, offset)) ----

@@ -611,4 +611,88 @@ class CypherLiteSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       CypherLite.run(g, "MATCH (a {name: 'x'})-[e]->(b) RETURN a"))
   }
+
+  test("UNWIND a literal list: one row per element; chained = cross product") {
+    val xs = CypherLite.run(g, "UNWIND [1, 2, 3] AS x RETURN x")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(xs == Seq(1L, 2L, 3L))
+    val pairs = CypherLite.run(g, "UNWIND [1, 2] AS x UNWIND [10, 20] AS y RETURN x, y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs == Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)))
+    // empty list → no rows (openCypher)
+    assert(CypherLite.run(g, "UNWIND [] AS x RETURN x").count() == 0L)
+  }
+
+  test("UNWIND feeds a MATCH: the unwound value is visible in WHERE") {
+    // nodes 2 and 3 each have exactly one outgoing KNOWS edge... node 2 has
+    // 2→3 and 2→4 (two), node 3 has none outgoing KNOWS (3→4 is WORKS)
+    val rows = CypherLite.run(
+      g,
+      "UNWIND [1, 2] AS x MATCH (a)-[e:KNOWS]->(b) WHERE a = x RETURN x, COUNT(e) AS n ORDER BY x")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("collect() → UNWIND round trip restores the rows") {
+    val rows = CypherLite.run(
+      g,
+      "MATCH (a)-[e:KNOWS]->(b) WITH a, collect(e.time) AS ts " +
+        "UNWIND ts AS t RETURN a, t ORDER BY a, t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 20L), (2L, 60L)))
+  }
+
+  test("UNWIND then WITH aggregates over the unwound rows") {
+    val s = CypherLite.run(
+      g,
+      "UNWIND [1, 2, 3, 4] AS x WITH SUM(x) AS s RETURN s")
+      .first().getLong(0)
+    assert(s == 10L)
+  }
+
+  test("CASE WHEN: value branches in items, WHERE and grouping keys") {
+    // bucket edges by time: <25 → 'early', <45 → 'mid', else 'late'
+    val rows = CypherLite.run(
+      g,
+      "MATCH ()-[e]->() RETURN CASE WHEN e.time < 25 THEN 'early' " +
+        "WHEN e.time < 45 THEN 'mid' ELSE 'late' END AS bucket, " +
+        "COUNT(*) AS n ORDER BY bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("early", 2L), ("late", 1L), ("mid", 2L)))
+    // missing ELSE yields null
+    val n = CypherLite.run(
+      g,
+      "MATCH ()-[e]->() RETURN CASE WHEN e.time < 25 THEN 1 END AS flag, COUNT(*) AS n ORDER BY flag")
+    val collected = n.collect()
+    assert(collected.length == 2)
+    assert(collected.exists(_.isNullAt(0)))
+    // CASE composes with arithmetic
+    val v = CypherLite.run(
+      g,
+      "MATCH ()-[e]->() WHERE e.time = 10 RETURN CASE WHEN e.time > 5 THEN 100 ELSE 0 END + 1 AS v")
+      .first().getLong(0)
+    assert(v == 101L)
+  }
+
+  test("CASE validation is loud") {
+    // simple-form CASE is refused
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH ()-[e]->() RETURN CASE e.time WHEN 10 THEN 1 END AS x"))
+    // missing END
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH ()-[e]->() RETURN CASE WHEN e.time > 5 THEN 1 AS x"))
+  }
+
+  test("UNWIND validation is loud") {
+    // alias collides with a carried variable
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) WITH a, collect(e.time) AS ts " +
+        "UNWIND ts AS a RETURN a"))
+    // missing AS
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "UNWIND [1, 2] x RETURN x"))
+    // unknown variable as the list
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "UNWIND zs AS x RETURN x"))
+  }
 }
