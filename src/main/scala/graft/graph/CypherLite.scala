@@ -88,7 +88,15 @@ import org.apache.spark.sql.functions._
  *    collect→UNWIND round trip). UNWIND clauses stack (later ones may
  *    reference earlier aliases; cross-product semantics) and may open a
  *    query, follow a WITH, or precede a MATCH whose WHERE references the
- *    unwound value. An empty or null list yields no rows (openCypher).
+ *    unwound value. An empty or null list yields no rows (openCypher);
+ *  - `[NOT] EXISTS { [MATCH] pattern[, …] [WHERE …] }` pattern predicates
+ *    as top-level AND conjuncts of a required-MATCH WHERE: each compiles
+ *    to a LEFT SEMI (ANTI) join on the node variables shared with the
+ *    outer MATCH (at least one required; no row duplication). The inner
+ *    WHERE is scoped to the subpattern's variables (shared nodes
+ *    included); relationship uniqueness is clause-scoped, so subquery
+ *    edges may coincide with outer ones (openCypher); labels inside
+ *    EXISTS are not supported.
  *
  * Field names: edges expose src, dst, ts (alias `time`), event_id, layer
  * (`type(e)` ≡ `e.layer`); a node variable IS its id. Returned edge
@@ -139,6 +147,12 @@ object CypherLite {
   private final case class CaseWhen(
       branches: Seq[(Expr, Expr)],
       otherwise: Option[Expr]) extends Expr
+  /** `EXISTS { [MATCH] patterns [WHERE …] }` — an existential pattern
+    * predicate. Only valid as a top-level AND conjunct of a required-MATCH
+    * WHERE (it compiles to a semi/anti JOIN, not a Column). */
+  private final case class ExistsPat(
+      patterns: Seq[Pattern],
+      where: Option[Expr]) extends Expr
   /** Aggregate call: fn ∈ count/sum/min/max/avg. `COUNT(*)` has no arg;
     * DISTINCT is honoured for count/sum (a no-op for min/max, refused for
     * avg). */
@@ -462,6 +476,20 @@ object CypherLite {
       else cmpExpr()
 
     private def cmpExpr(): Expr = {
+      if (kw("EXISTS")) {
+        // `EXISTS { [MATCH] pattern[, pattern…] [WHERE …] }` — an
+        // existential subquery predicate (openCypher); NOT EXISTS arrives
+        // via the generic NOT wrapper
+        next()
+        eat("{")
+        if (kw("MATCH")) next()
+        val ps = Seq.newBuilder[Pattern]
+        ps += pattern()
+        while (peek.kind == ",") { next(); ps += pattern() }
+        val w = if (kw("WHERE")) { next(); Some(boolExpr()) } else None
+        eat("}")
+        return ExistsPat(ps.result(), w)
+      }
       if (peek.kind == "(") {
         // lookahead: parenthesized boolean vs nothing else starts with (
         next()
@@ -791,6 +819,10 @@ object CypherLite {
         case _: AggFn  =>
           throw new IllegalArgumentException(
             s"aggregates are only valid in RETURN/WITH items: $query")
+        case _: ExistsPat =>
+          throw new IllegalArgumentException(
+            s"EXISTS { … } is only supported as a top-level AND conjunct " +
+              s"of a required-MATCH WHERE in: $query")
       }
       compile
     }
@@ -980,10 +1012,35 @@ object CypherLite {
         require(ps.flatMap(_.nodes).forall(_.label.isEmpty),
           s"node labels inside OPTIONAL MATCH are not supported in: $query")
       }
-      val seg =
+      val segL =
         if (labelConj.isEmpty) seg0
         else seg0.copy(where =
           Some((seg0.where.toSeq ++ labelConj).reduce(Bin("and", _, _))))
+      // EXISTS / NOT EXISTS pattern predicates compile to semi/anti JOINS,
+      // not Columns — peel them off the WHERE's top-level AND conjunction
+      // here (any deeper placement — under OR/inside WITH — fails loudly
+      // in the expression compiler) and apply them after the base frame
+      // is assembled
+      def conjuncts(e: Expr): Seq[Expr] = e match {
+        case Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
+        case other            => Seq(other)
+      }
+      val (existsConj, plainConj) =
+        segL.where.map(conjuncts).getOrElse(Nil).partition {
+          case _: ExistsPat      => true
+          case Not(_: ExistsPat) => true
+          case _                 => false
+        }
+      val seg = segL.copy(where = plainConj.reduceOption(Bin("and", _, _)))
+      existsConj.foreach { e =>
+        val pats = e match {
+          case Not(x: ExistsPat) => x.patterns
+          case x: ExistsPat      => x.patterns
+          case _                 => Nil
+        }
+        require(pats.flatMap(_.nodes).forall(_.label.isEmpty),
+          s"node labels inside EXISTS are not supported in: $query")
+      }
       // UNWIND clauses apply to the carried frame BEFORE the segment's
       // patterns join on — the unwound scalar is in scope for the MATCH's
       // WHERE (and for later UNWINDs in the same stack: cross-product
@@ -1070,7 +1127,28 @@ object CypherLite {
             case None => joined
           }
       }
-      val f = seg.optionals.foldLeft(base) {
+      // EXISTS / NOT EXISTS: each subpattern compiles to its own clause
+      // frame (inner WHERE scoped to the subpattern's variables, shared
+      // nodes included), then a LEFT SEMI (ANTI for NOT) join on the
+      // shared node columns — openCypher's existential semantics with no
+      // row duplication; Catalyst plans the usual broadcast/hash semi.
+      // Relationship uniqueness is clause-scoped (openCypher): the
+      // subquery's edges may coincide with the outer MATCH's.
+      val withExists = existsConj.foldLeft(base) { (acc, e) =>
+        val (neg, ex) = e match {
+          case Not(x: ExistsPat) => (true, x)
+          case x: ExistsPat      => (false, x)
+          case other => throw new IllegalStateException(s"unexpected $other")
+        }
+        val (ef, _, _) = clauseFrame(ex.patterns, ex.where)
+        val shared = acc.columns.intersect(ef.columns)
+          .filter(_.startsWith("__node_")).toSeq
+        require(shared.nonEmpty,
+          s"EXISTS subpattern must share at least one node variable " +
+            s"with the outer MATCH in: $query")
+        acc.join(ef, shared, if (neg) "left_anti" else "left_semi")
+      }
+      val f = seg.optionals.foldLeft(withExists) {
         case (acc, (ps, w)) =>
           val (of, oNode, _) = clauseFrame(ps, w)
           val shared = oNode.map(nodeCol).filter(acc.columns.contains)

@@ -5001,6 +5001,26 @@ object Queries {
            |FROM cohorts c JOIN e0 ON e0.layer = 'click' AND e0.src % 3 = c.cohort
            |GROUP BY c.cohort ORDER BY c.cohort""".stripMargin)),
     (
+      "q_cypher_exists",
+      // [NOT] EXISTS pattern predicate → left semi/anti join: click edges
+      // whose target also emits a view edge, counted per target (the
+      // two-hop reachability shape without row duplication)
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b) WHERE EXISTS { MATCH (b)-[f:view]->(c) } " +
+          "RETURN b, COUNT(e) AS n ORDER BY b LIMIT 100"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT c.dst AS b, CAST(count(*) AS BIGINT) AS n
+           |FROM e0 c
+           |WHERE c.layer = 'click' AND EXISTS (
+           |  SELECT 1 FROM e0 v WHERE v.layer = 'view' AND v.src = c.dst)
+           |GROUP BY c.dst ORDER BY b LIMIT 100""".stripMargin)),
+    (
       "q_cypher_case",
       // generic-form CASE as an implicit grouping key: time-of-window
       // buckets over click edges, counted per bucket

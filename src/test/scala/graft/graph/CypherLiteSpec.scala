@@ -683,6 +683,49 @@ class CypherLiteSpec extends SparkSpec {
       CypherLite.run(g, "MATCH ()-[e]->() RETURN CASE WHEN e.time > 5 THEN 1 AS x"))
   }
 
+  test("EXISTS pattern predicate is a semi join on shared node variables") {
+    // KNOWS edges: 1→2, 2→3, 2→4; b has outgoing WORKS only for b=3 (3→4)
+    // and b=4 (4→1)
+    val rows = CypherLite.run(
+      g,
+      "MATCH (a)-[e:KNOWS]->(b) WHERE EXISTS { MATCH (b)-[f:WORKS]->(c) } " +
+        "RETURN a, b ORDER BY a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((2L, 3L), (2L, 4L)))
+    // NOT EXISTS is the anti-join complement
+    val anti = CypherLite.run(
+      g,
+      "MATCH (a)-[e:KNOWS]->(b) WHERE NOT EXISTS { (b)-[f:WORKS]->(c) } " +
+        "RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(anti == Seq((1L, 2L)))
+    // the inner WHERE scopes to the subpattern: only 4→1 (t=40) passes
+    val inner = CypherLite.run(
+      g,
+      "MATCH (a)-[e:KNOWS]->(b) WHERE EXISTS { (b)-[f:WORKS]->(c) WHERE f.time > 35 } " +
+        "RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inner == Seq((2L, 4L)))
+    // EXISTS composes with plain conjuncts and row multiplicity is kept
+    val mixed = CypherLite.run(
+      g,
+      "MATCH (a)-[e:KNOWS]->(b) WHERE e.time > 15 AND EXISTS { (b)-[f:WORKS]->(c) } " +
+        "RETURN COUNT(*) AS n")
+      .first().getLong(0)
+    assert(mixed == 2L)
+  }
+
+  test("EXISTS validation is loud") {
+    // EXISTS under OR is refused (it is a join, not a Column)
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) " +
+        "WHERE e.time > 0 OR EXISTS { (b)-[f:WORKS]->(c) } RETURN a"))
+    // no shared variable
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH (a)-[e]->(b) " +
+        "WHERE EXISTS { (x)-[f:WORKS]->(y) } RETURN a"))
+  }
+
   test("UNWIND validation is loud") {
     // alias collides with a carried variable
     intercept[IllegalArgumentException](
