@@ -96,7 +96,9 @@ import org.apache.spark.sql.functions._
  *    WHERE is scoped to the subpattern's variables (shared nodes
  *    included); relationship uniqueness is clause-scoped, so subquery
  *    edges may coincide with outer ones (openCypher); labels inside
- *    EXISTS are not supported.
+ *    EXISTS are not supported. The openCypher-9 pattern-predicate sugar
+ *    `WHERE (b)-[:L]->(c)` / `WHERE NOT (b)-[:L]->(c)` desugars to the
+ *    same EXISTS machinery.
  *
  * Field names: edges expose src, dst, ts (alias `time`), event_id, layer
  * (`type(e)` ≡ `e.layer`); a node variable IS its id. Returned edge
@@ -475,7 +477,23 @@ object CypherLite {
       if (kw("NOT")) { next(); Not(notExpr()) }
       else cmpExpr()
 
+    /** Lookahead for a pattern predicate `(b)-[:L]->(c)` at a WHERE
+      * position where `(` could also open a boolean group: a paren section
+      * with no nested parens whose close is followed by `-`/arrow can only
+      * be a node pattern (value-level parens are unsupported, and a closed
+      * boolean group is never followed by a dash). */
+    private def looksLikePatternPredicate: Boolean = {
+      var k = i + 1
+      while (k < toks.length && toks(k).kind != ")" && toks(k).kind != "(") k += 1
+      k + 1 < toks.length && toks(k).kind == ")" &&
+        (toks(k + 1).kind == "-" || toks(k + 1).kind == "arrow")
+    }
+
     private def cmpExpr(): Expr = {
+      if (peek.kind == "(" && looksLikePatternPredicate) {
+        // openCypher 9 pattern predicate — sugar for EXISTS { pattern }
+        return ExistsPat(Seq(pattern()), None)
+      }
       if (kw("EXISTS")) {
         // `EXISTS { [MATCH] pattern[, pattern…] [WHERE …] }` — an
         // existential subquery predicate (openCypher); NOT EXISTS arrives

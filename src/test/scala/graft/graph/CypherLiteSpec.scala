@@ -715,6 +715,24 @@ class CypherLiteSpec extends SparkSpec {
     assert(mixed == 2L)
   }
 
+  test("pattern predicates (b)-[:L]->() desugar to EXISTS (openCypher 9)") {
+    val rows = CypherLite.run(
+      g,
+      "MATCH (a)-[e:KNOWS]->(b) WHERE (b)-[f:WORKS]->(c) RETURN a, b ORDER BY a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((2L, 3L), (2L, 4L)))
+    val anti = CypherLite.run(
+      g,
+      "MATCH (a)-[e:KNOWS]->(b) WHERE NOT (b)-[f:WORKS]->(c) RETURN a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(anti == Seq((1L, 2L)))
+    // boolean groups still parse: a leading paren NOT followed by a dash
+    assert(CypherLite.run(
+      g,
+      "MATCH (a)-[e]->(b) WHERE (e.time > 15 AND e.time < 45) OR a = 1 RETURN COUNT(*) AS n")
+      .first().getLong(0) == 4L)
+  }
+
   test("EXISTS validation is loud") {
     // EXISTS under OR is refused (it is a join, not a Column)
     intercept[IllegalArgumentException](
