@@ -5001,6 +5001,38 @@ object Queries {
            |FROM cohorts c JOIN e0 ON e0.layer = 'click' AND e0.src % 3 = c.cohort
            |GROUP BY c.cohort ORDER BY c.cohort""".stripMargin)),
     (
+      "q_graph_null_permuted",
+      // permuted-timestamps null model (reference python surface,
+      // nullmodels.py:93 permuted_timestamps_model; Holme–Saramäki
+      // randomized reference models): the edge list with ts shuffled
+      // across rows by the deterministic two-hash-rank permutation —
+      // static multigraph and timestamp multiset preserved, temporal
+      // ordering destroyed. Full replay: DuckDB ranks rows and values
+      // under the same portable two-stage hashes with plain global
+      // row_numbers; Spark's two-phase sharded rank must agree exactly.
+      (s, d) => graft.graph.NullModels
+        .permutedTimestamps(eventEdges(s, d), seed = 42L)
+        .select(col("event_id"), col("src"), col("dst"), col("layer"), col("ts")),
+      Some {
+        import graft.ml.GraphLearn._
+        val h1 = hmixSql(0L, hmixSql(42L, "event_id" -> M1) -> M3)
+        val h2 = hmixSql(0L, hmixSql(42L, "event_id" -> M2) -> M4)
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_id, event_type AS layer,
+           |    epoch_us(ts) // 1000 AS tms FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+           |r1 AS (
+           |  SELECT src, dst, event_id, layer,
+           |    row_number() OVER (ORDER BY $h1, event_id) AS rk FROM e0),
+           |r2 AS (
+           |  SELECT tms,
+           |    row_number() OVER (ORDER BY $h2, event_id) AS rk FROM e0)
+           |SELECT r1.event_id, r1.src, r1.dst, r1.layer, r2.tms AS ts
+           |FROM r1 JOIN r2 USING (rk)""".stripMargin
+      }),
+    (
       "q_cypher_exists",
       // [NOT] EXISTS pattern predicate → left semi/anti join: click edges
       // whose target also emits a view edge, counted per target (the
