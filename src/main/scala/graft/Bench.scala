@@ -359,6 +359,14 @@ object Bench {
     val (_, tRel) = time(SparkEntry.queries("q_agg_groupby")(spark, sfDir).count())
     results += "q_agg_groupby" -> tRel
 
+    // permuted-timestamps null model on the event edges (two two-phase
+    // ranks + one rank-keyed join — the shuffled-column reference model)
+    val (_, tNull) = time(
+      graft.graph.NullModels
+        .permutedTimestamps(graft.rel.Queries.eventEdges(spark, sfDir))
+        .count())
+    results += "graph_null_permuted" -> tNull
+
     // --- LLM-pipeline operators on the provided testdata (the ML surface
     // is graded first-class; measure it, don't guess) ---
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").persist()
