@@ -124,6 +124,48 @@ object NullModels {
       shuffleColumn(acc, c, keyCol, seed + 1000003L * (k + 1), shards)
     }
 
+  /**
+   * A column's values permuted WITHIN groups (beyond the reference's
+   * three global shuffles; the Holme–Saramäki "link-sequence shuffled"
+   * family): rows sharing `groupCols` trade values only among themselves
+   * — e.g. group by (src, dst) to shuffle each link's timestamps while
+   * preserving every link's own timestamp multiset, or by `layer` to
+   * scramble time within layers only.
+   *
+   * Plan shape: the group key rides in both rank windows'
+   * `partitionBy`, so this needs NO two-phase machinery — per-group
+   * `row_number`s distribute on the group key (skew bounded by the
+   * largest group) and the hand-off join keys on (group, rank).
+   */
+  def shuffleColumnWithin(
+      df: DataFrame,
+      column: String,
+      groupCols: Seq[String],
+      keyCol: String,
+      seed: Long = 42L): DataFrame = {
+    require(df.columns.contains(column), s"no column '$column' to shuffle")
+    require(df.columns.contains(keyCol), s"no key column '$keyCol'")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(groupCols.forall(df.columns.contains), s"unknown group column in $groupCols")
+    require(!groupCols.contains(column) && column != keyCol,
+      "cannot shuffle a grouping or key column")
+    val h1 = GraphLearn.hmix(
+      0L, GraphLearn.hmix(seed, col(keyCol) -> GraphLearn.M1) -> GraphLearn.M3)
+    val h2 = GraphLearn.hmix(
+      0L, GraphLearn.hmix(seed, col(keyCol) -> GraphLearn.M2) -> GraphLearn.M4)
+    val outCols = df.columns.toSeq
+    val gc = groupCols.map(col)
+    val w1 = Window.partitionBy(gc: _*).orderBy(h1, col(keyCol))
+    val w2 = Window.partitionBy(gc: _*).orderBy(h2, col(keyCol))
+    val rows = df.drop(column).withColumn("__rank", row_number().over(w1))
+    val vals = df.select((groupCols :+ column :+ keyCol).distinct.map(col): _*)
+      .withColumn("__rank", row_number().over(w2))
+      .select((groupCols :+ "__rank").map(col) :+ col(column): _*)
+    rows
+      .join(vals, groupCols :+ "__rank")
+      .select(outCols.map(col): _*)
+  }
+
   /** The permuted-timestamps reference model (nullmodels.py
     * `permuted_timestamps_model`): the `ts` column shuffled across the
     * edge list — static multigraph and timestamp multiset preserved,

@@ -5033,6 +5033,38 @@ object Queries {
            |FROM r1 JOIN r2 USING (rk)""".stripMargin
       }),
     (
+      "q_graph_null_within",
+      // grouped null model (the Holme–Saramäki link-sequence-shuffled
+      // family, beyond the reference's global shuffles): timestamps
+      // permuted WITHIN each layer — per-layer time multisets preserved,
+      // cross-layer structure untouched. Per-group rank windows partition
+      // on the group key, so DuckDB replays them as plain windowed
+      // row_numbers
+      (s, d) => graft.graph.NullModels
+        .shuffleColumnWithin(eventEdges(s, d), "ts", Seq("layer"), "event_id", seed = 7L)
+        .select(col("event_id"), col("src"), col("dst"), col("layer"), col("ts")),
+      Some {
+        import graft.ml.GraphLearn._
+        val h1 = hmixSql(0L, hmixSql(7L, "event_id" -> M1) -> M3)
+        val h2 = hmixSql(0L, hmixSql(7L, "event_id" -> M2) -> M4)
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_id, event_type AS layer,
+           |    epoch_us(ts) // 1000 AS tms FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+           |r1 AS (
+           |  SELECT src, dst, event_id, layer,
+           |    row_number() OVER (PARTITION BY layer ORDER BY $h1, event_id) AS rk
+           |  FROM e0),
+           |r2 AS (
+           |  SELECT layer, tms,
+           |    row_number() OVER (PARTITION BY layer ORDER BY $h2, event_id) AS rk
+           |  FROM e0)
+           |SELECT r1.event_id, r1.src, r1.dst, r1.layer, r2.tms AS ts
+           |FROM r1 JOIN r2 USING (layer, rk)""".stripMargin
+      }),
+    (
       "q_cypher_exists",
       // [NOT] EXISTS pattern predicate → left semi/anti join: click edges
       // whose target also emits a view edge, counted per target (the

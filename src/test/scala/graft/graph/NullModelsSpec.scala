@@ -106,6 +106,40 @@ class NullModelsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("shuffleColumnWithin permutes only inside each group") {
+    val in = edges
+    val out = NullModels.shuffleColumnWithin(in, "ts", Seq("layer"), "event_id", seed = 5L)
+    // per-group ts multisets preserved exactly
+    val a = in.groupBy("layer", "ts").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val b = out.groupBy("layer", "ts").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    // other columns untouched per key; something moved within groups
+    val j = in.as("i").join(out.as("o"), "event_id")
+    assert(j.filter(col("i.src") =!= col("o.src") || col("i.layer") =!= col("o.layer"))
+      .count() == 0L)
+    assert(j.filter(col("i.ts") =!= col("o.ts")).count() > 50L)
+    // repartition-invariant
+    val one = out.select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val two = NullModels
+      .shuffleColumnWithin(in.repartition(13), "ts", Seq("layer"), "event_id", seed = 5L)
+      .select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(one == two)
+  }
+
+  test("link-sequence shuffle: per-(src,dst) timestamp multisets preserved") {
+    val in = edges
+    val out = NullModels.shuffleColumnWithin(in, "ts", Seq("src", "dst"), "event_id", seed = 9L)
+    val a = in.groupBy("src", "dst", "ts").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = out.groupBy("src", "dst", "ts").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b)
+  }
+
   test("validation is loud") {
     intercept[IllegalArgumentException](
       NullModels.shuffleColumn(edges, "nope", "event_id"))
@@ -113,5 +147,7 @@ class NullModelsSpec extends SparkSpec {
       NullModels.shuffleColumn(edges, "ts", "nope"))
     intercept[IllegalArgumentException](
       NullModels.shuffleColumn(edges, "event_id", "event_id"))
+    intercept[IllegalArgumentException](
+      NullModels.shuffleColumnWithin(edges, "layer", Seq("layer"), "event_id"))
   }
 }
