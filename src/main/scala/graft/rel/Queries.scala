@@ -2153,6 +2153,58 @@ object Queries {
           |SELECT id, community FROM f""".stripMargin)),
 
     (
+      "q_graph_louvain_ring",
+      // THIRD provably-unique Louvain topology (cycle case): equal-size
+      // cliques arranged in a RING — one bridge from each kept clique's
+      // min node to the next kept clique's min node, cyclically — so a
+      // chain of pairwise merges could in principle cascade around the
+      // cycle. It cannot: at every level the pairwise merge test is
+      // 2m·l_AB > d_A·d_B (aggregation preserves it — self-loops ride in
+      // the degrees); with l_AB ≤ 2 (the nB=2 parallel-bridge edge case)
+      // and the clique count capped at 40, 4m ≤ ~21.5k while the smallest
+      // adjacent product at size-12 cliques is (132+2)² ≈ 18.0k — and
+      // sizes grow with n above the cap, the product growing ~s⁴ against
+      // m's ~s². Defection across a bridge loses ≥ s−2 internal edges.
+      // Unique fixpoint: one community per clique, labelled min member.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.{Window => W}
+        val ids = t(s, d, "events")
+          .select(col("user_id").cast("long").as("id")).distinct()
+        val nB = math.min(math.max(ids.count() / 12L, 3L), 40L)
+        val b = ids.withColumn("bucket", pmod(col("id"), lit(nB)))
+        val sized = b.join(
+          b.groupBy("bucket").agg(count(lit(1)).as("k"))
+            .filter(col("k") >= 3).select("bucket"),
+          Seq("bucket"))
+        val clique = sized.select(col("bucket"), col("id").as("src"))
+          .join(sized.select(col("bucket"), col("id").as("dst")), Seq("bucket"))
+          .filter(col("src") < col("dst"))
+          .select("src", "dst")
+        val mins = sized.groupBy("bucket").agg(min("id").as("mid"))
+          .withColumn("rn", row_number().over(W.orderBy("bucket")).cast("long"))
+        val nKept = mins.count()
+        val ring = mins.select(col("mid").as("src"), col("rn").as("ra"))
+          .join(
+            mins.select(col("mid").as("dst"), col("rn").as("rb")),
+            col("ra") % nKept + 1L === col("rb"))
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst")
+        val edges = clique.unionByName(ring)
+          .withColumn("ts", lit(0L))
+          .withColumn("event_id", lit(0L))
+          .withColumn("layer", lit("_default"))
+        graft.algos.Louvain.run(s, TemporalGraph(edges))
+      },
+      Some(
+        """WITH ids AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS id FROM events),
+          |nb AS (SELECT least(greatest(count(*) // 12, 3), 40) AS n FROM ids),
+          |b AS (SELECT id, id % (SELECT n FROM nb) AS bucket FROM ids),
+          |k AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) >= 3),
+          |f AS (SELECT x.id, min(x.id) OVER (PARTITION BY x.bucket) AS community
+          |      FROM b x JOIN k USING (bucket))
+          |SELECT id, community FROM f""".stripMargin)),
+
+    (
       "q_graph_rich_club",
       // temporal rich-club coefficient (temporal_rich_club_coefficient.rs:59;
       // Pedreschi et al. 2022): club = degree ≥ 5 in the aggregate graph,
