@@ -187,6 +187,13 @@ object Explain {
         graft.algos.Reach.registers(spark, g2, iters = 0)).explain("formatted")
     }
 
+    println("==== null-model permuted timestamps (two two-phase ranks + rank join) ====")
+    // expected: NO single-partition global sort on the data path — the
+    // only Window without partitionBy is the per-shard bases frame
+    // (shards rows, broadcast back); both rank windows partition on
+    // __shard and the hand-off joins on __rank
+    graft.SparkEntry.queries("q_graph_null_permuted")(spark, sfDir).explain("formatted")
+
     spark.stop()
   }
 
