@@ -43,7 +43,9 @@ import org.apache.spark.sql.functions._
  *    (+ − * / %, unary minus, standard precedence) anywhere a value
  *    appears — items, WHERE, ORDER BY — with arithmetic RETURN/WITH
  *    items requiring an `AS` alias (value-level parens unsupported:
- *    a leading paren always opens a boolean group); generic-form
+ *    a leading paren always opens a boolean group); scalar functions
+ *    `coalesce(…)`, `abs(x)`, `sign(x)`, `toLower(s)`, `toUpper(s)`,
+ *    `size(s)` (string length) anywhere a value appears; generic-form
  *    `CASE WHEN cond THEN val … [ELSE val] END` anywhere a value appears
  *    (branches in order, missing ELSE = null; the simple `CASE x WHEN`
  *    form is not supported);
@@ -155,6 +157,8 @@ object CypherLite {
   private final case class ExistsPat(
       patterns: Seq[Pattern],
       where: Option[Expr]) extends Expr
+  /** Scalar function call — the supported set is [[ScalarFns]]. */
+  private final case class ScalarFn(fn: String, args: Seq[Expr]) extends Expr
   /** Aggregate call: fn ∈ count/sum/min/max/avg. `COUNT(*)` has no arg;
     * DISTINCT is honoured for count/sum (a no-op for min/max, refused for
     * avg). */
@@ -244,6 +248,7 @@ object CypherLite {
   private final class P(toks: Vector[Tok], q: String) {
     private var i = 0
     def peek: Tok = if (i < toks.length) toks(i) else Tok("eof", "")
+    def peekAhead(k: Int): Tok = if (i + k < toks.length) toks(i + k) else Tok("eof", "")
     def next(): Tok = { val t = peek; i += 1; t }
     def kw(word: String): Boolean =
       peek.kind == "ident" && peek.text.equalsIgnoreCase(word)
@@ -613,6 +618,21 @@ object CypherLite {
             val v = eat("ident").text
             eat(")")
             TypeOf(v)
+          } else if (ScalarFns.contains(t.text.toLowerCase) && peekAhead(1).kind == "(") {
+            val fn = t.text.toLowerCase
+            next(); eat("(")
+            val args = Seq.newBuilder[Expr]
+            if (peek.kind != ")") {
+              args += valueExpr()
+              while (peek.kind == ",") { next(); args += valueExpr() }
+            }
+            eat(")")
+            val as = args.result()
+            val (lo, hi, _) = ScalarFns(fn)
+            require(as.size >= lo && as.size <= hi,
+              s"$fn takes ${if (hi == Int.MaxValue) s"$lo+" else s"$lo..$hi"} " +
+                s"arguments, got ${as.size} in: $q")
+            ScalarFn(fn, as)
           } else {
             val name = next().text
             if (peek.kind == ".") { next(); Prop(name, eat("ident").text) }
@@ -628,6 +648,14 @@ object CypherLite {
 
   private val EdgeFields = Seq("src", "dst", "ts", "event_id", "layer")
   private val AggFns = Set("count", "sum", "min", "max", "avg", "collect")
+  /** Scalar functions → (arity range, Column builder). */
+  private val ScalarFns: Map[String, (Int, Int, Seq[Column] => Column)] = Map(
+    "coalesce" -> ((1, Int.MaxValue, (cs: Seq[Column]) => coalesce(cs: _*))),
+    "abs" -> ((1, 1, (cs: Seq[Column]) => abs(cs.head))),
+    "sign" -> ((1, 1, (cs: Seq[Column]) => signum(cs.head).cast("long"))),
+    "tolower" -> ((1, 1, (cs: Seq[Column]) => lower(cs.head))),
+    "toupper" -> ((1, 1, (cs: Seq[Column]) => upper(cs.head))),
+    "size" -> ((1, 1, (cs: Seq[Column]) => length(cs.head).cast("long"))))
 
   /** Parse + translate a Cypher-lite query against a temporal graph. */
   def run(g: TemporalGraph, query: String): DataFrame = run(g, query, None)
@@ -743,6 +771,7 @@ object CypherLite {
       case CaseWhen(bs, els) =>
         bs.flatMap { case (c, v) => collectProps(c) ++ collectProps(v) } ++
           els.toSeq.flatMap(collectProps)
+      case ScalarFn(_, as)         => as.flatMap(collectProps)
       case _                       => Seq.empty
     }
 
@@ -813,6 +842,7 @@ object CypherLite {
             case (acc, (c, v)) => acc.when(compile(c), compile(v))
           }
           otherwise.map(e => chained.otherwise(compile(e))).getOrElse(chained)
+        case ScalarFn(fn, as) => ScalarFns(fn)._3(as.map(compile))
         case Not(x)       => !compile(x)
         case InList(x, items) => compile(x).isin(items: _*)
         case IsNull(x, neg)   => if (neg) compile(x).isNotNull else compile(x).isNull

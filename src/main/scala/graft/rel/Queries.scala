@@ -5137,6 +5137,25 @@ object Queries {
            |  SELECT 1 FROM e0 v WHERE v.layer = 'view' AND v.src = c.dst)
            |GROUP BY c.dst ORDER BY b LIMIT 100""".stripMargin)),
     (
+      "q_cypher_scalarfns",
+      // scalar functions as implicit grouping keys: upper-cased layer and
+      // the absolute id distance of each click edge, counted per pair
+      (s, d) => graft.graph.CypherLite.run(
+        eventGraph(s, d),
+        "MATCH (a)-[e:click]->(b) " +
+          "RETURN toUpper(e.layer) AS l, abs(a - b) AS dist, COUNT(*) AS n " +
+          "ORDER BY l, dist LIMIT 200"),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_type AS layer FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id)
+           |SELECT upper(layer) AS l, abs(src - dst) AS dist,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM e0 WHERE layer = 'click'
+           |GROUP BY 1, 2 ORDER BY l, dist LIMIT 200""".stripMargin)),
+    (
       "q_cypher_case",
       // generic-form CASE as an implicit grouping key: time-of-window
       // buckets over click edges, counted per bucket

@@ -674,6 +674,29 @@ class CypherLiteSpec extends SparkSpec {
     assert(v == 101L)
   }
 
+  test("scalar functions: coalesce over OPTIONAL MATCH nulls, abs/sign, case/size of strings") {
+    // node 3 has no outgoing KNOWS edge → f is null → coalesce falls back
+    val rows = CypherLite.run(
+      g,
+      "MATCH (a)-[e:WORKS]->(b) OPTIONAL MATCH (b)-[f:KNOWS]->(c) " +
+        "RETURN a, coalesce(f.time, 0 - 1) AS t ORDER BY a, t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // WORKS: 3→4 (b=4: KNOWS 4→? none → -1), 4→1 (b=1: KNOWS 1→2 t=10)
+    assert(rows == Seq((3L, -1L), (4L, 10L)))
+    assert(CypherLite.run(g, "MATCH ()-[e]->() WHERE e.time = 10 RETURN abs(e.time - 25) AS d")
+      .first().getLong(0) == 15L)
+    assert(CypherLite.run(g, "MATCH ()-[e]->() WHERE e.time = 10 RETURN sign(e.time - 25) AS s")
+      .first().getLong(0) == -1L)
+    val up = CypherLite.run(
+      g,
+      "MATCH ()-[e]->() RETURN toLower(e.layer) AS l, size(e.layer) AS n ORDER BY l LIMIT 1")
+      .first()
+    assert(up.getString(0) == "knows" && up.getLong(1) == 5L)
+    // a fn name not followed by ( is still a plain variable
+    intercept[IllegalArgumentException](
+      CypherLite.run(g, "MATCH ()-[e]->() RETURN abs"))
+  }
+
   test("CASE validation is loud") {
     // simple-form CASE is refused
     intercept[IllegalArgumentException](
