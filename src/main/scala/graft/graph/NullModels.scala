@@ -176,4 +176,34 @@ object NullModels {
       keyCol: String = "event_id",
       shards: Int = 64): DataFrame =
     shuffleColumn(edges, "ts", keyCol, seed, shards)
+
+  /**
+   * The directed CONFIGURATION MODEL (degree-preserving rewiring, the
+   * null model Maslov–Sneppen-style edge swaps converge to; beyond the
+   * reference's column shuffles): the entire `dst` column is permuted
+   * across the edge list in one shot. Every node's OUT-degree is exactly
+   * preserved (src never moves) and every node's IN-degree is exactly
+   * preserved (a permutation of the dst column leaves each node's count
+   * in it unchanged) — while all src↔dst correlation (degree–degree
+   * assortativity, community structure, reciprocity) is destroyed. A full
+   * permutation IS the uniform sample here, so no iterative swap rounds
+   * are needed — swap-chain MCMC exists to cope with in-place mutation,
+   * which a column shuffle does not have. (An earlier draft paired edges
+   * under a per-round seeded hash ordering and traded endpoints; the hash
+   * family is affine in the key, so a round seed only ROTATES the
+   * ordering and two rounds re-paired and un-swapped each other — the
+   * one-shot permutation is both simpler and uniform.)
+   *
+   * As in the classic model, the rewired list may contain self-loops and
+   * parallel edges; callers wanting the simple-graph variant filter
+   * afterwards. Deterministic: pure function of (seed, key column).
+   */
+  def configurationModel(
+      edges: DataFrame,
+      seed: Long = 42L,
+      keyCol: String = "event_id",
+      shards: Int = 64): DataFrame = {
+    require(edges.columns.contains("dst"), "edge frame needs a dst column")
+    shuffleColumn(edges, "dst", keyCol, seed, shards)
+  }
 }

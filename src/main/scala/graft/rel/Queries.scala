@@ -5085,6 +5085,35 @@ object Queries {
            |FROM r1 JOIN r2 USING (rk)""".stripMargin
       }),
     (
+      "q_graph_null_config",
+      // directed configuration model (degree-preserving rewiring): the
+      // dst column permuted whole — per-node out- AND in-degree sequences
+      // exactly preserved, all src↔dst correlation destroyed. Same
+      // two-hash-rank permutation, replayed with plain global
+      // row_numbers in DuckDB
+      (s, d) => graft.graph.NullModels
+        .configurationModel(eventEdges(s, d), seed = 21L)
+        .select(col("event_id"), col("src"), col("dst"), col("layer"), col("ts")),
+      Some {
+        import graft.ml.GraphLearn._
+        val h1 = hmixSql(0L, hmixSql(21L, "event_id" -> M1) -> M3)
+        val h2 = hmixSql(0L, hmixSql(21L, "event_id" -> M2) -> M4)
+        s"""WITH e0 AS (
+           |  SELECT user_id AS src, dst, event_id, event_type AS layer,
+           |    epoch_us(ts) // 1000 AS tms FROM (
+           |    SELECT user_id, event_type, event_id, ts,
+           |      lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           |    FROM events) WHERE dst IS NOT NULL AND dst <> user_id),
+           |r1 AS (
+           |  SELECT src, event_id, layer, tms,
+           |    row_number() OVER (ORDER BY $h1, event_id) AS rk FROM e0),
+           |r2 AS (
+           |  SELECT dst,
+           |    row_number() OVER (ORDER BY $h2, event_id) AS rk FROM e0)
+           |SELECT r1.event_id, r1.src, r2.dst, r1.layer, r1.tms AS ts
+           |FROM r1 JOIN r2 USING (rk)""".stripMargin
+      }),
+    (
       "q_graph_null_within",
       // grouped null model (the Holme–Saramäki link-sequence-shuffled
       // family, beyond the reference's global shuffles): timestamps

@@ -140,6 +140,31 @@ class NullModelsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("configurationModel preserves BOTH degree sequences exactly") {
+    val in = edges
+    val out = NullModels.configurationModel(in, seed = 11L)
+    // out-degree per src exactly preserved (src never moves)
+    val a = in.groupBy("src").count().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = out.groupBy("src").count().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // in-degree per node exactly preserved (dst column permuted)
+    val ai = in.groupBy("dst").count().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bi = out.groupBy("dst").count().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ai == bi)
+    // non-dst columns untouched per key; something actually rewired
+    val j = in.as("i").join(out.as("o"), "event_id")
+    assert(j.filter(col("i.src") =!= col("o.src") || col("i.ts") =!= col("o.ts"))
+      .count() == 0L)
+    assert(j.filter(col("i.dst") =!= col("o.dst")).count() > 50L)
+    // determinism + partition invariance
+    val one = out.select("event_id", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val two = NullModels.configurationModel(in.repartition(9), seed = 11L)
+      .select("event_id", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(one == two)
+  }
+
   test("validation is loud") {
     intercept[IllegalArgumentException](
       NullModels.shuffleColumn(edges, "nope", "event_id"))
