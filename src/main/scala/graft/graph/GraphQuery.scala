@@ -263,6 +263,10 @@ object GraphQuery {
       case "shrinkEnd"         => ShrinkEnd(req(n, "end").asLong)
       case "nodeFilter"        => NodeFilter(parsePred(req(n, "filter")).compile)
       case "edgeFilter"        => EdgeFilter(parsePred(req(n, "filter")).compile)
+      case "nullModel" =>
+        NullModel(
+          req(n, "kind").asText,
+          Option(n.get("seed")).map(_.asLong).getOrElse(42L))
       case other => throw new IllegalArgumentException(s"unknown view op: $other")
     }
   }

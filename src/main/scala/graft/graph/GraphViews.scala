@@ -50,6 +50,13 @@ object GraphViews {
     /** Composite node predicate over the node-property table; edges
       * survive iff BOTH endpoints survive (node_filtered_graph). */
     final case class NodeFilter(pred: Column) extends ViewOp
+    /** Randomized reference model over the view's edge list
+      * ([[NullModels]]): kind ∈ permute_ts | permute_ts_within_layer |
+      * configuration. Composes like any other op — e.g. window first,
+      * then permute within the window. The edge frame's `event_id` must
+      * be unique (every loader/EdgeBuilder output is; ties would make
+      * the permutation mapping arbitrary — see [[NullModels]]). */
+    final case class NullModel(kind: String, seed: Long = 42L) extends ViewOp
     /** Composite predicate over the temporal edge rows. */
     final case class EdgeFilter(pred: Column) extends ViewOp
   }
@@ -111,6 +118,16 @@ object GraphViews {
       case NodeFilter(pred) =>
         val ids = pg.nodes.filter(pred).select("id").distinct()
         narrowNodes(g.subgraph(ids), ids)
+      case NullModel(kind, seed) =>
+        val e2 = kind match {
+          case "permute_ts" => NullModels.permutedTimestamps(g.edges, seed)
+          case "permute_ts_within_layer" =>
+            NullModels.shuffleColumnWithin(g.edges, "ts", Seq("layer"), "event_id", seed)
+          case "configuration" => NullModels.configurationModel(g.edges, seed)
+          case other => throw new IllegalArgumentException(
+            s"unknown null model '$other' (permute_ts | permute_ts_within_layer | configuration)")
+        }
+        withGraph(TemporalGraph(e2))
     }
   }
 

@@ -215,4 +215,34 @@ class GraphQuerySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       GraphQuery.parse("""{"view":[{"op":"edgeFilter","filter":{"field":"x","like":"y"}}]}"""))
   }
+
+  test("nullModel view op: permuted timestamps through the wire format") {
+    // the shuffle key must be UNIQUE (fromTriples leaves event_id = 0) —
+    // real loaders/EdgeBuilder assign unique event ids
+    val g = TemporalGraph(GraphQuerySpec.this.g.edges.withColumn("event_id", col("ts")))
+    val json =
+      """{"view":[{"op":"nullModel","kind":"permute_ts","seed":7}],
+        | "select":{"target":"edges"}}""".stripMargin
+    val got = GraphQuery.run(g, json)
+    // same edge count, same ts multiset, static (src,dst) pairs intact
+    assert(got.count() == g.edges.count())
+    assert(got.select("ts").collect().map(_.getLong(0)).sorted.toSeq ==
+      g.edges.select("ts").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(got.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      g.edges.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // equals the direct call
+    val direct = NullModels.permutedTimestamps(g.edges, seed = 7L)
+      .select("event_id", "ts").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got.select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == direct)
+    // composes after a window; unknown kind is loud
+    val windowed = GraphQuery.run(
+      g,
+      """{"view":[{"op":"window","start":15,"end":55},
+        |  {"op":"nullModel","kind":"configuration"}],
+        | "select":{"target":"edges"}}""".stripMargin)
+    assert(windowed.count() == g.window(15, 55).edges.count())
+    intercept[IllegalArgumentException](
+      GraphQuery.run(g, """{"view":[{"op":"nullModel","kind":"nope"}],"select":{"target":"edges"}}"""))
+  }
 }
