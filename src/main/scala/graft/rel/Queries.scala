@@ -5114,6 +5114,53 @@ object Queries {
            |FROM r1 JOIN r2 USING (rk)""".stripMargin
       }),
     (
+      "q_graph_null_delta",
+      // the null-model WORKFLOW end to end: a temporal statistic
+      // (global reciprocity) measured on the observed graph AND on its
+      // degree-preserving configuration model, with the delta — the
+      // signal a null model exists to isolate (observed reciprocity in
+      // the event graph is structural; the rewired graph shows the level
+      // explained by degree sequence alone). Both legs + the rewiring
+      // replay exactly in DuckDB.
+      (s, d) => {
+        def recip(edges: org.apache.spark.sql.DataFrame): Double = {
+          val e = TemporalGraph(edges).simpleEdges
+            .filter(col("src") =!= col("dst")).persist()
+          val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+          val r = e.intersect(rev).count().toDouble / e.count().toDouble
+          e.unpersist(false)
+          r
+        }
+        val g = eventGraph(s, d)
+        val obs = recip(g.edges)
+        val nul = recip(graft.graph.NullModels.configurationModel(g.edges, seed = 21L))
+        import s.implicits._
+        Seq((obs, nul)).toDF("o", "n").select(
+          round(col("o"), 6).as("observed"),
+          round(col("n"), 6).as("null_model"),
+          round(round(col("o"), 6) - round(col("n"), 6), 6).as("delta"))
+      },
+      Some {
+        import graft.ml.GraphLearn._
+        val h1 = hmixSql(0L, hmixSql(21L, "event_id" -> M1) -> M3)
+        val h2 = hmixSql(0L, hmixSql(21L, "event_id" -> M2) -> M4)
+        s"""WITH e0 AS ($eventEdgesSql),
+           |r1 AS (SELECT src, row_number() OVER (ORDER BY $h1, event_id) AS rk FROM e0),
+           |r2 AS (SELECT dst, row_number() OVER (ORDER BY $h2, event_id) AS rk FROM e0),
+           |ne AS (SELECT r1.src, r2.dst FROM r1 JOIN r2 USING (rk)),
+           |eo AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+           |en AS (SELECT DISTINCT src, dst FROM ne WHERE src <> dst),
+           |ro AS (SELECT count(*) AS n FROM eo
+           |       WHERE EXISTS (SELECT 1 FROM eo x WHERE x.src = eo.dst AND x.dst = eo.src)),
+           |rn AS (SELECT count(*) AS n FROM en
+           |       WHERE EXISTS (SELECT 1 FROM en x WHERE x.src = en.dst AND x.dst = en.src)),
+           |o AS (SELECT round(ro.n / (SELECT count(*) FROM eo), 6) AS observed FROM ro),
+           |n AS (SELECT round(rn.n / (SELECT count(*) FROM en), 6) AS null_model FROM rn)
+           |SELECT o.observed, n.null_model,
+           |  round(o.observed - n.null_model, 6) AS delta
+           |FROM o, n""".stripMargin
+      }),
+    (
       "q_graph_null_within",
       // grouped null model (the Holme–Saramäki link-sequence-shuffled
       // family, beyond the reference's global shuffles): timestamps
