@@ -251,8 +251,8 @@ object Queries {
   /** Full brute-force global 40-slot census at one delta — a complete
     * `WITH … SELECT (motif_id, count)` statement, nestable as a DuckDB
     * subquery so the multi-delta oracle can UNION ALL several deltas. */
-  private def motifGlobalCensusSql(deltaMs: Long): String =
-    s"""WITH ${motifBaseSql(deltaMs)},
+  private def motifGlobalCensusSql(deltaMs: Long, evBody: Option[String] = None): String =
+    s"""WITH ${motifBaseSql(deltaMs, evBody)},
        |counts AS (
        |  SELECT m AS motif_id, count(*) AS c FROM star_triples GROUP BY m
        |  UNION ALL
@@ -266,13 +266,20 @@ object Queries {
        |FROM range(40) r LEFT JOIN counts c ON c.motif_id = r.range
        |GROUP BY r.range""".stripMargin
 
-  private def motifBaseSql(deltaMs: Long): String =
+  /** The default motif event table (src, dst, tms, event_id). */
+  private val motifEvSelect: String =
+    """SELECT user_id AS src, dst, epoch_us(ts)//1000 AS tms, event_id
+      |  FROM (SELECT user_id, event_type, ts, event_id,
+      |               lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+      |        FROM events)
+      |  WHERE dst IS NOT NULL AND dst <> user_id""".stripMargin
+
+  /** @param evBody override the event-table SELECT (same four columns) —
+    *        used by the null-model motif-significance oracle to feed the
+    *        permuted-timestamps edge list through the identical census */
+  private def motifBaseSql(deltaMs: Long, evBody: Option[String] = None): String =
     s"""ev AS MATERIALIZED (
-       |  SELECT user_id AS src, dst, epoch_us(ts)//1000 AS tms, event_id
-       |  FROM (SELECT user_id, event_type, ts, event_id,
-       |               lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
-       |        FROM events)
-       |  WHERE dst IS NOT NULL AND dst <> user_id),
+       |  ${evBody.getOrElse(motifEvSelect)}),
        |nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
        |  SELECT src AS id FROM ev UNION ALL SELECT dst AS id FROM ev)),
        |pair_ev AS MATERIALIZED (
@@ -5112,6 +5119,47 @@ object Queries {
            |    row_number() OVER (ORDER BY $h2, event_id) AS rk FROM e0)
            |SELECT r1.event_id, r1.src, r2.dst, r1.layer, r1.tms AS ts
            |FROM r1 JOIN r2 USING (rk)""".stripMargin
+      }),
+    (
+      "q_graph_null_motif_delta",
+      // temporal-motif SIGNIFICANCE against the permuted-timestamps null
+      // (the headline use of time shuffling — Paranjape et al. compare
+      // motif counts to randomized-reference counts): the full 40-dim
+      // census on the observed event graph AND on the same edges with
+      // timestamps permuted, per-motif delta = the temporal signal the
+      // shuffle destroys. The null leg's oracle feeds the permuted edge
+      // list through the IDENTICAL brute-force census CTEs.
+      (s, d) => {
+        val g = eventGraph(s, d)
+        val obs = graft.algos.TemporalMotifs.global(s, g, deltaMs = 7200000L)
+          .select(col("motif_id"), col("count").as("observed"))
+        val nulG = TemporalGraph(
+          graft.graph.NullModels.permutedTimestamps(g.edges, seed = 5L))
+        val nul = graft.algos.TemporalMotifs.global(s, nulG, deltaMs = 7200000L)
+          .select(col("motif_id"), col("count").as("null_model"))
+        obs.join(nul, Seq("motif_id")).select(
+          col("motif_id"),
+          col("observed"),
+          col("null_model"),
+          (col("observed") - col("null_model")).as("delta"))
+      },
+      Some {
+        import graft.ml.GraphLearn._
+        val h1 = hmixSql(0L, hmixSql(5L, "event_id" -> M1) -> M3)
+        val h2 = hmixSql(0L, hmixSql(5L, "event_id" -> M2) -> M4)
+        val permEv =
+          s"""SELECT r1.src, r1.dst, r2.tms, r1.event_id
+             |FROM (SELECT src, dst, event_id,
+             |        row_number() OVER (ORDER BY $h1, event_id) AS rk
+             |      FROM ($motifEvSelect)) r1
+             |JOIN (SELECT tms,
+             |        row_number() OVER (ORDER BY $h2, event_id) AS rk
+             |      FROM ($motifEvSelect)) r2 USING (rk)""".stripMargin
+        s"""SELECT o.motif_id, o.count AS observed, n.count AS null_model,
+           |  o.count - n.count AS delta
+           |FROM (${motifGlobalCensusSql(7200000L)}) o
+           |JOIN (${motifGlobalCensusSql(7200000L, Some(permEv))}) n
+           |  USING (motif_id)""".stripMargin
       }),
     (
       "q_graph_null_delta",
