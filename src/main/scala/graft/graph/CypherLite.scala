@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
  *    desugared to equality conjuncts (ast.rs NodePattern/RelPattern.props,
  *    transpiler mod.rs:875-917); node LABELS `(a:User)` desugar to
  *    `a.node_type = 'User'` against the node-property frame (named
- *    variable + a props frame with node_type required; not supported
- *    inside OPTIONAL MATCH);
+ *    variable + a props frame with node_type required); inside an
+ *    OPTIONAL MATCH a label filters the clause's candidate matches,
+ *    never the base rows;
  *  - variable-length hops `-[:L*a..b]->` (BEYOND the reference's
  *    frontend): expanded into a union of fixed-length chains with fresh
  *    anonymous intermediates, relationship uniqueness making each path's
@@ -1056,10 +1057,10 @@ object CypherLite {
           Bin("=", Prop(v, "node_type"), Lit(lbl)): Expr
         }
       }
-      seg0.optionals.foreach { case (ps, _) =>
-        require(ps.flatMap(_.nodes).forall(_.label.isEmpty),
-          s"node labels inside OPTIONAL MATCH are not supported in: $query")
-      }
+      // labels inside OPTIONAL MATCH are handled per-clause below (the
+      // node_type predicate joins the props frame into the optional's own
+      // candidate frame BEFORE the left join, so it filters candidate
+      // matches, never base rows)
       val segL =
         if (labelConj.isEmpty) seg0
         else seg0.copy(where =
@@ -1198,7 +1199,28 @@ object CypherLite {
       }
       val f = seg.optionals.foldLeft(withExists) {
         case (acc, (ps, w)) =>
-          val (of, oNode, _) = clauseFrame(ps, w)
+          val labelConjO: Seq[Expr] = ps.flatMap(_.nodes).flatMap { n =>
+            n.label.map { lbl =>
+              val v = n.name.getOrElse(throw new IllegalArgumentException(
+                s"a node label needs a named variable ((a:$lbl), not (:$lbl)) in: $query"))
+              Bin("=", Prop(v, "node_type"), Lit(lbl)): Expr
+            }
+          }
+          val (of0, oNode, oRel) = clauseFrame(ps, w)
+          val of =
+            if (labelConjO.isEmpty) of0
+            else {
+              // filter the optional's CANDIDATES on node_type, restoring
+              // the stable projection afterwards so the prop columns do
+              // not leak (a base row that misses would read them null)
+              val comp = compiler(
+                oNode.map(v => v -> nodeCol(v)).toMap,
+                oRel.toSet, Set.empty, withNodeProps = true)
+              val pred = labelConjO.reduce(Bin("and", _, _))
+              withProps(of0, Seq(pred), oNode)
+                .filter(comp(pred))
+                .select(of0.columns.toSeq.map(col): _*)
+            }
           val shared = oNode.map(nodeCol).filter(acc.columns.contains)
           require(shared.nonEmpty,
             s"OPTIONAL MATCH must share at least one node variable " +

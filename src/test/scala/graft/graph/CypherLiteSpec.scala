@@ -551,13 +551,19 @@ class CypherLiteSpec extends SparkSpec {
         "RETURN a, b, c ORDER BY a, b, c", typed)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(post == Seq((1L, 2L, 3L), (1L, 2L, 4L), (2L, 4L, 1L)))
-    // loud: anonymous labeled node, label without a props frame, label in OPTIONAL MATCH
+    // in OPTIONAL MATCH a label filters CANDIDATES, never the base rows:
+    // b=4's only successor is 1 (a user) → its base row keeps c null
+    val opt = CypherLite.run(g,
+      "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (b)-[f]->(c:bot) " +
+        "RETURN a, b, c ORDER BY a, b", typed)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(opt == Seq((1L, 2L, 4L), (2L, 3L, 4L), (2L, 4L, -1L)))
+    // loud: anonymous labeled node, label without a props frame
     intercept[IllegalArgumentException](
       CypherLite.run(g, "MATCH (:user)-[e]->(b) RETURN b", typed))
     intercept[IllegalArgumentException](
       CypherLite.run(g, "MATCH (a:user)-[e]->(b) RETURN b"))
-    intercept[IllegalArgumentException](CypherLite.run(g,
-      "MATCH (a)-[e:KNOWS]->(b) OPTIONAL MATCH (b:bot)-[f]->(c) RETURN a", typed))
   }
 
   test("node properties: missing node reads null; loud errors otherwise") {
