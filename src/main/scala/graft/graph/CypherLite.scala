@@ -46,7 +46,8 @@ import org.apache.spark.sql.functions._
  *    items requiring an `AS` alias (value-level parens unsupported:
  *    a leading paren always opens a boolean group); scalar functions
  *    `coalesce(…)`, `abs(x)`, `sign(x)`, `toLower(s)`, `toUpper(s)`,
- *    `size(s)` (string length) anywhere a value appears; generic-form
+ *    `size(s)` (string length), `toInteger(x)`, `toString(x)`, `trim(s)`
+ *    anywhere a value appears; generic-form
  *    `CASE WHEN cond THEN val … [ELSE val] END` anywhere a value appears
  *    (branches in order, missing ELSE = null; the simple `CASE x WHEN`
  *    form is not supported);
@@ -656,7 +657,10 @@ object CypherLite {
     "sign" -> ((1, 1, (cs: Seq[Column]) => signum(cs.head).cast("long"))),
     "tolower" -> ((1, 1, (cs: Seq[Column]) => lower(cs.head))),
     "toupper" -> ((1, 1, (cs: Seq[Column]) => upper(cs.head))),
-    "size" -> ((1, 1, (cs: Seq[Column]) => length(cs.head).cast("long"))))
+    "size" -> ((1, 1, (cs: Seq[Column]) => length(cs.head).cast("long"))),
+    "tointeger" -> ((1, 1, (cs: Seq[Column]) => cs.head.cast("long"))),
+    "tostring" -> ((1, 1, (cs: Seq[Column]) => cs.head.cast("string"))),
+    "trim" -> ((1, 1, (cs: Seq[Column]) => trim(cs.head))))
 
   /** Parse + translate a Cypher-lite query against a temporal graph. */
   def run(g: TemporalGraph, query: String): DataFrame = run(g, query, None)

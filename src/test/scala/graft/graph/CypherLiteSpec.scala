@@ -698,6 +698,13 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH ()-[e]->() RETURN toLower(e.layer) AS l, size(e.layer) AS n ORDER BY l LIMIT 1")
       .first()
     assert(up.getString(0) == "knows" && up.getLong(1) == 5L)
+    // conversions
+    val conv = CypherLite.run(
+      g,
+      "MATCH ()-[e]->() WHERE e.time = 10 " +
+        "RETURN toString(e.time) AS s, toInteger(e.time / 3) AS i, trim(e.layer) AS l")
+      .first()
+    assert(conv.getString(0) == "10" && conv.getLong(1) == 3L && conv.getString(2) == "KNOWS")
     // a fn name not followed by ( is still a plain variable
     intercept[IllegalArgumentException](
       CypherLite.run(g, "MATCH ()-[e]->() RETURN abs"))
