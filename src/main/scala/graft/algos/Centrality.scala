@@ -53,49 +53,62 @@ object Centrality {
     finally adj.unpersist(false)
   }
 
-  /** As [[eigenvector]] over a prebuilt (ideally persisted) salted CSR. */
+  /** As [[eigenvector]] over a prebuilt (ideally persisted) salted CSR.
+    *
+    * The state carries the RAW received sums; the sup-norm division is
+    * applied LAZILY — at the start of the NEXT superstep (and once on the
+    * final state) — so the normalizer is a one-row broadcast aggregate
+    * over the already-CACHED state instead of over the uncached message
+    * join. The r5 shape aggregated `max(recv)` over the join output inside
+    * the same plan, which executed the CSR join + message aggregation
+    * twice per superstep (measured: 0.077 GB shuffled/step vs PageRank's
+    * 0.043 on the same graph). Same float ops in the same order — score
+    * values are bit-identical (max is order-independent; the division
+    * happens once per node per iteration either way). */
   def eigenvectorOnAdjacency(
       spark: SparkSession,
       adj: DataFrame,
       nodes: DataFrame,
       cfg: Config = Config()): DataFrame = {
-    val init = nodes.select(col("id"), lit(1.0).as("score"))
+    // raw = 1.0 with an implied sup-norm of 1.0 reproduces init score 1.0
+    val init = nodes.select(col("id"), lit(1.0).as("recv"))
+    def mxOver(state: DataFrame) =
+      broadcast(state.agg(coalesce(max("recv"), lit(0.0)).as("mx")))
+    val normed =
+      col("recv") / when(col("mx") === 0.0, 1.0).otherwise(col("mx"))
     val result = SuperstepRunner.run(
       spark,
       init,
       RunConfig(cfg.maxIter, cfg.checkpointDir, cfg.checkpointEvery, runId = "eigenvector")) {
       (state, _) =>
+        // previous step's normalized scores, from the cached state
+        val scores = state.crossJoin(mxOver(state)).select(col("id"), normed.as("score"))
         val recv = adj
-          .join(state.select(col("id"), col("score")), adj("src") === col("id"))
+          .join(scores, adj("src") === col("id"))
           .select(explode(col("dsts")).as("id"), col("score").as("w"))
           .groupBy("id")
-          .agg(sum("w").as("recv"))
-        val received = state
-          .select(col("id"), col("score").as("prev"))
+          .agg(sum("w").as("msum"))
+        val next = state
+          .crossJoin(mxOver(state))
+          .select(col("id"), normed.as("prev"))
           .join(recv, Seq("id"), "left")
-          .select(col("id"), col("prev"), coalesce(col("recv"), lit(0.0)).as("recv"))
-        // Sup-norm total as a one-row broadcast aggregate INSIDE the plan
-        // (the HITS idiom — a driver-side .first() would run the message
-        // join twice per superstep).
-        val totals = broadcast(
-          received.agg(coalesce(max("recv"), lit(0.0)).as("mx")))
-        val normed =
-          col("recv") / when(col("mx") === 0.0, 1.0).otherwise(col("mx"))
-        val next = received
-          .crossJoin(totals)
-          .select(col("id"), normed.as("score"), abs(normed - col("prev")).as("diff"))
+          .select(col("id"), coalesce(col("msum"), lit(0.0)).as("recv"), col("prev"))
         Step(
-          next.select("id", "score", "diff"),
+          next.select("id", "recv", "prev"),
           { m =>
             if (cfg.tol <= 0.0) (false, Map.empty)
             else {
-              val r = m.agg(max("diff")).first()
+              // both aggregates run over the cached materialized state
+              val mxRow = m.agg(coalesce(max("recv"), lit(0.0))).first()
+              val mx = mxRow.getDouble(0)
+              val guard = if (mx == 0.0) 1.0 else mx
+              val r = m.agg(max(abs(col("recv") / guard - col("prev")))).first()
               val d = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
               (d <= cfg.tol, Map("max_diff" -> d))
             }
           })
     }
-    result.state.select("id", "score")
+    result.state.crossJoin(mxOver(result.state)).select(col("id"), normed.as("score"))
   }
 
   /**

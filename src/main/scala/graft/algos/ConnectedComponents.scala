@@ -48,30 +48,42 @@ object ConnectedComponents {
     val nodes = g.nodes.persist()
     val init = g.canonicalUndirected.select(col("a"), col("b")) // a < b, no self-loops
 
+    // Both stars compute "min neighbour per center, attached back to every
+    // row" — the r5 shape paid a groupBy exchange PLUS a join-back exchange
+    // for that (and a distinct after EACH star). A min-over-window on the
+    // center key is the same rows after ONE exchange, and a single round
+    // output needs a single dedup: largeStar's intra-round distinct is
+    // dropped (duplicate (a, b) pairs cannot change smallStar's per-center
+    // minima, and smallStar's final distinct restores the set) — per round
+    // 3 exchanges instead of ~6, identical round-output SET, so the
+    // (count, xor) convergence signature and the final labels are unchanged.
+    import org.apache.spark.sql.expressions.Window
+    val wCtr = Window.partitionBy("ctr")
+
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.select(col("a").as("ctr"), col("b").as("nbr"))
         .union(e.select(col("b").as("ctr"), col("a").as("nbr")))
-      val mins = nbrs
-        .groupBy("ctr")
-        .agg(min("nbr").as("mn"))
-        .select(col("ctr"), least(col("ctr"), col("mn")).as("m"))
       nbrs
-        .join(mins, Seq("ctr"))
+        .withColumn("m", least(col("ctr"), min(col("nbr")).over(wCtr)))
         .filter(col("nbr") > col("ctr"))
         .select(col("nbr").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
     }
 
     def smallStar(e: DataFrame): DataFrame = {
       val oriented = e.select(greatest(col("a"), col("b")).as("ctr"), least(col("a"), col("b")).as("nbr"))
         .filter(col("ctr") =!= col("nbr"))
-      val mins = oriented.groupBy("ctr").agg(min("nbr").as("m"))
       oriented
-        .join(mins, Seq("ctr"))
-        .select(col("nbr").as("a"), col("m").as("b"))
+        .withColumn("m", min(col("nbr")).over(wCtr))
+        // each row re-points its nbr AND its ctr at the center's minimum
+        // (the ctr→m rows duplicate across a center's rows; the round's
+        // one distinct absorbs them — same set as the r5 union of the
+        // join-back rows with the per-center mins frame)
+        .select(explode(array(
+          struct(col("nbr").as("a"), col("m").as("b")),
+          struct(col("ctr").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
         .filter(col("a") =!= col("b"))
-        .union(mins.select(col("ctr").as("a"), col("m").as("b")))
         .distinct()
     }
 

@@ -57,7 +57,12 @@ object Independent {
       g: TemporalGraph,
       maxRounds: Int = 256,
       seed: Long = 42L): DataFrame = {
-    val und = g.undirectedPairs.filter(col("node") =!= col("nbr")).persist()
+    // persisted hash-partitioned on `nbr`, the key of BOTH per-round joins
+    // (the pair set is symmetric, so "neighbours of X" reads identically
+    // through either column — the exclusion join below probes on nbr too);
+    // the static side then never re-exchanges, only the shrinking frontier
+    val und = g.undirectedPairs.filter(col("node") =!= col("nbr"))
+      .repartition(col("nbr")).persist()
     try {
       // status: 0 undecided, 1 in, 2 out
       val init = g.nodes.select(
@@ -76,9 +81,12 @@ object Independent {
             col("mn").isNull ||
               before(col("h"), col("id"), col("mn.nh"), col("mn.nbr")))
           .select(col("id"))
+        // symmetric pair set: joining winners on nbr and reading node is
+        // the same neighbour set as joining on node and reading nbr, but
+        // reuses und's nbr partitioning (zero static-side exchange)
         val excluded = und
-          .join(winners.select(col("id").as("node")), Seq("node"))
-          .select(col("nbr").as("id"))
+          .join(winners.select(col("id").as("nbr")), Seq("nbr"))
+          .select(col("node").as("id"))
           .distinct()
         val next = state
           .join(winners.withColumn("win", lit(true)), Seq("id"), "left")

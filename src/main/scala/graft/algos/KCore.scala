@@ -90,7 +90,11 @@ object KCore {
       g: TemporalGraph,
       maxIter: Int = 100,
       checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = g.undirectedPairs.persist()
+    // persisted hash-partitioned on the per-step join key (`nbr`): the
+    // h-index join then reuses the layout every superstep instead of
+    // re-exchanging the full pair frame (the r5 shape paid that exchange
+    // per step; only the narrow state frame should move)
+    val pairs = g.undirectedPairs.repartition(col("nbr")).persist()
     try {
       val init = pairs
         .groupBy(col("node").as("id"))

@@ -257,34 +257,49 @@ object Louvain {
       // Σ_tot per community (tiny: ≤ #communities rows; AQE broadcasts it)
       val ktot = state.groupBy(col("com")).agg(sum(col("k")).as("ktot"))
       // w_i→c: weight from each node to each neighbouring community — the
-      // CSR side stays put; only the (id, com) projection of state shuffles
-      val wcom = adj
-        .join(state.select(col("id").as("other"), col("com").as("ocom")), Seq("other"))
-        .select(col("ocom"), explode(col("entries")).as("e"))
-        .groupBy(col("e.nbr").as("id"), col("ocom").as("cand"))
-        .agg(sum(col("e.w")).as("w_cand"))
-      // w_i→own-community (0 when no neighbour shares the node's community)
-      val wOwn = wcom
-        .select(col("id"), col("cand").as("com"), col("w_cand").as("w_old"))
-      // candidate deltas (modularity.rs move_delta; self-loop term cancels)
-      val withDelta = state
-        .join(wOwn, Seq("id", "com"), "left")
-        .join(wcom, Seq("id"), "left")
+      // CSR side stays put; only the (id, com) projection of state shuffles.
+      // PINNED (eager local checkpoint): wcom feeds the delta plan TWICE
+      // (as itself and as the w_old lookup) — without the pin the CSR join
+      // + explode + aggregation executed twice per round (r5 shape;
+      // measured ~20 stages/round, the fattest subtree duplicated). The
+      // pin's blocks are freed in the evaluate callback below, after the
+      // round's state is materialized.
+      val wcom = org.apache.spark.sql.GraftSqlInternals.resetStats(
+        adj
+          .join(state.select(col("id").as("other"), col("com").as("ocom")), Seq("other"))
+          .select(col("ocom"), explode(col("entries")).as("e"))
+          .groupBy(col("e.nbr").as("id"), col("ocom").as("cand"))
+          .agg(sum(col("e.w")).as("w_cand"))
+          .localCheckpoint(true))
+      // candidate deltas (modularity.rs move_delta; self-loop term cancels).
+      // w_i→own-community is a per-node scalar over the SAME wcom group —
+      // a max-over-window on the node key, instead of the r5 self-join of
+      // wcom against its own (id, com) projection (one join + one
+      // re-exchange fewer per round; max over the ≤1 matching row selects
+      // the identical w_old value, so every delta float op is unchanged).
+      val wId = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      val withDelta = wcom
+        .join(state, Seq("id")) // adds (com, k); nodes without candidates rejoin below
+        .withColumn(
+          "w_old",
+          max(when(col("cand") === col("com"), col("w_cand"))).over(wId))
         .join(ktot.select(col("com").as("cand"), col("ktot").as("ktot_new")), Seq("cand"), "left")
         .join(ktot, Seq("com"))
         .withColumn(
           "delta",
-          when(col("cand").isNull || col("cand") === col("com"), lit(0.0)).otherwise(
+          when(col("cand") === col("com"), lit(0.0)).otherwise(
             (lit(2.0) * (col("w_cand") - coalesce(col("w_old"), lit(0.0)))
               - lit(2.0 * cfg.resolution) * (col("k") * (col("ktot_new") - col("ktot"))
                 + col("k") * col("k")) / lit(m2)) / lit(m2)))
-      // argmax by (delta desc, smaller candidate community id)
-      val winner = withDelta
+      // argmax by (delta desc, smaller candidate community id) — grouped on
+      // the window's own key, so the winner aggregation adds no exchange;
+      // candidate-less nodes re-enter via the left join (null cand ⇒ no
+      // move, exactly the r5 null-candidate rows' outcome)
+      val best = withDelta
         .groupBy(col("id"))
-        .agg(
-          min(struct((col("delta") * -1.0).as("nd"), col("cand").as("cand"))).as("best"),
-          first(col("com")).as("com"),
-          first(col("k")).as("k"))
+        .agg(min(struct((col("delta") * -1.0).as("nd"), col("cand").as("cand"))).as("best"))
+      val winner = state
+        .join(best, Seq("id"), "left")
         .select(
           col("id"), col("com"), col("k"),
           (col("best.nd") * -1.0).as("delta"),
@@ -309,6 +324,8 @@ object Louvain {
       Step(
         next,
         { materialized =>
+          // next is materialized — the round's pinned wcom can be freed now
+          org.apache.spark.sql.GraftSqlInternals.cachedRdd(wcom).foreach(_.unpersist(false))
           val moves = materialized.filter(col("moves")).count()
           if (moves > 0) { anyMove = true; zeroStreak = 0 } else zeroStreak += 1
           (zeroStreak >= 2, Map("moves" -> moves.toDouble, "level" -> level.toDouble))

@@ -52,7 +52,6 @@ object Reach {
       iters: Int,
       seed: Long = 42L): DataFrame = {
     require(iters >= 0 && iters <= 64, s"iters=$iters out of [0, 64]")
-    val e = g.simpleEdges
     val init = g.nodes
       .withColumn("__h", GraphLearn.hmix(seed, col("id") -> GraphLearn.M1))
       .withColumn("__w", expr("__h DIV 16"))
@@ -64,18 +63,66 @@ object Reach {
           .as("rho"))
     if (iters == 0) return init
 
-    SuperstepRunner.run(
-      spark, init, RunConfig(maxSteps = iters, runId = s"hyperball-$seed")) {
-      (state, _) =>
-        val msgs = e
-          .join(state, e("dst") === state("id"))
-          .select(e("src").as("id"), col("j"), col("rho"))
-        val next = state
-          .unionByName(msgs)
-          .groupBy("id", "j")
-          .agg(max("rho").as("rho"))
-        Step(next, _ => (false, Map.empty))
-    }.state
+    // WIDE internal loop (one row per node, registers as 16 columns; see
+    // [[runWide]]) — the public sparse (id, j, rho) contract is restored by
+    // exploding the final state; absent registers are the r_j = 0 columns.
+    val wide = runWide(spark, g, init, iters, s"hyperball-$seed", _ => ())
+    wide
+      .select(
+        col("id"),
+        explode(array((0 until M).map(j =>
+          struct(lit(j.toLong).as("j"), col(s"r$j").as("rho"))): _*)).as("e"))
+      .select(col("id"), col("e.j").as("j"), col("e.rho").as("rho"))
+      .filter(col("rho") > 0L)
+  }
+
+  /**
+   * The HyperBall superstep loop over the WIDE register layout: state is
+   * ONE row per node, `(id, r0..r15)` — the r5 sparse (id, j, rho) layout
+   * shipped 16 rows per node per edge message and needed an extra (id, j)
+   * → id re-key for every estimate pass (measured: the register exchange
+   * dominated the harmonic leg's 1.28 GB shuffle). Wide, the per-step
+   * exchange carries 16× fewer rows of the same payload, the merge is 16
+   * columnar `max` aggregates in ONE id-keyed exchange, and ball estimates
+   * become pure row expressions — no re-key at all. Register VALUES are
+   * identical (elementwise max; absent ≡ 0).
+   *
+   * The edge frame is persisted once, hash-partitioned on the join key,
+   * so the per-step plan neither recomputes the simpleEdges dedup nor
+   * re-exchanges the edge side (the r5 shape re-ran the distinct every
+   * step). Safe to free before returning: states are checkpoint-truncated.
+   *
+   * @param initSparse one (id, j, rho) row per node ([[registers]] iters=0)
+   * @param onStep     called with each step's MATERIALIZED wide state
+   */
+  private def runWide(
+      spark: SparkSession,
+      g: TemporalGraph,
+      initSparse: DataFrame,
+      iters: Int,
+      runId: String,
+      onStep: DataFrame => Unit): DataFrame = {
+    // exactly one register row per node initially → widen by projection
+    val initWide = initSparse.select(
+      col("id") +: (0 until M).map(j =>
+        when(col("j") === j, col("rho")).otherwise(lit(0L)).as(s"r$j")): _*)
+    val regCols = (0 until M).map(j => col(s"r$j"))
+    val e = g.simpleEdges.repartition(col("dst")).persist()
+    try {
+      SuperstepRunner.run(
+        spark, initWide, RunConfig(maxSteps = iters, runId = runId)) {
+        (state, _) =>
+          val msgs = e
+            .join(state, e("dst") === state("id"))
+            .select(e("src").as("id") +: regCols: _*)
+          val maxes = (0 until M).map(j => max(col(s"r$j")).as(s"r$j"))
+          val next = state
+            .unionByName(msgs)
+            .groupBy("id")
+            .agg(maxes.head, maxes.tail: _*)
+          Step(next, { m => onStep(m); (false, Map.empty) })
+      }.state
+    } finally e.unpersist(false)
   }
 
   /**
@@ -107,24 +154,18 @@ object Reach {
     require(iters >= 1 && iters <= 64, s"iters=$iters out of [1, 64]")
     def pin(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftSqlInternals.resetStats(df.localCheckpoint(true))
-    val e = g.simpleEdges
     val init = registers(spark, g, iters = 0, seed = seed)
-    val ests = scala.collection.mutable.ArrayBuffer(pin(estimateRaw(init)))
-    val run = SuperstepRunner.run(
-      spark, init, RunConfig(maxSteps = iters, runId = s"hyperball-series-$seed")) {
-      (state, _) =>
-        val msgs = e
-          .join(state, e("dst") === state("id"))
-          .select(e("src").as("id"), col("j"), col("rho"))
-        val next = state
-          .unionByName(msgs)
-          .groupBy("id", "j")
-          .agg(max("rho").as("rho"))
-        Step(next, { m => ests += pin(estimateRaw(m)); (false, Map.empty) })
-    }
+    val ests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    ests += pin(estimateRaw(init))
+    // wide loop ([[runWide]]): the per-step estimate is a pure row
+    // expression over the already-materialized wide state — the r5 sparse
+    // layout paid an extra (id, j) → id exchange per step for it
+    val finalState = runWide(
+      spark, g, init, iters, s"hyperball-series-$seed",
+      m => ests += pin(estimateRawWide(m)))
     // only the pinned estimate frames escape — the run's final register
     // state (localCheckpoint blocks) would otherwise stay cached until GC
-    org.apache.spark.sql.GraftSqlInternals.cachedRdd(run.state).foreach(_.unpersist(false))
+    org.apache.spark.sql.GraftSqlInternals.cachedRdd(finalState).foreach(_.unpersist(false))
     ests.toVector
   }
 
@@ -210,6 +251,31 @@ object Reach {
    */
   def estimate(registersDf: DataFrame): DataFrame =
     estimateRaw(registersDf).select(col("id"), round(col("ball_est"), 6).as("ball_est"))
+
+  /** [[estimateRaw]] over the WIDE register layout (id, r0..r15): denom
+    * and v0 are the same exact integers (a zero register contributes
+    * 2^27 exactly as the sparse path's (M − np)·Scale term), and the
+    * final when/otherwise float expression is copied verbatim — so the
+    * ball_est doubles are bit-identical to the sparse path's. A pure row
+    * expression: no aggregation, no exchange. */
+  private def estimateRawWide(wide: DataFrame): DataFrame = {
+    val c = Alpha16 * (M.toDouble * M.toDouble) * Scale.toDouble
+    val denom = (0 until M)
+      .map(j => pow(lit(2.0), lit(27L) - col(s"r$j")).cast("long"))
+      .reduce(_ + _)
+    val v0 = (0 until M)
+      .map(j => when(col(s"r$j") === 0L, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    wide
+      .select(col("id"), denom.as("denom"), v0.as("v0"))
+      .select(
+        col("id"),
+        when(
+          lit(c) / col("denom").cast("double") <= 2.5 * M && col("v0") > 0L,
+          lit(M.toDouble) * log(lit(M.toDouble) / col("v0").cast("double")))
+          .otherwise(lit(c) / col("denom").cast("double"))
+          .as("ball_est"))
+  }
 
   /** As [[estimate]] without the final 6-dp rounding — the form downstream
     * float folds ([[harmonicCloseness]]) must consume (see [[ballSeries]]). */

@@ -87,6 +87,10 @@ object SuperstepRunner {
       val t0 = System.nanoTime()
       val prevRdd = org.apache.spark.sql.GraftSqlInternals.cachedRdd(state)
       val s = mkStep(state, step)
+      // plan-audit hook (no-op unless GRAFT_EXPLAIN_DIR is set): dump ONE
+      // representative superstep plan per run — step 2 shows the steady
+      // state (step 1 plans can differ: init partitioning, warm-up paths)
+      if (step == math.min(2, cfg.maxSteps)) explainHook(s"${cfg.runId}_superstep", s.next)
       val next = truncate(s.next)
       // `next` is fully materialized — the previous state's cached blocks
       // can be freed NOW instead of waiting for GC + ContextCleaner (long
@@ -116,6 +120,19 @@ object SuperstepRunner {
     }
     RunResult(state, step, converged, allMetrics.reverse)
   }
+
+  /** Plan-audit hook shared by the runner and hand-rolled loops: when
+    * GRAFT_EXPLAIN_DIR is set, write `explain("formatted")` of the given
+    * frame to `$dir/<name>.txt` (pre-execution plan: exchanges, join
+    * strategies, codegen spans). Zero cost when the env is absent. */
+  def explainHook(name: String, df: DataFrame): Unit =
+    sys.env.get("GRAFT_EXPLAIN_DIR").foreach { d =>
+      val p = Paths.get(d, s"$name.txt")
+      Files.createDirectories(p.getParent)
+      val text = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      Files.write(p, text.getBytes(StandardCharsets.UTF_8))
+    }
 
   /** Write state parquet + manifest for superstep k; returns the re-read
     * DataFrame (fresh lineage rooted at the committed files). */

@@ -94,17 +94,27 @@ object NullModels {
     require(df.columns.contains(keyCol), s"no key column '$keyCol'")
     require(column != keyCol, "cannot shuffle the permutation key column")
     require(shards > 0, s"shards=$shards must be positive")
+    // Pin the input once (eager local checkpoint): the two rank passes
+    // reference it SIX times (each rankBy: quantile probe + rank leg +
+    // bases leg) — for chained shuffleColumns or an expensive upstream
+    // (eventEdges carries a window) the r5 shape recomputed the full
+    // input plan each time (the ADVICE r5 recompute item). Values are
+    // unchanged; blocks are freed by the ContextCleaner when the
+    // result's lineage is dropped.
+    val df0 = org.apache.spark.sql.GraftSqlInternals.resetStats(df.localCheckpoint(true))
     // two-stage hash: hmix's seed is ADDITIVE, so a bare hmix(seed, key)
     // ordering is a mod-P rotation of hmix(0, key)'s — nearly the same
     // permutation for nearby seeds. Feeding the seeded hash through a
-    // second multiplication makes the seed act nonlinearly on the order.
+    // second stage amplifies small seed deltas into large rotations of
+    // the order (the map stays affine in (seed, key); practically
+    // sufficient — see ADVICE r5 on the earlier "nonlinear" overclaim).
     val h1 = GraphLearn.hmix(
       0L, GraphLearn.hmix(seed, col(keyCol) -> GraphLearn.M1) -> GraphLearn.M3)
     val h2 = GraphLearn.hmix(
       0L, GraphLearn.hmix(seed, col(keyCol) -> GraphLearn.M2) -> GraphLearn.M4)
     val outCols = df.columns.toSeq // preserve the original column order
-    val rows = rankBy(df.drop(column), h1, keyCol, shards)
-    val vals = rankBy(df.select(col(column), col(keyCol)), h2, keyCol, shards)
+    val rows = rankBy(df0.drop(column), h1, keyCol, shards)
+    val vals = rankBy(df0.select(col(column), col(keyCol)), h2, keyCol, shards)
       .select(col("__rank"), col(column))
     rows
       .join(vals, Seq("__rank"))

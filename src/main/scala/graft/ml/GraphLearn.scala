@@ -263,58 +263,82 @@ object GraphLearn {
         .select(col("id").as("start"))
         .withColumn("walk", explode(array((0 until nWalks).map(i => lit(i.toLong)): _*)))
         .withColumn("node", col("start"))
-      val blocks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-      val res = SuperstepRunner.run(
-        spark, init,
-        SuperstepRunner.RunConfig(maxSteps = length, runId = s"walks-$seed")) {
-        (state, k) =>
-          val frontier = state.select(col("start"), col("walk"), col("node").as("cur"))
-          val pick = transform(
-            col("dsts"),
-            x => struct(
-              hmix(seed, (col("start"), M1), (col("walk"), M2), (lit(k), M3), (x, M4)).as("h"),
-              x.as("n")))
-          val chosen = frontier
-            .join(adj, frontier("cur") === adj("src"))
-            .select(col("start"), col("walk"), array_min(pick).as("m"))
-            .groupBy("start", "walk")
-            .agg(min(col("m")).as("m"))
-            .select(col("start"), col("walk"), col("m.n").as("node"))
-          SuperstepRunner.Step(
-            chosen,
-            st => {
-              val block = pinned(
-                st.select(col("start"), col("walk"), lit(k.toLong).as("step"), col("node")))
-              blocks += block
-              val live = block.count()
-              (live == 0L, Map("live" -> live.toDouble))
-            })
+      walkLoop(init, length, "walks") { (state, k) =>
+        val frontier = state.select(col("start"), col("walk"), col("node").as("cur"))
+        val pick = transform(
+          col("dsts"),
+          x => struct(
+            hmix(seed, (col("start"), M1), (col("walk"), M2), (lit(k), M3), (x, M4)).as("h"),
+            x.as("n")))
+        frontier
+          .join(adj, frontier("cur") === adj("src"))
+          .select(col("start"), col("walk"), array_min(pick).as("m"))
+          .groupBy("start", "walk")
+          .agg(min(col("m")).as("m"))
+          .select(col("start"), col("walk"), col("m.n").as("node"))
       }
-      (assembleCorpus(
-        init.select(col("start"), col("walk"), lit(0L).as("step"), col("node")),
-        blocks.toSeq, res), res)
     } finally adj.unpersist(false)
   }
 
   /** Eager local checkpoint with inherited statistics dropped — pins a
-    * per-step corpus block's own cache blocks (runner states are freed
-    * eagerly, so a lazy view over them would not survive the run). */
+    * per-step frontier's own cache blocks and truncates lineage (the
+    * SuperstepRunner truncate, inlined for the hand-rolled walk loop). */
   private def pinned(df: DataFrame): DataFrame =
     org.apache.spark.sql.GraftSqlInternals.resetStats(df.localCheckpoint(true))
 
-  /** Union the step-0 block with the pinned per-step blocks into ONE pinned
-    * corpus frame, then free the per-step blocks and the run's final
-    * frontier — exactly one full-corpus write, nothing left cached but the
-    * returned frame. */
-  private def assembleCorpus(
-      step0: DataFrame,
-      blocks: Seq[DataFrame],
-      res: SuperstepRunner.RunResult): DataFrame = {
-    val out = pinned(blocks.foldLeft(step0)(_.unionByName(_)))
-    (blocks :+ res.state).foreach(b =>
-      org.apache.spark.sql.GraftSqlInternals.cachedRdd(b).foreach(_.unpersist(false)))
-    out
+  /**
+   * Hand-rolled frontier loop shared by the walk families. Each step's
+   * PINNED frontier doubles as that step's corpus block — the r5 shape ran
+   * under [[SuperstepRunner]], whose truncate pinned the state and whose
+   * evaluate then pinned a SECOND copy as the block (two materializations
+   * + a count per step; measured ≤ 10% CPU occupancy on the bench legs —
+   * per-step job latency, not compute, dominated). Retention is unchanged
+   * (every step's frontier stays cached until the one end-of-run corpus
+   * assembly, O(length·walkers) total), per-step traffic halves, and the
+   * loop still stops early when the frontier empties. Lineage is truncated
+   * by the per-step pin exactly as the runner did.
+   *
+   * @param mkStep (pinned state, step k ≥ 1) => next-frontier plan
+   * @return (corpus = union of per-step frontiers with their `step`,
+   *         RunResult with the final frontier + per-step live/wallMs)
+   */
+  private def walkLoop(init: DataFrame, length: Int, name: String = "walks")(
+      mkStep: (DataFrame, Int) => DataFrame): (DataFrame, SuperstepRunner.RunResult) = {
+    var state = pinned(init)
+    val frames = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)](0L -> state)
+    var metrics = List.empty[Map[String, Double]]
+    var step = 0
+    var done = false
+    while (!done && step < length) {
+      step += 1
+      val t0 = System.nanoTime()
+      val stepPlan = mkStep(state, step)
+      if (step == math.min(2, length))
+        SuperstepRunner.explainHook(s"${name}_superstep", stepPlan)
+      state = pinned(stepPlan)
+      frames += step.toLong -> state
+      val live = state.count()
+      done = live == 0L
+      metrics ::= Map("live" -> live.toDouble, "wallMs" -> (System.nanoTime() - t0) / 1e6)
+    }
+    val res = SuperstepRunner.RunResult(state, step, done, metrics.reverse)
+    // ONE full-corpus pin; then free every per-step frontier (incl. the
+    // final state) — nothing stays cached but the returned frame. Block
+    // columns: (start, walk, step, node[, ts]) — walker-internal columns
+    // (node2vec's prev) stay out of the corpus.
+    val corpus = pinned(
+      frames
+        .map { case (k, f) =>
+          val cols = Seq(col("start"), col("walk"), lit(k).as("step")) ++
+            f.columns.filter(c => c == "node" || c == "ts").map(col)
+          f.select(cols: _*)
+        }
+        .reduce(_.unionByName(_)))
+    frames.foreach { case (_, f) =>
+      org.apache.spark.sql.GraftSqlInternals.cachedRdd(f).foreach(_.unpersist(false))
+    }
+    (corpus, res)
   }
 
   /**
@@ -367,67 +391,52 @@ object GraphLearn {
     try {
       val emptyArr = array().cast("array<bigint>")
       // frontier-only state: (start, walk, node, prev) — one row per live
-      // walker; the corpus is pinned per step (see randomWalks)
+      // walker; each pinned frontier doubles as the corpus block (walkLoop)
       val init = g.nodes
         .select(col("id").as("start"))
         .withColumn("walk", explode(array((0 until nWalks).map(i => lit(i.toLong)): _*)))
         .withColumn("node", col("start"))
         .withColumn("prev", lit(null).cast("long"))
-      val blocks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-      val res = SuperstepRunner.run(
-        spark, init, SuperstepRunner.RunConfig(maxSteps = length, runId = s"n2v-$seed")) {
-        (state, k) =>
-          val frontier = state.select(col("start"), col("walk"), col("node").as("cur"), col("prev"))
-          // step 1 has NO prev (uniform step): skip the classification join
-          // entirely — an all-NULL join key never matches but hashes every
-          // walker into ONE reducer partition, a full-frontier skew funnel
-          val classified =
-            if (k == 1) frontier.withColumn("pn", emptyArr)
-            else
-              frontier
-                .join(nbrs, frontier("prev") === nbrs("node"), "left")
-                .select(
-                  col("start"), col("walk"), col("cur"), col("prev"),
-                  coalesce(col("pn"), emptyArr).as("pn"))
-          val joined = classified
-            .join(adj, classified("cur") === adj("src"))
-            // once per (walker, shard) row, NOT per candidate
-            .withColumn("inter", array_intersect(col("dsts"), col("pn")))
-          def weight(c: Column): Column =
-            when(col("prev").isNull, lit(1L))
-              .when(c === col("prev"), lit(wReturn.toLong))
-              .when(array_contains(col("inter"), c), lit(wInner.toLong))
-              .otherwise(lit(wOuter.toLong))
-          val pick = array_min(flatten(transform(
-            col("dsts"),
-            c => transform(
-              sequence(lit(0L), weight(c) - 1L),
-              r => struct(
-                hmix(seed,
-                  (col("start"), M1), (col("walk"), M2), (lit(k), M3),
-                  (c, M4), (r, M5)).as("h"),
-                c.as("n"))))))
-          val chosen = joined
-            .select(col("start"), col("walk"), col("cur"), pick.as("m"))
-            .groupBy("start", "walk", "cur") // cur is unique per (start, walk)
-            .agg(min(col("m")).as("m"))
-            .select(
-              col("start"), col("walk"),
-              col("m.n").as("node"), col("cur").as("prev"))
-          SuperstepRunner.Step(
-            chosen,
-            st => {
-              val block = pinned(
-                st.select(col("start"), col("walk"), lit(k.toLong).as("step"), col("node")))
-              blocks += block
-              val live = block.count()
-              (live == 0L, Map("live" -> live.toDouble))
-            })
-      }
-      assembleCorpus(
-        init.select(col("start"), col("walk"), lit(0L).as("step"), col("node")),
-        blocks.toSeq, res)
+      walkLoop(init, length, "n2v") { (state, k) =>
+        val frontier = state.select(col("start"), col("walk"), col("node").as("cur"), col("prev"))
+        // step 1 has NO prev (uniform step): skip the classification join
+        // entirely — an all-NULL join key never matches but hashes every
+        // walker into ONE reducer partition, a full-frontier skew funnel
+        val classified =
+          if (k == 1) frontier.withColumn("pn", emptyArr)
+          else
+            frontier
+              .join(nbrs, frontier("prev") === nbrs("node"), "left")
+              .select(
+                col("start"), col("walk"), col("cur"), col("prev"),
+                coalesce(col("pn"), emptyArr).as("pn"))
+        val joined = classified
+          .join(adj, classified("cur") === adj("src"))
+          // once per (walker, shard) row, NOT per candidate
+          .withColumn("inter", array_intersect(col("dsts"), col("pn")))
+        def weight(c: Column): Column =
+          when(col("prev").isNull, lit(1L))
+            .when(c === col("prev"), lit(wReturn.toLong))
+            .when(array_contains(col("inter"), c), lit(wInner.toLong))
+            .otherwise(lit(wOuter.toLong))
+        val pick = array_min(flatten(transform(
+          col("dsts"),
+          c => transform(
+            sequence(lit(0L), weight(c) - 1L),
+            r => struct(
+              hmix(seed,
+                (col("start"), M1), (col("walk"), M2), (lit(k), M3),
+                (c, M4), (r, M5)).as("h"),
+              c.as("n"))))))
+        joined
+          .select(col("start"), col("walk"), col("cur"), pick.as("m"))
+          .groupBy("start", "walk", "cur") // cur is unique per (start, walk)
+          .agg(min(col("m")).as("m"))
+          .select(
+            col("start"), col("walk"),
+            col("m.n").as("node"), col("cur").as("prev"))
+      }._1
     } finally {
       adj.unpersist(false)
       nbrs.unpersist(false)
@@ -477,48 +486,34 @@ object GraphLearn {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     try {
-      // frontier-only state: (start, walk, node, ts) — see randomWalks
+      // frontier-only state: (start, walk, node, ts) — each pinned
+      // frontier doubles as the corpus block (walkLoop)
       val init = g.nodes
         .select(col("id").as("start"))
         .withColumn("walk", explode(array((0 until nWalks).map(i => lit(i.toLong)): _*)))
         .withColumn("node", col("start"))
         .withColumn("ts", lit(startTs))
-      val blocks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-      val res = SuperstepRunner.run(
-        spark, init, SuperstepRunner.RunConfig(maxSteps = length, runId = s"twalks-$seed")) {
-        (state, k) =>
-          val frontier = state
-            .select(col("start"), col("walk"), col("node").as("cur"), col("ts").as("t"))
-          val pick = transform(
-            filter(col("evs"), x => x("ts") > col("t")),
-            x => struct(
-              hmix(seed, (col("start"), M1), (col("walk"), M2), (lit(k), M3),
-                (x("dst"), M4), (x("ts"), M5)).as("h"),
-              x("dst").as("n"),
-              x("ts").as("ets")))
-          val chosen = frontier
-            .join(adj, frontier("cur") === adj("src"))
-            .select(col("start"), col("walk"), array_min(pick).as("m"))
-            .filter(col("m").isNotNull)
-            .groupBy("start", "walk")
-            .agg(min(col("m")).as("m"))
-            .select(
-              col("start"), col("walk"),
-              col("m.n").as("node"), col("m.ets").as("ts"))
-          SuperstepRunner.Step(
-            chosen,
-            st => {
-              val block = pinned(st.select(
-                col("start"), col("walk"), lit(k.toLong).as("step"), col("node"), col("ts")))
-              blocks += block
-              val live = block.count()
-              (live == 0L, Map("live" -> live.toDouble))
-            })
-      }
-      assembleCorpus(
-        init.select(col("start"), col("walk"), lit(0L).as("step"), col("node"), col("ts")),
-        blocks.toSeq, res)
+      walkLoop(init, length, "twalks") { (state, k) =>
+        val frontier = state
+          .select(col("start"), col("walk"), col("node").as("cur"), col("ts").as("t"))
+        val pick = transform(
+          filter(col("evs"), x => x("ts") > col("t")),
+          x => struct(
+            hmix(seed, (col("start"), M1), (col("walk"), M2), (lit(k), M3),
+              (x("dst"), M4), (x("ts"), M5)).as("h"),
+            x("dst").as("n"),
+            x("ts").as("ets")))
+        frontier
+          .join(adj, frontier("cur") === adj("src"))
+          .select(col("start"), col("walk"), array_min(pick).as("m"))
+          .filter(col("m").isNotNull)
+          .groupBy("start", "walk")
+          .agg(min(col("m")).as("m"))
+          .select(
+            col("start"), col("walk"),
+            col("m.n").as("node"), col("m.ets").as("ts"))
+      }._1
     } finally adj.unpersist(false)
   }
 
