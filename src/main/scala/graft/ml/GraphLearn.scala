@@ -180,6 +180,14 @@ object GraphLearn {
       seed: Long = 42L): DataFrame = {
     require(fanouts.nonEmpty && fanouts.forall(_ > 0), s"bad fanouts: $fanouts")
     val edges = g.simpleEdges
+    // Deliberately LAZY across hops (r6 measured decision): a per-hop
+    // eager pin (the walkLoop idiom) was tried and REGRESSED this shape —
+    // at the declared 2-hop fan-outs the duplicate evaluation of the hop-1
+    // subtree (it feeds both the final union and hop 2's frontier) costs
+    // less than the extra materialization jobs the pins add (sf0.1/32t
+    // paired runs: wall 2.65 → 2.91 s, task-sec 43.5 → 51.1). Revisit if
+    // a caller needs H ≥ 3 hops, where the lazy prefix re-evaluation
+    // compounds ~H-fold.
     var frontier = seeds.select(col("seed")).distinct()
       .withColumn("src", col("seed"))
     var out: Option[DataFrame] = None

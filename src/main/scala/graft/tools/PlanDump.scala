@@ -34,7 +34,8 @@ object PlanDump {
       "q_text_perplexity_buckets",
       "q_graph_null_permuted",
       "q_dedup_semantic",
-      "q_graph_link_features")
+      "q_graph_link_features",
+      "q_graph_neighbor_sample")
     relational.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val text = df.queryExecution.explainString(
